@@ -1,0 +1,125 @@
+"""Vector / set similarity for the extension surface (SURVEY §2.12).
+
+Design for 100 TB:
+- cosine top-k: the *query* side is small (k probes) → broadcast it;
+  the corpus side streams through a map-side nested loop that emits
+  (query, candidate, score) and the planner's TakeOrdered/window-top-k
+  keeps only k per query. Dot products run as built-in higher-order
+  functions on double arrays — JVM-side, no Python.
+- n-gram Jaccard near-dup: inverted-index self-join (explode shingles →
+  equi-join on shingle → count per pair) instead of the O(n²) cross
+  join; doc-frequency capping bounds the worst-case bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import shingles
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product over array<double> — deterministic
+    order (matches a scalar loop bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3: brute-force exact top-k cosine per query vector.
+
+    ``queries`` (small) is broadcast; corpus partitions score locally and
+    the ranking window keeps k per query. Arrays are cast to double so
+    the fold matches the oracle's double arithmetic exactly.
+    """
+    from ..operators.sorts import topk_per_group
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    top = topk_per_group(
+        scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k
+    )
+    return top.select("query_id", "cand_id", F.round("score", 8).alias("score"), "rank")
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs by shingle-set Jaccard.
+
+    Inverted-index join: explode distinct shingles, self-join on the
+    shingle, count shared shingles per (a,b) pair, then
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. ``max_df`` drops shingles appearing in
+    more than that many docs (stop-shingles) — the standard cap that
+    keeps the join's bucket sizes bounded at corpus scale.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    if max_df is not None:
+        rare = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        sh = sh.join(rare, "sh")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc").alias("a"), "sh")
+    b = sh.select(F.col("doc").alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "sz_a", "sz_b", F.round("jaccard", 8).alias("jaccard"))
+    )

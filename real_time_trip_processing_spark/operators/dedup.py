@@ -1,0 +1,52 @@
+"""Deduplication operators (SURVEY §2.3 + extension §2.12).
+
+The reference dedups within a write batch by composite (PK, SK) key,
+keeping the first occurrence (scripts/lambda1.py:119-150). At scale the
+idiomatic Spark forms are:
+
+- exact keyed dedup: window row_number over the key, ordered by a
+  deterministic tiebreaker — a single shuffle on the key, partial-agg
+  free, and (unlike ``dropDuplicates``) reproducible;
+- exact content dedup: hash the normalized payload, dedup on the hash —
+  the hash is computed map-side so the shuffle carries 32 bytes per row
+  instead of the payload;
+- near-dup: shingle → MinHash → LSH banding (see functions/minhash.py),
+  which replaces the O(n²) pair space with per-band bucket joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dedup_keyed(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str]
+) -> DataFrame:
+    """D1: keep the first row per key, "first" defined by ``order_by``
+    (deterministic version of the reference's first-occurrence batch dedup,
+    scripts/lambda1.py:119-150). One shuffle on ``keys``; at 100 TB this
+    is the minimal-movement plan (row_number avoids a second agg-join
+    pass that a groupBy(min)+join would need)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_out: str = "text_hash",
+) -> DataFrame:
+    """X1: exact-content dedup by sha256 of the normalized text; the
+    lowest id per hash survives. The 32-byte hash is the shuffle key, so
+    the (potentially multi-KB) document body never moves twice."""
+    hashed = df.withColumn(
+        hash_out, F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    )
+    return dedup_keyed(hashed, [hash_out], [id_col])

@@ -1,0 +1,97 @@
+"""Join operators (SURVEY §2.4, J1-J4).
+
+The reference's core operator is the start/end matcher: an indexed
+point-query per inserted event (scripts/lambda2.py:27-63) plus an
+attribute-map merge with end-side collision rename
+(scripts/lambda2.py:66-109). In Spark the whole thing is one equi-join:
+the DynamoDB raw-item index becomes the join's hash table (batch) or the
+stream-stream join state store (streaming/matcher.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import dedup_keyed
+
+
+def match_start_end(
+    starts: DataFrame,
+    ends: DataFrame,
+    key: str = "trip_id",
+    start_order: Sequence[str] = ("pickup_datetime",),
+    end_order: Sequence[str] = ("dropoff_datetime",),
+) -> DataFrame:
+    """J1+J2: match each start with its end on ``key`` and merge.
+
+    Reference semantics preserved (scripts/lambda2.py:27-63, 230-255):
+    - first match wins → dedup each side to its first event per key
+      before joining (the reference's Query returns items in SK order and
+      takes item[0]);
+    - unmatched events produce nothing (they "wait forever"; the batch
+      flavor is an inner join, the streaming flavor keeps them in state);
+    - merged record carries all start attributes ∪ all end attributes,
+      end-side columns renamed ``end_<col>`` on collision
+      (scripts/lambda2.py:100-104), and data_type forced to
+      'completed_trip' (scripts/lambda2.py:97).
+
+    Scale: a plain equi-join on the key — Catalyst picks sort-merge with
+    both sides hash-partitioned on ``key``; AQE splits skewed keys. No
+    row ever visits the driver.
+    """
+    s = dedup_keyed(starts, [key], list(start_order))
+    e = dedup_keyed(ends, [key], list(end_order))
+    return merge_events(s, e, key)
+
+
+def merge_events(starts: DataFrame, ends: DataFrame, key: str) -> DataFrame:
+    """J2: post-join projection encoding the reference's collision policy
+    (scripts/lambda2.py:93-104): start-side attribute wins the plain
+    name; the end-side duplicate is kept as ``end_<col>``.
+
+    Sides are aliased so the projection stays unambiguous even when both
+    derive from the same source (self-join on event_type partitions).
+    """
+    s, e = starts.alias("__s"), ends.alias("__e")
+    start_cols = list(starts.columns)
+    end_cols = [c for c in ends.columns if c != key]
+    collisions = {c for c in end_cols if c in start_cols}
+    projection = [F.col(f"__s.{c}").alias(c) for c in start_cols]
+    projection += [
+        F.col(f"__e.{c}").alias(f"end_{c}" if c in collisions else c)
+        for c in end_cols
+    ]
+    joined = s.join(e, on=F.col(f"__s.{key}") == F.col(f"__e.{key}"), how="inner")
+    out = joined.select(*projection)
+    if "data_type" in out.columns:
+        out = out.withColumn("data_type", F.lit("completed_trip"))
+    return out.withColumn("status", F.lit("completed"))
+
+
+def join_multiway(
+    fact: DataFrame, dims: Sequence[tuple[DataFrame, str, str]], broadcast_dims: bool = True
+) -> DataFrame:
+    """J3 generalized: chain of equi-joins fact ⋈ dim1 ⋈ dim2 …
+
+    ``dims`` is [(dim_df, fact_key, dim_key), ...]. Dimension sides are
+    broadcast (reference's notebook join is two ~5k frames; at 100 TB the
+    fact side streams through map-side hash joins with zero shuffle of
+    the fact table — the plan to demand for star-schema joins).
+    """
+    out = fact
+    for dim, fk, dk in dims:
+        d = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(d, on=out[fk] == d[dk], how="inner").drop(dk)
+    return out
+
+
+def assemble_kpis(kpi_frames: Sequence[DataFrame], on: str = "pickup_date") -> DataFrame:
+    """J4: left-join single-KPI frames into one row per day
+    (reference scripts/glue_scripts.py:167-175). Redundant in Spark — one
+    groupBy emits all KPIs — but declared to prove left-join parity."""
+    out = kpi_frames[0]
+    for kf in kpi_frames[1:]:
+        out = out.join(kf, on=on, how="left")
+    return out

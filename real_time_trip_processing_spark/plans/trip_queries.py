@@ -1,0 +1,338 @@
+"""Trip-pipeline queries declared over the driver's ``events`` table.
+
+Analog mapping (FIXTURES.md §6): ``user_id`` ↔ trip_id (join key),
+``event_type`` ↔ data_type, ``ts`` ↔ event time, ``value`` ↔
+fare_amount. 'click' plays trip_start, 'purchase' plays trip_end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import aggregates as A
+from ..operators import cleaning as P
+from ..operators import joins as J
+from ..operators.dedup import dedup_keyed
+from ..operators.sets import union_all
+from ..operators.sorts import limit_topk, sort_event_time_union
+from ..sources import table
+from .registry import declare
+
+START, END = "click", "purchase"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "events")
+
+
+# --- A-series: daily KPI aggregations --------------------------------------
+
+@declare(
+    "kpi_daily",
+    oracle="""
+    SELECT date_trunc('day', ts) AS pickup_date,
+           SUM(value)  AS total_fare,
+           COUNT(event_id) AS trip_count,
+           AVG(value)  AS average_fare,
+           MAX(value)  AS maximum_fare,
+           MIN(value)  AS minimum_fare
+    FROM events GROUP BY 1
+    """,
+)
+def kpi_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 flagship: the five daily fare KPIs in one groupBy
+    (reference scripts/glue_scripts.py:139-175 collapsed)."""
+    return A.kpi_daily(_events(spark, sf_dir), "ts", "value", "event_id")
+
+
+@declare(
+    "kpi_total_fare",
+    oracle="SELECT date_trunc('day', ts) AS pickup_date, SUM(value) AS total_fare FROM events GROUP BY 1",
+)
+def kpi_total_fare(spark, sf_dir):
+    """A1 (reference scripts/glue_scripts.py:139-141)."""
+    return A.kpi_total_fare(_events(spark, sf_dir), "ts", "value")
+
+
+@declare(
+    "kpi_trip_count",
+    oracle="SELECT date_trunc('day', ts) AS pickup_date, COUNT(event_id) AS trip_count FROM events GROUP BY 1",
+)
+def kpi_trip_count(spark, sf_dir):
+    """A2 (reference scripts/glue_scripts.py:144-146)."""
+    return A.kpi_trip_count(_events(spark, sf_dir), "ts", "event_id")
+
+
+@declare(
+    "kpi_avg_fare",
+    oracle="SELECT date_trunc('day', ts) AS pickup_date, AVG(value) AS average_fare FROM events GROUP BY 1",
+)
+def kpi_avg_fare(spark, sf_dir):
+    """A3 (reference scripts/glue_scripts.py:149-151)."""
+    return A.kpi_avg_fare(_events(spark, sf_dir), "ts", "value")
+
+
+@declare(
+    "kpi_max_fare",
+    oracle="SELECT date_trunc('day', ts) AS pickup_date, MAX(value) AS maximum_fare FROM events GROUP BY 1",
+)
+def kpi_max_fare(spark, sf_dir):
+    """A4 (reference scripts/glue_scripts.py:154-156)."""
+    return A.kpi_max_fare(_events(spark, sf_dir), "ts", "value")
+
+
+@declare(
+    "kpi_min_fare",
+    oracle="SELECT date_trunc('day', ts) AS pickup_date, MIN(value) AS minimum_fare FROM events GROUP BY 1",
+)
+def kpi_min_fare(spark, sf_dir):
+    """A5 (reference scripts/glue_scripts.py:159-161)."""
+    return A.kpi_min_fare(_events(spark, sf_dir), "ts", "value")
+
+
+@declare(
+    "assemble_kpis",
+    oracle="""
+    WITH t AS (SELECT date_trunc('day', ts) AS pickup_date, SUM(value) AS total_fare FROM events GROUP BY 1),
+         c AS (SELECT date_trunc('day', ts) AS pickup_date, COUNT(event_id) AS trip_count FROM events GROUP BY 1),
+         a AS (SELECT date_trunc('day', ts) AS pickup_date, AVG(value) AS average_fare FROM events GROUP BY 1),
+         mx AS (SELECT date_trunc('day', ts) AS pickup_date, MAX(value) AS maximum_fare FROM events GROUP BY 1),
+         mn AS (SELECT date_trunc('day', ts) AS pickup_date, MIN(value) AS minimum_fare FROM events GROUP BY 1)
+    SELECT t.pickup_date, total_fare, trip_count, average_fare, maximum_fare, minimum_fare
+    FROM t LEFT JOIN c USING (pickup_date) LEFT JOIN a USING (pickup_date)
+           LEFT JOIN mx USING (pickup_date) LEFT JOIN mn USING (pickup_date)
+    """,
+)
+def assemble_kpis(spark, sf_dir):
+    """J4: left-join five single-KPI frames on the date key (reference
+    scripts/glue_scripts.py:167-175) — declared to prove join parity;
+    kpi_daily is the idiomatic plan."""
+    ev = _events(spark, sf_dir)
+    frames = [
+        A.kpi_total_fare(ev, "ts", "value"),
+        A.kpi_trip_count(ev, "ts", "event_id"),
+        A.kpi_avg_fare(ev, "ts", "value"),
+        A.kpi_max_fare(ev, "ts", "value"),
+        A.kpi_min_fare(ev, "ts", "value"),
+    ]
+    return J.assemble_kpis(frames)
+
+
+@declare(
+    "global_minmax",
+    oracle="SELECT MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(event_id) AS record_count FROM events",
+)
+def global_minmax(spark, sf_dir):
+    """A7: report metadata aggregate (reference scripts/glue_scripts.py:200-205)."""
+    return A.global_minmax(_events(spark, sf_dir), "ts", "event_id")
+
+
+@declare(
+    "value_counts",
+    oracle="SELECT date_trunc('day', ts) AS pickup_date, COUNT(*) AS n FROM events GROUP BY 1",
+)
+def value_counts(spark, sf_dir):
+    """A8: pandas value_counts equivalent (reference notebook cell 15)."""
+    df = _events(spark, sf_dir).withColumn(
+        "pickup_date", F.date_trunc("day", F.col("ts"))
+    )
+    return A.value_counts(df, "pickup_date").withColumnRenamed("count", "n")
+
+
+# --- J-series: the matcher ---------------------------------------------------
+
+@declare(
+    "match_start_end",
+    oracle=f"""
+    WITH s AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM events WHERE event_type = '{START}'),
+         e AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+               FROM events WHERE event_type = '{END}')
+    SELECT s.event_id, s.ts, s.user_id, s.event_type, s.value, s.props,
+           e.event_id AS end_event_id, e.ts AS end_ts, e.event_type AS end_event_type,
+           e.value AS end_value, e.props AS end_props,
+           'completed' AS status
+    FROM s JOIN e ON s.user_id = e.user_id
+    WHERE s.rn = 1 AND e.rn = 1
+    """,
+)
+def match_start_end(spark, sf_dir):
+    """J1+J2: the reference's core matcher as a batch equi-join —
+    first-match-wins dedup per side, inner join on the key, end-side
+    collision columns renamed end_<col>
+    (reference scripts/lambda2.py:27-63, 66-109, 230-255)."""
+    ev = _events(spark, sf_dir)
+    starts = ev.filter(F.col("event_type") == START)
+    ends = ev.filter(F.col("event_type") == END)
+    return J.match_start_end(
+        starts, ends, key="user_id",
+        start_order=("ts", "event_id"), end_order=("ts", "event_id"),
+    )
+
+
+# --- D-series: dedup ---------------------------------------------------------
+
+@declare(
+    "dedup_keyed",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keyed_q(spark, sf_dir):
+    """D1: first occurrence per composite key, deterministic order
+    (reference scripts/lambda1.py:119-150)."""
+    return dedup_keyed(_events(spark, sf_dir), ["user_id", "event_type"], ["ts", "event_id"])
+
+
+# --- U/O-series: union + event-time interleave ------------------------------
+
+@declare(
+    "union_all",
+    oracle=f"""
+    SELECT event_id, user_id, ts AS click_ts, value,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts, CAST(NULL AS VARCHAR) AS props
+    FROM events WHERE event_type = '{START}'
+    UNION ALL
+    SELECT event_id, user_id, NULL, NULL, ts, props
+    FROM events WHERE event_type = '{END}'
+    """,
+)
+def union_all_q(spark, sf_dir):
+    """U1: by-name union of differently-shaped frames with null fill
+    (reference scripts/to_kinesis.py:119 — pandas concat)."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == START).select(
+        "event_id", "user_id", F.col("ts").alias("click_ts"), "value"
+    )
+    purchases = ev.filter(F.col("event_type") == END).select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), "props"
+    )
+    return union_all(clicks, purchases)
+
+
+@declare(
+    "sort_event_time_union",
+    oracle=f"""
+    WITH s AS (SELECT event_id, user_id, 'trip_start' AS data_type,
+                      ts AS pickup_datetime, CAST(NULL AS TIMESTAMP) AS dropoff_datetime
+               FROM events WHERE event_type = '{START}'),
+         e AS (SELECT event_id, user_id, 'trip_end',
+                      NULL, ts
+               FROM events WHERE event_type = '{END}')
+    SELECT *, COALESCE(pickup_datetime, dropoff_datetime) AS event_time
+    FROM (SELECT * FROM s UNION ALL SELECT * FROM e) u
+    """,
+)
+def sort_event_time_union_q(spark, sf_dir):
+    """O2+U1: unified event_time over the interleaved start/end stream,
+    globally ordered (reference scripts/to_kinesis.py:117-120)."""
+    ev = _events(spark, sf_dir)
+    starts = ev.filter(F.col("event_type") == START).select(
+        "event_id", "user_id", F.lit("trip_start").alias("data_type"),
+        F.col("ts").alias("pickup_datetime"),
+    )
+    ends = ev.filter(F.col("event_type") == END).select(
+        "event_id", "user_id", F.lit("trip_end").alias("data_type"),
+        F.col("ts").alias("dropoff_datetime"),
+    )
+    return sort_event_time_union(
+        union_all(starts, ends), ["pickup_datetime", "dropoff_datetime"]
+    )
+
+
+# --- P-series: cleaning pipeline --------------------------------------------
+
+@declare(
+    "cleaning_pipeline",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, CAST(value AS DOUBLE) AS value,
+           props, date_trunc('day', ts) AS pickup_date
+    FROM events
+    WHERE event_type IN ('click','purchase','view','signup','error')
+      AND event_id IS NOT NULL AND ts IS NOT NULL
+      AND value IS NOT NULL AND NOT isnan(value) AND NOT isinf(value)
+    """,
+)
+def cleaning_pipeline(spark, sf_dir):
+    """P2+P3+P5+P7+P8 composed: kind filter → required fields → numeric
+    coercion with NaN/Inf rejection → date derivation
+    (reference scripts/lambda1.py:45-82, scripts/glue_scripts.py:113-136)."""
+    ev = _events(spark, sf_dir)
+    out = P.filter_event_kind(ev, "event_type", ["click", "purchase", "view", "signup", "error"])
+    out = P.filter_required_fields(out, ["event_id", "ts"])
+    out = P.coerce_numeric(out, ["value"])
+    return out.withColumn("pickup_date", F.date_trunc("day", F.col("ts")))
+
+
+@declare(
+    "derive_keys",
+    oracle="""
+    SELECT user_id, event_id,
+           'RAW#' || event_type || '#' || strftime(ts, '%Y-%m-%d %H:%M:%S') AS sk,
+           'raw' AS status
+    FROM events
+    WHERE ('RAW#' || event_type) LIKE 'RAW#purchase%'
+    """,
+)
+def derive_keys(spark, sf_dir):
+    """P6+P9: composite sort-key derivation + prefix filter
+    (reference scripts/lambda1.py:53-61, scripts/lambda2.py:203-206)."""
+    ev = _events(spark, sf_dir)
+    keyed = ev.select(
+        "user_id",
+        "event_id",
+        P.derive_raw_sort_key(F.col("event_type"), F.col("ts")).alias("sk"),
+        F.lit("raw").alias("status"),
+    )
+    return P.filter_prefix(keyed, "sk", "RAW#purchase")
+
+
+# --- F-series showcase -------------------------------------------------------
+
+@declare(
+    "scalar_showcase",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) || '#' || event_type AS event_key,
+           event_type LIKE 'p%' AS is_p,
+           strftime(ts, '%Y-%m') AS ym,
+           date_trunc('day', ts) AS d,
+           CASE WHEN event_type = 'click' THEN value ELSE -value END AS signed_value,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COALESCE(value, 0.0) AS value_filled
+    FROM events
+    """,
+)
+def scalar_showcase(spark, sf_dir):
+    """F4/F5/F9/F10/F14/F15 + X5 in one projection — the reference's
+    scalar surface (SURVEY §2.9) as pure codegen'd built-ins."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.concat_ws("#", F.col("user_id"), F.col("event_type")).alias("event_key"),
+        F.col("event_type").startswith("p").alias("is_p"),
+        F.date_format("ts", "yyyy-MM").alias("ym"),
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.when(F.col("event_type") == "click", F.col("value"))
+        .otherwise(-F.col("value"))
+        .alias("signed_value"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+    )
+
+
+@declare(
+    "limit_topk",
+    oracle="SELECT event_id, user_id, value FROM events ORDER BY value DESC, event_id LIMIT 5",
+)
+def limit_topk_q(spark, sf_dir):
+    """O4 generalized: deterministic global top-k
+    (planner: TakeOrderedAndProject, no full sort)."""
+    return limit_topk(
+        _events(spark, sf_dir).select("event_id", "user_id", "value"),
+        [F.desc("value"), F.col("event_id")],
+        5,
+    )

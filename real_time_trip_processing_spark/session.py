@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Tuned for the local[N] test harness but with every knob chosen for how it
+behaves on a real multi-executor cluster at ~100 TB:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  dynamic broadcast conversion — all essential once data sizes are not
+  known at plan time.
+- shuffle.partitions sized to cores locally; on a cluster this would be
+  ~2-3x total executor cores (AQE coalesces the excess).
+- session timezone pinned UTC so event-time semantics (to_date/window)
+  are identical across drivers, executors and the DuckDB oracle.
+- Arrow enabled: every pandas interchange (createDataFrame, toPandas,
+  pandas UDFs) moves columnar batches instead of pickled rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "rtp-spark",
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cores = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable configs to a session we did not create.
+
+    The driver harness passes us its own SparkSession; timezone and AQE
+    are runtime-mutable, so pin them here for deterministic event-time
+    and oracle-comparable results.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # testdata parquet stores TIMESTAMP(NANOS); Spark reads it as long
+    # (sources/tables.py converts to micros, matching DuckDB's truncation)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark

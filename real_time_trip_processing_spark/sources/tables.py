@@ -1,0 +1,38 @@
+"""Batch table sources over the driver's parquet testdata.
+
+Replaces the reference's paginated full-table Scan (S3,
+reference scripts/glue_scripts.py:31-88): Spark's parquet source is
+already a partitioned, column-pruned, predicate-pushed scan — the
+pagination loop, type unmarshalling and "inefficient for large tables"
+caveat (reference scripts/glue_scripts.py:35-37) all disappear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..session import tune_session
+
+#: columns stored as parquet TIMESTAMP(NANOS), which Spark's reader only
+#: accepts as long (spark.sql.legacy.parquet.nanosAsLong). We truncate
+#: nanos → micros exactly like DuckDB's reader does, so both engines see
+#: identical timestamps.
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Column pruning + filter pushdown are
+    Catalyst's job — callers select/filter and the parquet reader only
+    materializes what the plan needs."""
+    tune_session(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, ()):
+        field = df.schema[c]
+        if isinstance(field.dataType, T.LongType):
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: table(spark, sf_dir, n) for n in names}
