@@ -1,0 +1,75 @@
+"""Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully distributed via the no-op sink (no driver
+collect); a tiny warm-up query amortizes JVM/codegen startup so the
+numbers measure the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from real_time_trip_processing_spark.plans import REGISTRY
+from real_time_trip_processing_spark.session import get_spark
+
+#: headline queries: the flagship KPI path, the matcher join, the heavy
+#: relational aggs, and one of each extension family.
+HEADLINE = [
+    "kpi_daily",
+    "match_start_end",
+    "pricing_summary",
+    "region_revenue",
+    "topk_per_group",
+    "dedup_keyed",
+    "sessionize",
+    "dedup_exact_text",
+    "dedup_near_minhash",
+    "sim_topk",
+    "text_stats",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> float:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("rtp-bench")
+
+    # warm-up: run the flagship once so JVM/codegen/parquet-footer costs
+    # don't land on the first measured query
+    run_one(spark, "kpi_daily", sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run_one(spark, name, sf_dir), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,16 +1,21 @@
 """MinHash + banded LSH near-duplicate detection — the scale path for
 X2 (SURVEY §2.12).
 
-All deterministic, all built-in expressions:
-- permutation *i* is the seeded hash ``xxhash64(i, shingle)`` (seeding by
-  prepending the constant — xxhash64 hashes the column tuple);
-- signature = array of per-permutation minima (map-side, no shuffle);
-- LSH: signature split into ``bands`` bands, each band hashed; docs
-  sharing any (band, band_hash) bucket become candidate pairs — the only
-  shuffle is the bucket join, and bucket sizes bound the pair space;
-- candidates are verified with exact shingle-set Jaccard, so the output
-  has no false positives (only LSH's false-negative risk remains, the
-  standard trade).
+All deterministic, all built-in expressions, and shaped for codegen:
+- shingles are exploded to (doc, hash) rows; each shingle is hashed
+  ONCE (xxhash64 → top 31 bits so universal-hash arithmetic can't
+  overflow under ANSI mode);
+- the signature is ONE HashAggregate: ``min(a_i*h+b_i)`` per
+  permutation — 32 codegen'd min-aggregates in a single shuffle on
+  doc_id (higher-order array lambdas are interpreted in Spark, an
+  order of magnitude slower for the same arithmetic);
+- LSH banding hashes groups of signature columns; docs sharing any
+  (band, band_hash) bucket become candidate pairs — the pair space is
+  per-bucket, never O(n²);
+- candidates are verified with exact Jaccard over the collected hashed
+  shingle sets, so the output has no false positives (modulo 64-bit
+  hash collisions); only LSH's false-negative risk remains, tunable
+  via num_perm/bands.
 """
 
 from __future__ import annotations
@@ -20,14 +25,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .text import shingles
 
 
-def minhash_signature(sh: Column, num_perm: int) -> Column:
-    """array<long> MinHash signature of a shingle array."""
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
-            for i in range(num_perm)
-        ]
-    )
+#: deterministic 31-bit multipliers/offsets (splitmix64-derived); with
+#: h reduced to 31 bits, a*h+b < 2^62 — safe under ANSI arithmetic.
+def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    consts = []
+    for i in range(num_perm):
+        x = (i + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+        y = (x * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+        consts.append(((x & 0x7FFFFFFF) | 1, y & 0x7FFFFFFF))
+    return consts
+
+
+def minhash_signature_agg(num_perm: int, h_col: str = "h31") -> list[Column]:
+    """The per-permutation min-aggregate expressions."""
+    h = F.col(h_col)
+    return [
+        F.min(F.lit(a) * h + F.lit(b)).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_perm))
+    ]
 
 
 def minhash_lsh_pairs(
@@ -39,50 +54,63 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Near-dup pairs (a, b, jaccard) via MinHash-LSH candidates +
-    exact-Jaccard verification."""
+    """Near-dup pairs (a, b, inter, jaccard) via MinHash-LSH candidates
+    + exact-Jaccard verification on the hashed shingle sets."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
-    base = docs.select(
+    sh_rows = docs.select(
         F.col(id_col).alias("doc"),
-        F.array_distinct(shingles(F.col(text_col), n)).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
+    ).select(
+        "doc",
+        F.xxhash64("s").alias("h"),
+    ).withColumn("h31", F.shiftright("h", 33))
+
+    # one shuffle on doc: 32 min-aggregates (signature) + the hashed
+    # shingle set for exact verification of candidates
+    sig = (
+        sh_rows.groupBy("doc")
+        .agg(*minhash_signature_agg(num_perm), F.collect_set("h").alias("hs"))
+        .persist()
+    )
 
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(*[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]).alias("bh"),
+            F.xxhash64(
+                *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bh"),
         )
         for b in range(bands)
     ]
-    bucketed = base.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
+    bucketed = sig.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
 
-    left = bucketed.select(F.col("doc").alias("a"), "band", "bh")
-    right = bucketed.select(F.col("doc").alias("b"), "band", "bh")
     candidates = (
-        left.join(right, ["band", "bh"])
+        bucketed.alias("l")
+        .join(bucketed.alias("r"), ["band", "bh"])
+        .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
         .distinct()
     )
 
-    sh_a = base.select(F.col("doc").alias("a"), F.col("sh").alias("sh_a"))
-    sh_b = base.select(F.col("doc").alias("b"), F.col("sh").alias("sh_b"))
+    hs_a = sig.select(F.col("doc").alias("a"), F.col("hs").alias("hs_a"))
+    hs_b = sig.select(F.col("doc").alias("b"), F.col("hs").alias("hs_b"))
     verified = (
-        candidates.join(sh_a, "a")
-        .join(sh_b, "b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        candidates.join(hs_a, "a")
+        .join(hs_b, "b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
         .withColumn(
             "jaccard",
-            F.col("inter")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+            F.col("inter") / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select(
-        "a", "b", F.col("inter").cast("long").alias("inter"),
-        F.round("jaccard", 8).alias("jaccard")
+        "a",
+        "b",
+        F.col("inter").cast("long").alias("inter"),
+        F.round("jaccard", 8).alias("jaccard"),
     )
