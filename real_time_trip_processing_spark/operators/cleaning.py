@@ -49,10 +49,11 @@ def clean_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
 def coerce_timestamp(df: DataFrame, cols: Sequence[str], drop: bool = True) -> DataFrame:
     """P4: parse string → timestamp with null-on-failure, optionally drop
     failures (reference scripts/glue_scripts.py:113-119, errors='coerce'
-    + dropna)."""
+    + dropna). try_to_timestamp, not to_timestamp: under ANSI mode the
+    plain parse *throws* on malformed input."""
     out = df
     for c in cols:
-        out = out.withColumn(c, F.to_timestamp(F.col(c)))
+        out = out.withColumn(c, F.try_to_timestamp(F.col(c)))
     if drop:
         out = filter_required_fields(out, cols)
     return out
@@ -60,10 +61,11 @@ def coerce_timestamp(df: DataFrame, cols: Sequence[str], drop: bool = True) -> D
 
 def coerce_numeric(df: DataFrame, cols: Sequence[str], drop: bool = True) -> DataFrame:
     """P5: cast → double with null-on-failure, optionally drop failures
-    (reference scripts/glue_scripts.py:121-126)."""
+    (reference scripts/glue_scripts.py:121-126). try_cast ≡ pandas
+    errors='coerce' under ANSI mode."""
     out = df
     for c in cols:
-        out = out.withColumn(c, F.col(c).cast("double"))
+        out = out.withColumn(c, F.col(c).try_cast("double"))
     out = clean_numeric(out, list(cols))
     if drop:
         out = filter_required_fields(out, cols)

@@ -1,0 +1,76 @@
+"""Composed end-to-end jobs — the reference's three paths re-expressed
+as Spark jobs (SURVEY §3).
+
+batch flavor:   ingest_clean (Lambda 1) → match (Lambda 2) → daily_report
+                (Glue job + S3 report)
+streaming flavor: streaming/*.py wires the same operators behind
+                readStream/writeStream (see tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import schemas
+from .operators import aggregates as A
+from .operators import cleaning as P
+from .operators.dedup import dedup_keyed
+from .operators.joins import match_start_end
+from .sources.csv_dir import load_reference_trip_csvs
+from .streaming.report import build_report, write_report
+
+
+def ingest_clean(events: DataFrame) -> DataFrame:
+    """Lambda 1 equivalent (reference scripts/lambda1.py:19-101):
+    required-field validation, event-time pick, NaN/Inf cleaning,
+    first-occurrence dedup per (trip_id, data_type, event_time)."""
+    out = P.project_required(events)
+    out = P.filter_required_fields(out, ["trip_id", "data_type", "event_time"])
+    numeric_cols = [
+        f.name
+        for f in out.schema
+        if f.dataType.typeName() == "double"
+    ]
+    out = P.clean_numeric(out, numeric_cols)
+    return dedup_keyed(out, ["trip_id", "data_type"], ["event_time"])
+
+
+def match(starts: DataFrame, ends: DataFrame) -> DataFrame:
+    """Lambda 2 equivalent: first-match-wins join + merge
+    (reference scripts/lambda2.py:27-109)."""
+    return match_start_end(
+        starts,
+        ends,
+        key="trip_id",
+        start_order=("pickup_datetime",),
+        end_order=("dropoff_datetime",),
+    )
+
+
+def daily_kpis(completed: DataFrame) -> DataFrame:
+    """Glue-job KPI core (reference scripts/glue_scripts.py:109-175):
+    required-column coercion then the five KPIs in one groupBy.
+    pickup_date is a DateType here (report semantics), unlike the
+    oracle-facing declared queries which emit date_trunc timestamps."""
+    df = completed.filter(F.col("status") == "completed")
+    df = P.coerce_timestamp(df, ["pickup_datetime"])
+    df = P.coerce_numeric(df, ["fare_amount"])
+    out = A.kpi_daily(df, "pickup_datetime", "fare_amount", "trip_id")
+    return out.withColumn("pickup_date", F.to_date("pickup_date"))
+
+
+def daily_report(spark: SparkSession, completed: DataFrame, out_dir: str) -> str:
+    """Full Glue-path equivalent: KPIs + nested JSON report to the
+    dated path and latest/ (reference scripts/glue_scripts.py:91-259)."""
+    kpis = daily_kpis(completed)
+    report = build_report(kpis, completed, "pickup_datetime")
+    return write_report(report, out_dir)
+
+
+def run_reference_batch(spark: SparkSession, data_dir: str, out_dir: str) -> DataFrame:
+    """The whole reference pipeline on its own CSVs: load → clean →
+    match → KPIs → report. Returns the daily KPI frame."""
+    starts, ends = load_reference_trip_csvs(spark, data_dir)
+    completed = match(starts, ends)
+    daily_report(spark, completed, out_dir)
+    return daily_kpis(completed)

@@ -1,0 +1,75 @@
+"""The streaming matcher: reference Lambda 2 as a watermarked
+stream-stream join (SURVEY §2.4 J1/J2, §2.10).
+
+Reference semantics → Spark mapping:
+- DynamoDB raw-item index + counterpart point query
+  (scripts/lambda2.py:27-63) → the stream-stream join state store;
+- "unmatched events wait forever" (scripts/lambda2.py:254-255) → a
+  *configurable* watermark (default 24h; trips are intra-day). This is
+  the one documented deviation: unbounded state is a cluster-killer at
+  100 TB, so lateness is bounded and the bound is policy;
+- first-match-wins + at-least-once duplicates →
+  ``dropDuplicatesWithinWatermark`` on (trip_id, data_type) before the
+  join, so replayed/duplicate events (reference scripts/lambda1.py:119-150)
+  collapse to one state row per side;
+- merged record with end_<col> collision rename
+  (scripts/lambda2.py:93-104) → the same deterministic projection used
+  by the batch matcher (operators/joins.merge_events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def stream_match_start_end(
+    starts: DataFrame,
+    ends: DataFrame,
+    key: str = "trip_id",
+    start_ts: str = "pickup_datetime",
+    end_ts: str = "dropoff_datetime",
+    watermark: str = "24 hours",
+    join_window: str | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream inner join of start/end events.
+
+    ``join_window`` optionally bounds dropoff within [pickup, pickup+w]
+    so the state store can evict matched/expired rows by event time —
+    at scale, always set it; default derives it from the watermark.
+    """
+    w = join_window or watermark
+    s = starts.withWatermark(start_ts, watermark).dropDuplicatesWithinWatermark(
+        [key, "data_type"]
+    )
+    e = ends.withWatermark(end_ts, watermark).dropDuplicatesWithinWatermark(
+        [key, "data_type"]
+    )
+    cond = (
+        (F.col(f"__s.{key}") == F.col(f"__e.{key}"))
+        & (F.col(f"__e.{end_ts}") >= F.col(f"__s.{start_ts}"))
+        & (
+            F.col(f"__e.{end_ts}")
+            <= F.col(f"__s.{start_ts}") + F.expr(f"INTERVAL {w}")
+        )
+    )
+    # merge_events aliases sides __s/__e and applies the collision rename
+    return merge_events_streaming(s, e, key, cond)
+
+
+def merge_events_streaming(s: DataFrame, e: DataFrame, key: str, cond) -> DataFrame:
+    """Streaming variant of J2: same projection as the batch
+    merge_events, but with the range-join condition required for state
+    eviction."""
+    s_a, e_a = s.alias("__s"), e.alias("__e")
+    start_cols = list(s.columns)
+    end_cols = [c for c in e.columns if c != key]
+    collisions = {c for c in end_cols if c in start_cols}
+    projection = [F.col(f"__s.{c}").alias(c) for c in start_cols]
+    projection += [
+        F.col(f"__e.{c}").alias(f"end_{c}" if c in collisions else c)
+        for c in end_cols
+    ]
+    out = s_a.join(e_a, on=cond, how="inner").select(*projection)
+    if "data_type" in out.columns:
+        out = out.withColumn("data_type", F.lit("completed_trip"))
+    return out.withColumn("status", F.lit("completed"))

@@ -1,0 +1,55 @@
+"""Streaming sources (SURVEY §2.1 S2/S4/S8).
+
+Production shape: Kafka —
+``spark.readStream.format("kafka")`` → ``CAST(value AS STRING)`` →
+``from_json`` (the Kinesis base64+JSON decode of reference
+scripts/lambda1.py:26-32; the Kinesis partition key keyed by trip_id
+becomes the Kafka message key). Kafka jars aren't in this image, so the
+tested path is the file source over the same envelope schema — the
+parser and everything downstream are identical; only ``format()``
+changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .. import schemas
+from ..functions.scalar import decode_stream_payload
+
+
+def stream_trip_events(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """S2: stream the interleaved trip-event envelope (TRIP_EVENT union
+    schema) from a directory. Rate control ≡ the producer's 0.1 s sleep
+    (reference scripts/to_kinesis.py:100) via maxFilesPerTrigger."""
+    reader = spark.readStream.schema(schemas.TRIP_EVENT).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def parse_kafka_like(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka/Kinesis-shaped stream: binary ``value`` column of
+    base64 JSON → typed event columns (reference scripts/lambda1.py:26-32)."""
+    return raw.select(
+        decode_stream_payload(F.col("value").cast("string"), schemas.TRIP_EVENT).alias(
+            "e"
+        )
+    ).select("e.*")
+
+
+def split_start_end(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """P7: route the interleaved stream by data_type
+    (reference scripts/lambda1.py:39-43 picks the per-type time field)."""
+    starts = events.filter(F.col("data_type") == "trip_start").select(
+        *[f.name for f in schemas.TRIP_START]
+    )
+    ends = events.filter(F.col("data_type") == "trip_end").select(
+        *[f.name for f in schemas.TRIP_END]
+    )
+    return starts, ends

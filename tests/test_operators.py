@@ -1,0 +1,137 @@
+"""Operator unit tests on tiny in-memory frames, reproducing the
+reference's hand-computed goldens (reference test/test.py:155-209) and
+exercising the matcher semantics the reference leaves untested."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from real_time_trip_processing_spark.operators import aggregates as A
+from real_time_trip_processing_spark.operators import cleaning as P
+from real_time_trip_processing_spark.operators.dedup import dedup_keyed
+from real_time_trip_processing_spark.operators.joins import match_start_end
+from real_time_trip_processing_spark.operators.sets import union_all
+
+#: the reference's 4-trip KPI oracle (test/test.py:42-89, 163-166)
+MICRO = [
+    ("trip1", "2025-04-20 08:30:00", 25.50),
+    ("trip2", "2025-04-20 09:15:00", 30.75),
+    ("trip3", "2025-04-21 10:00:00", 15.25),
+    ("trip4", "2025-04-21 14:45:00", 42.00),
+]
+
+
+def _micro_df(spark):
+    df = spark.createDataFrame(MICRO, "trip_id string, pickup_datetime string, fare_amount double")
+    return df.withColumn("pickup_datetime", F.to_timestamp("pickup_datetime"))
+
+
+def test_kpi_daily_golden(spark):
+    out = {
+        str(r["pickup_date"])[:10]: r
+        for r in A.kpi_daily(_micro_df(spark)).collect()
+    }
+    d1, d2 = out["2025-04-20"], out["2025-04-21"]
+    # hand-computed goldens from reference test/test.py:163-166, 196-201
+    assert math.isclose(d1["total_fare"], 56.25, abs_tol=0.01)
+    assert d1["trip_count"] == 2
+    assert math.isclose(d1["average_fare"], 28.125, abs_tol=0.01)
+    assert math.isclose(d1["maximum_fare"], 30.75, abs_tol=0.01)
+    assert math.isclose(d1["minimum_fare"], 25.50, abs_tol=0.01)
+    assert math.isclose(d2["total_fare"], 57.25, abs_tol=0.01)
+    assert d2["trip_count"] == 2
+
+
+def test_invalid_rows_coerced_and_dropped(spark):
+    # reference test/test.py:223-247: bad date and bad fare → dropped
+    rows = MICRO + [
+        ("bad1", "invalid-date", 10.0),
+        ("bad2", "2025-04-22 10:00:00", None),
+    ]
+    df = spark.createDataFrame(rows, "trip_id string, pickup_datetime string, fare_amount double")
+    df = df.withColumn("fare_amount", F.col("fare_amount").cast("string"))
+    clean = P.coerce_timestamp(df, ["pickup_datetime"])
+    clean = P.coerce_numeric(clean, ["fare_amount"])
+    ids = {r["trip_id"] for r in clean.select("trip_id").collect()}
+    assert ids == {"trip1", "trip2", "trip3", "trip4"}
+
+
+def test_clean_numeric_nan_inf(spark):
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, float("inf")), (4, float("-inf"))],
+        "id int, v double",
+    )
+    out = P.clean_numeric(df, ["v"]).collect()
+    vals = {r["id"]: r["v"] for r in out}
+    assert vals[1] == 1.5
+    assert vals[2] is None and vals[3] is None and vals[4] is None
+
+
+def test_dedup_keyed_first_wins(spark):
+    df = spark.createDataFrame(
+        [("a", "2025-01-01 00:00:01", 1), ("a", "2025-01-01 00:00:02", 2), ("b", "2025-01-01 00:00:03", 3)],
+        "k string, ts string, payload int",
+    )
+    out = dedup_keyed(df, ["k"], ["ts"]).collect()
+    got = {r["k"]: r["payload"] for r in out}
+    assert got == {"a": 1, "b": 3}
+
+
+def test_matcher_merge_collision_rename(spark):
+    starts = spark.createDataFrame(
+        [Row(trip_id="t1", pickup_datetime="2024-05-25 10:00:00", record_id="s-1", data_type="trip_start")]
+    )
+    ends = spark.createDataFrame(
+        [Row(trip_id="t1", dropoff_datetime="2024-05-25 10:30:00", record_id="e-1", data_type="trip_end", fare_amount=12.5)]
+    )
+    out = match_start_end(starts, ends, key="trip_id",
+                          start_order=("pickup_datetime",), end_order=("dropoff_datetime",)).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    # collision policy (reference scripts/lambda2.py:100-104): start side
+    # keeps the plain name, end side renamed end_<col>
+    assert r["record_id"] == "s-1" and r["end_record_id"] == "e-1"
+    assert r["data_type"] == "completed_trip"  # scripts/lambda2.py:97
+    assert r["status"] == "completed"
+    assert r["fare_amount"] == 12.5  # non-colliding end column keeps its name
+
+
+def test_matcher_unmatched_waits_first_match_wins(spark):
+    starts = spark.createDataFrame(
+        [("t1", "2024-05-25 10:00:00"), ("t1", "2024-05-25 10:05:00"), ("t2", "2024-05-25 11:00:00")],
+        "trip_id string, pickup_datetime string",
+    )
+    ends = spark.createDataFrame(
+        [("t1", "2024-05-25 10:40:00"), ("t1", "2024-05-25 10:50:00")],
+        "trip_id string, dropoff_datetime string",
+    )
+    out = match_start_end(starts, ends, key="trip_id",
+                          start_order=("pickup_datetime",), end_order=("dropoff_datetime",)).collect()
+    # t2 has no partner → waits (absent from inner-join output,
+    # reference scripts/lambda2.py:254-255); duplicate t1 events →
+    # first occurrence on each side wins (scripts/lambda2.py:27-63)
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["trip_id"] == "t1"
+    assert str(r["pickup_datetime"]) == "2024-05-25 10:00:00"
+    assert str(r["end_dropoff_datetime"] if "end_dropoff_datetime" in r else r["dropoff_datetime"]) == "2024-05-25 10:40:00"
+
+
+def test_union_all_fills_missing(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, a string")
+    b = spark.createDataFrame([(2, "y")], "id int, b string")
+    out = union_all(a, b)
+    assert sorted(out.columns) == ["a", "b", "id"]
+    rows = {r["id"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: ("x", None), 2: (None, "y")}
+
+
+def test_global_minmax_and_value_counts(spark):
+    df = _micro_df(spark)
+    mm = A.global_minmax(df, "pickup_datetime", "trip_id").collect()[0]
+    assert mm["record_count"] == 4
+    assert str(mm["start_ts"]) == "2025-04-20 08:30:00"
+    vc = A.value_counts(P.derive_date(df, "pickup_datetime"), "pickup_date").collect()
+    assert [r["count"] for r in vc] == [2, 2]

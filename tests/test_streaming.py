@@ -1,0 +1,127 @@
+"""Streaming-path tests: the reference CSVs replayed through the file
+source in event-time order, matched by the watermarked stream-stream
+join, aggregated by the windowed daily KPI — asserting parity with the
+batch path (SURVEY §7 phase 4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_spark import pipeline, schemas
+from real_time_trip_processing_spark.operators.sets import union_all
+from real_time_trip_processing_spark.sources.csv_dir import load_reference_trip_csvs
+from real_time_trip_processing_spark.streaming import (
+    split_start_end,
+    stream_match_start_end,
+    stream_trip_events,
+)
+from real_time_trip_processing_spark.streaming.kpis import streaming_kpi_daily
+
+DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark, tmp_path_factory):
+    """Reference events as a 4-file event-time-ordered JSON replay
+    (producer O2 semantics, reference scripts/to_kinesis.py:117-120) —
+    start/end of a trip usually land in different files, exercising
+    out-of-order arrival across micro-batches."""
+    out = tmp_path_factory.mktemp("replay")
+    starts, ends = load_reference_trip_csvs(spark, DATA)
+    events = union_all(starts, ends).withColumn(
+        "event_time", F.coalesce("pickup_datetime", "dropoff_datetime")
+    )
+    cols = [f.name for f in schemas.TRIP_EVENT]
+    (
+        events.repartitionByRange(4, "event_time")
+        .select(*cols)
+        .write.mode("overwrite")
+        .json(str(out))
+    )
+    return str(out)
+
+
+def _run_stream(spark, df, name: str, mode: str = "append"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_match_full_replay(spark, replay_dir):
+    events = stream_trip_events(spark, replay_dir, max_files_per_trigger=1)
+    starts, ends = split_start_end(events)
+    completed = stream_match_start_end(starts, ends, watermark="24 hours")
+    out = _run_stream(spark, completed, "completed_stream")
+    assert out.count() == 4999  # every pair matches despite split files
+    r = out.filter(F.col("trip_id").isNotNull()).limit(1).collect()[0].asDict()
+    assert r["data_type"] == "completed_trip" and r["status"] == "completed"
+    assert "end_record_id" in r  # collision rename survives streaming
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path, replay_dir):
+    # duplicate delivery (at-least-once): replay the same files twice
+    import shutil, os
+    dup_dir = tmp_path / "dup"
+    os.makedirs(dup_dir)
+    n = 0
+    for f in os.listdir(replay_dir):
+        if f.endswith(".json"):
+            shutil.copy(f"{replay_dir}/{f}", dup_dir / f"a_{f}")
+            shutil.copy(f"{replay_dir}/{f}", dup_dir / f"b_{f}")
+            n += 1
+    assert n > 0
+    events = stream_trip_events(spark, str(dup_dir))
+    starts, ends = split_start_end(events)
+    completed = stream_match_start_end(starts, ends, watermark="24 hours")
+    out = _run_stream(spark, completed, "dedup_stream")
+    # dropDuplicatesWithinWatermark collapses the duplicates → still one
+    # completed record per trip (reference D1, scripts/lambda1.py:119-150)
+    assert out.count() == 4999
+
+
+def test_streaming_kpi_matches_batch(spark, replay_dir, tmp_path):
+    # two-stage, mirroring the reference's architecture around its raw
+    # table (SURVEY §7 risks): stage 1 appends completed trips to a
+    # parquet table (S5 sink), stage 2 runs the windowed KPI over it.
+    completed_dir, ckpt = str(tmp_path / "completed"), str(tmp_path / "ckpt")
+    events = stream_trip_events(spark, replay_dir)
+    starts, ends = split_start_end(events)
+    completed = stream_match_start_end(starts, ends, watermark="24 hours")
+    q = (
+        completed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", completed_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    completed_stream = (
+        spark.readStream.schema(spark.read.parquet(completed_dir).schema)
+        .parquet(completed_dir)
+    )
+    kpis = streaming_kpi_daily(completed_stream)
+    # update mode: windows emit every trigger without waiting for the
+    # watermark to pass day end (append's emit-on-watermark semantics
+    # would hold back the live day — documented trade, SURVEY §2.10)
+    out = _run_stream(spark, kpis, "kpi_stream", mode="update")
+    rows = out.collect()
+    assert len(rows) == 1
+    got = rows[0].asDict()
+    s, e = load_reference_trip_csvs(spark, DATA)
+    want = pipeline.daily_kpis(pipeline.match(s, e)).collect()[0].asDict()
+    assert got["trip_count"] == want["trip_count"] == 4999
+    assert math.isclose(got["total_fare"], want["total_fare"], rel_tol=1e-9)
+    assert math.isclose(got["average_fare"], want["average_fare"], rel_tol=1e-9)
+    assert got["maximum_fare"] == want["maximum_fare"]
+    assert got["minimum_fare"] == want["minimum_fare"]
