@@ -74,6 +74,98 @@ def cosine_topk(
     return top.select("query_id", "cand_id", F.round("score", 8).alias("score"), "rank")
 
 
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Exact all-pairs flavor — the correctness reference. At corpus scale
+    the pair space must be pruned first (sign-random-projection buckets,
+    i.e. SimHash-for-vectors, or the IVF buckets below); this exact form
+    is what those candidates are verified against.
+    """
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("score"))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", F.round("score", 8).alias("score"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3 scale path: IVF-style approximate top-k cosine.
+
+    Coarse quantizer: the first ``n_centroids`` vectors stand in for
+    k-means centroids (deterministic; a trained codebook drops in the
+    same way). Every corpus vector is assigned to its nearest centroid
+    (one broadcast pass); each query probes its ``nprobe`` nearest
+    centroid buckets and scores only those vectors — the scan cost drops
+    from O(N) to O(N * nprobe / n_centroids) per query, the standard
+    IVF trade. Deterministic tie-breaks (centroid id, candidate id)
+    keep the result oracle-reproducible.
+    """
+    from ..operators.sorts import topk_per_group
+
+    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    assigned = topk_per_group(
+        c.crossJoin(F.broadcast(centroids)).select(
+            "cand_id", "c_vec", "cent_id", cosine(F.col("c_vec"), F.col("cv")).alias("cs")
+        ),
+        ["cand_id"],
+        [F.desc("cs"), F.col("cent_id")],
+        1,
+    ).select("cand_id", "c_vec", "cent_id")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    probes = topk_per_group(
+        q.crossJoin(F.broadcast(centroids)).select(
+            "query_id", "q_vec", "cent_id", cosine(F.col("q_vec"), F.col("cv")).alias("qs")
+        ),
+        ["query_id"],
+        [F.desc("qs"), F.col("cent_id")],
+        nprobe,
+    ).select("query_id", "q_vec", "cent_id")
+
+    scored = (
+        probes.join(assigned, "cent_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
+    )
+    top = topk_per_group(scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k)
+    return top.select(
+        "query_id", "cand_id", F.round("score", 8).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

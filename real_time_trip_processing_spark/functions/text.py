@@ -61,3 +61,48 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: sha256 over the sorted distinct token set —
     robust to word order, the cheap tier of near-dup detection."""
     return F.sha2(F.concat_ws(" ", F.array_sort(distinct_tokens(text))), 256)
+
+
+#: BPE-ish tokenizer regex: word pieces OR single non-space symbols —
+#: the standard pre-tokenization split used before byte-pair merging.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count(text: Column) -> Column:
+    """LLM-style token count: regex pre-tokenization (letters / digits /
+    punctuation symbols) — the cheap proxy for a BPE tokenizer's length."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+#: language marker words for the n-gram/stopword language-ID heuristic.
+#: Deterministic and tiny on purpose: at corpus scale this runs map-side
+#: as pure array arithmetic; swap in real stopword tables for quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "nicht", "ist"),
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "la", "de", "y", "es", "que"),
+    "fr": ("le", "la", "et", "est", "que", "des"),
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts over the distinct token set."""
+    toks = distinct_tokens(F.lower(text))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Predicted language: argmax marker score, first-alphabetical wins
+    ties, 'und' (undetermined) when no marker hits."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # reversed so earlier (alphabetical) languages overwrite later ones
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(
+            (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(pred)
+    return pred

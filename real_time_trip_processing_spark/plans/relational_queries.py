@@ -179,3 +179,114 @@ def sessionize(spark, sf_dir):
         )
         .drop("is_new")
     )
+
+
+@declare(
+    "semi_join",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def semi_join(spark, sf_dir):
+    """Left-semi join (EXISTS) — not in the reference (SURVEY §2.4
+    'not present'); free Spark capability, declared for coverage."""
+    cust = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@declare(
+    "anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+    """,
+)
+def anti_join(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — customers with no big-ticket
+    order (threshold chosen so the result is non-empty at every SF)."""
+    cust = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@declare(
+    "event_type_pivot",
+    oracle="""
+    SELECT date_trunc('day', ts) AS pickup_date,
+           SUM(CASE WHEN event_type = 'click'    THEN value END) AS click,
+           SUM(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+           SUM(CASE WHEN event_type = 'view'     THEN value END) AS view,
+           SUM(CASE WHEN event_type = 'signup'   THEN value END) AS signup,
+           SUM(CASE WHEN event_type = 'error'    THEN value END) AS error
+    FROM events GROUP BY 1
+    """,
+)
+def event_type_pivot(spark, sf_dir):
+    """Pivot: daily value totals spread across event_type columns —
+    groupBy().pivot() with an explicit value list (no extra distinct
+    pass to discover columns, which matters at scale)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "pickup_date", F.date_trunc("day", F.col("ts"))
+    )
+    return (
+        ev.groupBy("pickup_date")
+        .pivot("event_type", ["click", "purchase", "view", "signup", "error"])
+        .sum("value")
+    )
+
+
+@declare(
+    "distinct_daily_users",
+    oracle="""
+    SELECT date_trunc('day', ts) AS pickup_date,
+           COUNT(DISTINCT user_id) AS users,
+           COUNT(event_id) AS events
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_daily_users(spark, sf_dir):
+    """Distinct aggregation (Spark plans the two-phase
+    distinct-then-count expansion automatically)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "pickup_date", F.date_trunc("day", F.col("ts"))
+    )
+    return ev.groupBy("pickup_date").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count("event_id").alias("events"),
+    )
+
+
+@declare(
+    "running_daily_total",
+    oracle="""
+    WITH d AS (SELECT date_trunc('day', ts) AS pickup_date, SUM(value) AS total_fare
+               FROM events GROUP BY 1)
+    SELECT pickup_date, total_fare,
+           SUM(total_fare) OVER (ORDER BY pickup_date
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_total
+    FROM d
+    """,
+)
+def running_daily_total(spark, sf_dir):
+    """Analytic window over the aggregate: cumulative daily revenue.
+    Single-partition window over one row per day — tiny by construction
+    (the agg collapses the data before the unpartitioned window)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("pickup_date", F.date_trunc("day", F.col("ts")))
+        .groupBy("pickup_date")
+        .agg(F.sum("value").alias("total_fare"))
+    )
+    w = W.orderBy("pickup_date").rowsBetween(W.unboundedPreceding, 0)
+    return daily.withColumn("running_total", F.sum("total_fare").over(w))

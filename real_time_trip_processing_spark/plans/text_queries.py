@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import text as X
+from ..functions.simhash import simhash_fingerprints, simhash_pairs
 from ..functions.similarity import jaccard_pairs
 from ..operators.dedup import dedup_exact_text
 from ..sources import table
@@ -144,3 +145,95 @@ def dedup_near_shingle(spark, sf_dir):
     return jaccard_pairs(
         table(spark, sf_dir, "documents"), n=3, threshold=0.2
     )
+
+
+@declare(
+    "token_count",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_q(spark, sf_dir):
+    """LLM-style token counting: BPE-ish regex pre-tokenization
+    (word pieces / digit runs / single symbols) — map-side only."""
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.LANG_MARKERS[lang])
+    return f"CAST(len(list_intersect(toks, [{words}])) AS INTEGER) AS s_{lang}"
+
+
+_LANGS = sorted(X.LANG_MARKERS)
+
+@declare(
+    "lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang,
+                      list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS toks
+               FROM documents),
+         s AS (SELECT doc_id, lang, {", ".join(_lang_score_sql(lang) for lang in _LANGS)} FROM t)
+    SELECT doc_id, lang, {", ".join(f"s_{lang}" for lang in _LANGS)},
+           CASE
+             {" ".join(f"WHEN s_{lang} > 0 AND s_{lang} = greatest({', '.join('s_' + x for x in _LANGS)}) THEN '{lang}'" for lang in _LANGS)}
+             ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+)
+def lang_id_q(spark, sf_dir):
+    """Language-ID heuristic: marker-word hit counts per language,
+    argmax with alphabetical tie-break ('und' when nothing hits).
+    Pure array arithmetic — runs inside the scan stage at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    scores = X.lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"s_{lang}") for lang in _LANGS],
+        X.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+_SIMHASH_FP_SQL = f"""
+    WITH tok AS (SELECT doc_id AS doc,
+                        unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
+                 FROM documents),
+         h AS (SELECT doc, (('0x' || substr(sha256(t), 1, 8))::BIGINT & 2147483647) AS h31
+               FROM tok),
+         s AS (SELECT doc, {", ".join(f"SUM(((h31 >> {i}) & 1) * 2 - 1) AS s_{i}" for i in range(31))}
+               FROM h GROUP BY doc)
+    SELECT doc,
+           CAST({" + ".join(f"(CASE WHEN s_{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)" for i in range(31))} AS BIGINT)
+             AS simhash
+    FROM s
+"""
+
+
+@declare("dedup_simhash_fp", oracle=_SIMHASH_FP_SQL)
+def dedup_simhash_fp(spark, sf_dir):
+    """X2 SimHash tier: 31-bit fingerprints from one codegen'd aggregate
+    pass (sign of per-bit token-hash sums)."""
+    return simhash_fingerprints(table(spark, sf_dir, "documents"))
+
+
+@declare(
+    "dedup_near_simhash",
+    oracle=f"""
+    WITH fp AS ({_SIMHASH_FP_SQL}),
+         bands AS (SELECT doc, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS bv
+                   FROM fp, (VALUES (0), (1), (2), (3)) b(band)),
+         pairs AS (SELECT DISTINCT l.doc AS a, r.doc AS b,
+                          CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+                   FROM bands l JOIN bands r ON l.band = r.band AND l.bv = r.bv AND l.doc < r.doc)
+    SELECT a, b, hamming FROM pairs WHERE hamming <= 3
+    """,
+)
+def dedup_near_simhash(spark, sf_dir):
+    """X2 SimHash pairs: byte-band bucketing (pigeonhole: Hamming ≤ 3
+    over 4 bands guarantees a shared band) + bit_count verification —
+    near-dup pair space without the O(n²) cross join."""
+    return simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=3)

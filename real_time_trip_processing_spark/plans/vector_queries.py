@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions.minhash import minhash_lsh_pairs
-from ..functions.similarity import cosine_topk
+from ..functions.similarity import cosine_topk, embedding_near_dup, ivf_topk
 from ..sources import table
 from .registry import declare
 
@@ -54,4 +54,86 @@ def dedup_near_minhash(spark, sf_dir):
         num_perm=32,
         bands=8,
         threshold=0.2,
+    )
+
+
+@declare(
+    "dedup_near_embedding",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                      list_dot_product(x.vec, y.vec) /
+                      (sqrt(list_dot_product(x.vec, x.vec)) * sqrt(list_dot_product(y.vec, y.vec)))
+                        AS score
+               FROM v x JOIN v y ON x.vec_id < y.vec_id)
+    SELECT a, b, ROUND(score, 8) AS score FROM p WHERE score >= 0.4
+    """,
+)
+def dedup_near_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — exact all-pairs reference
+    flavor (the LSH/IVF bucket paths are verified against this). The
+    synthetic embeddings have no true duplicates (max pairwise cosine
+    ~0.51), so the threshold is set where pairs exist."""
+    return embedding_near_dup(table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_IVF_COS = lambda x, y: (  # noqa: E731
+    f"list_dot_product({x}, {y}) / "
+    f"(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})))"
+)
+
+@declare(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id < 16),
+         c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
+         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+         asg AS (SELECT cand_id, c_vec, cent_id,
+                        row_number() OVER (PARTITION BY cand_id
+                                           ORDER BY {_IVF_COS("c_vec", "cv")} DESC, cent_id) AS rn
+                 FROM c CROSS JOIN cent),
+         probes AS (SELECT query_id, q_vec, cent_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY {_IVF_COS("q_vec", "cv")} DESC, cent_id) AS rn
+                    FROM q CROSS JOIN cent),
+         s AS (SELECT p.query_id, a.cand_id, {_IVF_COS("p.q_vec", "a.c_vec")} AS score
+               FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+               WHERE a.rn = 1 AND p.rn <= 4 AND a.cand_id <> p.query_id),
+         r AS (SELECT query_id, cand_id, score,
+                      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+               FROM s)
+    SELECT query_id, cand_id, ROUND(score, 8) AS score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """X3 scale path: IVF-style ANN — coarse-quantize the corpus into
+    centroid buckets, probe only the nprobe nearest buckets per query.
+    Scan cost per query drops O(N) → O(N·nprobe/n_centroids)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 5),
+                    k=3, n_centroids=16, nprobe=4)
+
+
+@declare(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id, 'application/x-fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """X6: binary media columns + Arrow-batched pandas-UDF feature
+    extraction (functions/multimodal.py). The histogram features are
+    Python-side (not SQL-expressible) so the oracle checks the
+    SQL-expressible projection (ids, types, byte lengths); the feature
+    values themselves are pinned by unit tests."""
+    from ..functions.multimodal import extract_features, synth_media
+
+    docs = table(spark, sf_dir, "documents")
+    return extract_features(synth_media(docs)).select(
+        "doc_id", "media_type", "byte_len"
     )

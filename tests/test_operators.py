@@ -135,3 +135,29 @@ def test_global_minmax_and_value_counts(spark):
     assert str(mm["start_ts"]) == "2025-04-20 08:30:00"
     vc = A.value_counts(P.derive_date(df, "pickup_datetime"), "pickup_date").collect()
     assert [r["count"] for r in vc] == [2, 2]
+
+
+def test_multimodal_feature_plumbing(spark):
+    """X6: binary column + mapInPandas plumbing — deterministic fake
+    codec; asserts the Arrow round-trip, schema, and feature math."""
+    from real_time_trip_processing_spark.functions.multimodal import (
+        N_FEATURE_BINS,
+        decode_media,
+        extract_features,
+        synth_media,
+    )
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in extract_features(synth_media(docs)).collect()}
+    assert out[1]["byte_len"] == 3
+    assert out[1]["byte_mean"] == (97 + 98 + 99) / 3  # 'abc'
+    assert len(out[1]["features"]) == N_FEATURE_BINS
+    assert abs(sum(out[1]["features"]) - 1.0) < 1e-12  # histogram normalized
+    assert out[2]["byte_len"] == 0 and out[2]["byte_mean"] == 0.0
+    # the real-codec path is a loud stub, not a silent fake
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8", "image/jpeg")
