@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import shingles
+from .text import shingle_rows
 
 
 #: deterministic 31-bit multipliers/offsets (splitmix64-derived); with
@@ -59,13 +59,12 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
-    sh_rows = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("s"),
-    ).select(
-        "doc",
-        F.xxhash64("s").alias("h"),
-    ).withColumn("h31", F.shiftright("h", 33))
+    sh_rows = (
+        shingle_rows(docs, n, id_col, text_col)
+        .dropDuplicates(["doc", "sh"])
+        .select("doc", F.xxhash64("sh").alias("h"))
+        .withColumn("h31", F.shiftright("h", 33))
+    )
 
     # one shuffle on doc: 32 min-aggregates (signature) + the hashed
     # shingle set for exact verification of candidates

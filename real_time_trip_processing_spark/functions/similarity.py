@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import shingles
+from .text import shingle_rows
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -182,10 +182,7 @@ def jaccard_pairs(
     more than that many docs (stop-shingles) — the standard cap that
     keeps the join's bucket sizes bounded at corpus scale.
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
-    )
+    sh = shingle_rows(docs, n, id_col, text_col).dropDuplicates(["doc", "sh"])
     if max_df is not None:
         rare = (
             sh.groupBy("sh")
