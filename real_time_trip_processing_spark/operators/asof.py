@@ -1,0 +1,53 @@
+"""As-of (point-in-time) join — an operator Spark lacks natively
+(SURVEY §2.4 "not present in the reference"; mandated by the extension
+surface).
+
+Implemented as union + last-ignoring-nulls window rather than
+per-group ``pd.merge_asof``: the union is shuffle-free, the single
+window pass shuffles each key group once, and nothing crosses the
+Python boundary. This is the shape that scales — a pandas-per-group
+as-of would Arrow-transfer the whole fact table.
+
+Semantics: for every left row, attach the payload of the latest right
+row with the same key and ``right.ts <= left.ts`` (backward as-of,
+inclusive — identical to DuckDB's ``ASOF JOIN ... ON a.ts >= b.ts``,
+which oracles it). Rows with no prior right row keep null payloads
+(left join).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join.
+
+    ``right`` must contain ``key``, ``ts`` and the ``payload_cols`` (its
+    event-time may be duplicated into a payload column to surface the
+    matched timestamp); payload column names must not collide with
+    ``left``'s. Ties on ``ts`` match (inclusive); among right rows with
+    identical (key, ts) the union order is broken deterministically by
+    the payload tuple.
+    """
+    lt = left.withColumn("__tag", F.lit(1))
+    rt = right.select(key, ts, *payload_cols).withColumn("__tag", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows (tag 0) sort before left rows at equal ts → inclusive
+    # match; payload cols break exact right-side ties deterministically
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "__tag", *payload_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in payload_cols:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("__tag") == 1).drop("__tag")

@@ -336,3 +336,72 @@ def limit_topk_q(spark, sf_dir):
         [F.desc("value"), F.col("event_id")],
         5,
     )
+
+
+@declare(
+    "sort_by_time",
+    oracle="SELECT event_id, user_id, ts FROM events ORDER BY ts, event_id LIMIT 100",
+)
+def sort_by_time_q(spark, sf_dir):
+    """O1/O3: ascending event-time sort (reference
+    scripts/to_kinesis.py:21,34); bounded so ordering is observable
+    through the deterministic limit (TakeOrderedAndProject)."""
+    from ..operators.sorts import limit_topk
+
+    return limit_topk(
+        _events(spark, sf_dir).select("event_id", "user_id", "ts"),
+        [F.col("ts"), F.col("event_id")],
+        100,
+    )
+
+
+@declare(
+    "asof_join",
+    oracle=f"""
+    WITH a AS (SELECT event_id, user_id, ts FROM events WHERE event_type = '{START}'),
+         b AS (SELECT user_id, ts, ts AS view_ts, value AS view_value
+               FROM events WHERE event_type = 'view')
+    SELECT a.event_id, a.user_id, a.ts, b.view_ts, b.view_value
+    FROM a ASOF LEFT JOIN b ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def asof_join_q(spark, sf_dir):
+    """As-of join (extension): each click event annotated with the
+    latest at-or-before 'view' event of the same user — union +
+    last-ignoring-nulls window, one shuffle, no Python
+    (operators/asof.py)."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == START).select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("ts").alias("view_ts"), F.col("value").alias("view_value")
+    )
+    return asof_join(clicks, views, key="user_id", ts="ts",
+                     payload_cols=["view_ts", "view_value"])
+
+
+@declare(
+    "fare_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 8) AS p25,
+           ROUND(quantile_cont(value, 0.50), 8) AS p50,
+           ROUND(quantile_cont(value, 0.90), 8) AS p90
+    FROM events GROUP BY event_type
+    """,
+)
+def fare_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event_type (both engines use
+    the standard linear-interpolation definition). At extreme
+    cardinality swap for percentile_approx (t-digest, mergeable
+    partial aggregation) — declared exact so the oracle can check it."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 8).alias("p25"),
+            F.round(F.expr("percentile(value, 0.50)"), 8).alias("p50"),
+            F.round(F.expr("percentile(value, 0.90)"), 8).alias("p90"),
+        )
+    )

@@ -1,0 +1,56 @@
+"""Stream sinks (SURVEY §2.1 S5/S6/S8).
+
+S5/S6 (durable upsert/put with retries) are subsumed by Spark's
+exactly-once sink protocol: ``writeStream.format("parquet"/"delta")
+.option("checkpointLocation", …)`` — batching, retry and idempotence
+are the commit protocol's job, not application code (used directly in
+tests/test_streaming.py and pipeline.py).
+
+S8 is the keyed message producer: the reference emits one JSON record
+per row to Kinesis partitioned by trip_id at a fixed rate
+(scripts/to_kinesis.py:38-100). Kafka-shaped equivalent below; the
+Kafka jars aren't in this image, so ``write_kafka`` gates on the
+format's availability while ``to_keyed_messages`` (all the actual
+logic) is fully testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def to_keyed_messages(df: DataFrame, key_col: str) -> DataFrame:
+    """S8 projection: (key, value) message frame — key = partition key
+    (trip_id ≡ the Kinesis PartitionKey, scripts/to_kinesis.py:66),
+    value = the full row as JSON."""
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+    )
+
+
+def write_kafka(
+    df: DataFrame,
+    key_col: str,
+    topic: str,
+    bootstrap_servers: str,
+    checkpoint: str,
+    max_offsets_per_trigger: int | None = None,
+):
+    """Start the keyed stream sink. Rate limiting ≡ the producer's
+    0.1 s/record sleep is expressed on the *source* side
+    (maxOffsetsPerTrigger) — sinks drain whatever the trigger admits."""
+    writer = (
+        to_keyed_messages(df, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    try:
+        return writer.start()
+    except Exception as e:  # pragma: no cover - kafka jars absent here
+        raise NotImplementedError(
+            "kafka sink requires the spark-sql-kafka package on the "
+            "classpath (not available in this environment)"
+        ) from e

@@ -161,3 +161,21 @@ def test_multimodal_feature_plumbing(spark):
     # the real-codec path is a loud stub, not a silent fake
     with _pytest.raises(NotImplementedError):
         decode_media(b"\xff\xd8", "image/jpeg")
+
+
+def test_asof_join_edges(spark):
+    """Backward as-of: inclusive ties, no-prior → null, latest wins."""
+    from real_time_trip_processing_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, 100), (2, 1, 205), (3, 2, 50)], "event_id long, u long, t long"
+    ).withColumn("t", F.timestamp_micros(F.col("t") * 1_000_000))
+    right = spark.createDataFrame(
+        [(1, 100, 1.0), (1, 200, 2.0), (2, 60, 9.0)], "u long, t long, v double"
+    ).withColumn("t", F.timestamp_micros(F.col("t") * 1_000_000))
+    right = right.select("u", "t", F.col("t").alias("rt"), F.col("v").alias("rv"))
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, key="u", ts="t", payload_cols=["rt", "rv"]).collect()}
+    assert out[1]["rv"] == 1.0       # tie at t=100 matches (inclusive)
+    assert out[2]["rv"] == 2.0       # latest at-or-before 205 is t=200
+    assert out[3]["rv"] is None      # u=2 has no right row <= 50

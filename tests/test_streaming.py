@@ -125,3 +125,47 @@ def test_streaming_kpi_matches_batch(spark, replay_dir, tmp_path):
     assert math.isclose(got["average_fare"], want["average_fare"], rel_tol=1e-9)
     assert got["maximum_fare"] == want["maximum_fare"]
     assert got["minimum_fare"] == want["minimum_fare"]
+
+
+def test_stateful_matcher(spark, replay_dir):
+    """The applyInPandasWithState matcher reproduces the join matcher's
+    result: one completed record per trip, first-match-wins, explicit
+    status machine (reference scripts/lambda2.py:112-142)."""
+    from real_time_trip_processing_spark.streaming.stateful_matcher import (
+        stateful_match,
+    )
+
+    events = stream_trip_events(spark, replay_dir, max_files_per_trigger=2)
+    completed = stateful_match(events, watermark="24 hours")
+    out = _run_stream(spark, completed, "stateful_completed")
+    assert out.count() == 4999
+    r = out.limit(1).collect()[0].asDict()
+    assert r["data_type"] == "completed_trip" and r["status"] == "completed"
+    # fare totals agree with the batch pipeline
+    total = out.agg(F.sum("fare_amount")).collect()[0][0]
+    s, e = load_reference_trip_csvs(spark, DATA)
+    want = pipeline.daily_kpis(pipeline.match(s, e)).collect()[0]["total_fare"]
+    assert abs(total - want) < 1e-6
+
+
+def test_keyed_sink_roundtrip(spark):
+    """S8: keyed JSON message projection round-trips through the
+    TRIP_EVENT envelope parser (base64 leg = the Kinesis shape,
+    reference scripts/lambda1.py:26-32)."""
+    from real_time_trip_processing_spark.streaming.sinks import to_keyed_messages
+    from real_time_trip_processing_spark.streaming.sources import parse_kafka_like
+    from real_time_trip_processing_spark import schemas
+
+    starts, _ = load_reference_trip_csvs(spark, DATA)
+    sample = union_all(starts.limit(50)).select(
+        *[f.name for f in schemas.TRIP_EVENT if f.name in starts.columns]
+    )
+    msgs = to_keyed_messages(sample, "trip_id")
+    assert msgs.columns == ["key", "value"]
+    # kinesis-shaped wire: base64(json) — decode leg
+    wire = msgs.select(F.base64(F.col("value").cast("binary")).alias("value"))
+    parsed = parse_kafka_like(wire)
+    assert parsed.count() == 50
+    a = {r["trip_id"]: r["estimated_fare_amount"] for r in sample.collect()}
+    b = {r["trip_id"]: r["estimated_fare_amount"] for r in parsed.collect()}
+    assert a == b
