@@ -1,0 +1,178 @@
+"""Analytic extension queries: window-function suite, set operations,
+interval (range) join, cube, typed JSON extraction.
+
+None of these exist in the reference (SURVEY §2.6 "no window
+functions", §2.8 "no intersect/except", §2.4 "no theta/range joins") —
+they are part of the complete-engine surface a reference user would
+expect, declared with DuckDB oracles like everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..sources import table
+from .registry import declare
+
+
+@declare(
+    "window_showcase",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           ROW_NUMBER() OVER w AS seq,
+           LAG(value) OVER w AS prev_value,
+           ROUND(value - COALESCE(LAG(value) OVER w, 0.0), 8) AS delta,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 8)
+             AS moving_avg3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_showcase(spark, sf_dir):
+    """Per-user event-sequence analytics: row_number, lag delta and a
+    3-row moving average in ONE window spec — a single hash exchange on
+    user_id followed by one sort serves all four expressions (check
+    with .explain: one Window node, one Exchange)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("seq"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 8
+        ).alias("delta"),
+        F.round(F.avg("value").over(wf), 8).alias("moving_avg3"),
+    )
+
+
+@declare(
+    "intersect_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+)
+def intersect_users(spark, sf_dir):
+    """Set intersection (SURVEY §2.8 extension): users who both clicked
+    and purchased. Spark plans INTERSECT as a distinct-ing left-semi
+    join — one shuffle per side on the full row as key."""
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+@declare(
+    "except_users",
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS pickup_date
+    FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, date_trunc('day', ts) AS pickup_date
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def except_users(spark, sf_dir):
+    """Set difference at (user, day) grain: user-days with a click but
+    no purchase (per-user alone is empty at test SFs — every user has
+    every event type). ``subtract`` is SQL EXCEPT (distinct) — a
+    left-anti join after deduplication, unlike exceptAll's multiset
+    arithmetic."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("pickup_date"),
+        "event_type",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    buys = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    return clicks.subtract(buys)
+
+
+@declare(
+    "range_join_1h",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           COUNT(v.event_id) AS views_1h,
+           ROUND(COALESCE(SUM(v.value), 0.0), 8) AS view_value_1h
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def range_join_1h(spark, sf_dir):
+    """Interval (range) join: views by the same user in the hour before
+    each purchase. The equi-key (user_id) keeps this a hash join with
+    the range as a residual predicate — NOT a broadcast-nested-loop;
+    at 100 TB the alternative (pure theta join) would be quadratic."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+    )
+    joined = p.join(
+        v,
+        (v.v_user == p.user_id)
+        & (v.v_ts >= p.p_ts - F.expr("INTERVAL 1 HOUR"))
+        & (v.v_ts < p.p_ts),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "p_ts").agg(
+        F.count("v_id").alias("views_1h"),
+        F.round(F.coalesce(F.sum("v_value"), F.lit(0.0)), 8).alias("view_value_1h"),
+    ).withColumnRenamed("p_ts", "ts")
+
+
+@declare(
+    "kpi_cube",
+    oracle="""
+    WITH e AS (SELECT event_type, date_trunc('day', ts) AS pickup_date, value
+               FROM events)
+    SELECT event_type, pickup_date,
+           SUM(value) AS total_fare, COUNT(*) AS cnt
+    FROM e GROUP BY CUBE (event_type, pickup_date)
+    """,
+)
+def kpi_cube(spark, sf_dir):
+    """CUBE over (event_type, day): all four grouping combinations in
+    one pass (Expand + single shuffle) — the hierarchical-aggregate
+    companion to kpi_rollup."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("pickup_date"), "value"
+    )
+    return ev.cube("event_type", "pickup_date").agg(
+        F.sum("value").alias("total_fare"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@declare(
+    "props_typed_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS cnt, AVG(value) AS avg_value
+    FROM events WHERE props IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def props_typed_extract(spark, sf_dir):
+    """X5 as a standalone op: schema-typed from_json over the props
+    column (not per-field get_json_object — one parse, all fields),
+    then aggregate by the extracted key."""
+    ev = table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.groupBy(F.col("p.k").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.avg("value").alias("avg_value")
+    )
