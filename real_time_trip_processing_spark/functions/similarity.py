@@ -166,6 +166,96 @@ def ivf_topk(
     )
 
 
+def _srp_planes(num_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1) — splitmix64
+    bit-mix per (bit, coord), no RNG state, reproducible everywhere."""
+    planes = []
+    for i in range(num_bits):
+        row = []
+        for j in range(dim):
+            x = ((i * dim + j + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
+            x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+            x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+            x ^= x >> 31
+            row.append((x / float(1 << 64)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_near_dup(
+    emb: DataFrame,
+    num_bits: int = 16,
+    bands: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed: sign-random-projection
+    (SimHash-for-vectors) banding prunes the pair space, exact cosine
+    verifies candidates — output is a no-false-positive subset of
+    ``embedding_near_dup``; recall is tuned by bands/bits (collision
+    prob per bit = 1 - θ/π).
+
+    Scale shape: the projection is posexplode + broadcast join with the
+    (num_bits × dim) plane table + one hash aggregation — never a cross
+    join; candidate generation is a per-bucket self-join like MinHash
+    banding (functions/minhash.py).
+    """
+    assert num_bits % bands == 0
+    rows_per_band = num_bits // bands
+    spark = emb.sparkSession
+    dim = len(emb.select(vec_col).first()[0])
+
+    planes = spark.createDataFrame(
+        [
+            (i, j, w)
+            for i, row in enumerate(_srp_planes(num_bits, dim))
+            for j, w in enumerate(row)
+        ],
+        "bit INT, j INT, w DOUBLE",
+    )
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("j", "x"),
+    )
+    # one shuffle: num_bits partial sums per vector
+    signs = (
+        v.join(F.broadcast(planes), "j")
+        .groupBy("vid", "bit")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("p"))
+        .select("vid", "bit", (F.col("p") >= 0).cast("int").alias("s"))
+    )
+    sig = signs.groupBy("vid").pivot("bit", list(range(num_bits))).agg(F.first("s"))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(str(b * rows_per_band + r)) for r in range(rows_per_band)]
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    bucketed = sig.select("vid", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "vid", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    candidates = (
+        bucketed.alias("l")
+        .join(bucketed.alias("r"), ["band", "bh"])
+        .select(F.col("l.vid").alias("a"), F.col("r.vid").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        candidates.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("score"))
+        .filter(F.col("score") >= threshold)
+        .select("a", "b", F.round("score", 8).alias("score"))
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

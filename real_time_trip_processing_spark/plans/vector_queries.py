@@ -77,6 +77,19 @@ def dedup_near_embedding(spark, sf_dir):
     return embedding_near_dup(table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@declare("dedup_near_embedding_lsh", oracle=None)  # rows-only: SRP bucketing not SQL-oracle-able
+def dedup_near_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup scale path: sign-random-projection banding +
+    exact-cosine verification — a no-false-positive subset of
+    dedup_near_embedding (subset/recall pinned by unit test
+    tests/test_operators.py::test_srp_near_dup_subset)."""
+    from ..functions.similarity import srp_near_dup
+
+    return srp_near_dup(
+        table(spark, sf_dir, "embeddings"), num_bits=16, bands=8, threshold=0.4
+    )
+
+
 _IVF_COS = lambda x, y: (  # noqa: E731
     f"list_dot_product({x}, {y}) / "
     f"(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})))"

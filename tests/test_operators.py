@@ -163,6 +163,34 @@ def test_multimodal_feature_plumbing(spark):
         decode_media(b"\xff\xd8", "image/jpeg")
 
 
+def test_srp_near_dup_subset(spark):
+    """SRP-LSH near-dup is exact-verified: every emitted pair (and its
+    score) must appear in the exact all-pairs answer, and the buckets
+    must recall at least the strongest pairs."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        embedding_near_dup,
+        srp_near_dup,
+    )
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["a"], r["b"]): r["score"]
+        for r in embedding_near_dup(emb, threshold=0.4).collect()
+    }
+    got = {
+        (r["a"], r["b"]): r["score"]
+        for r in srp_near_dup(emb, num_bits=16, bands=8, threshold=0.4).collect()
+    }
+    assert set(got) <= set(exact)          # no false positives
+    for k, v in got.items():
+        assert v == exact[k]               # scores are the exact scores
+    if exact:
+        # the highest-cosine pair collides in some band with high prob
+        best = max(exact, key=exact.get)
+        assert best in got, f"strongest pair {best} missed by LSH"
+
+
 def test_asof_join_edges(spark):
     """Backward as-of: inclusive ties, no-prior → null, latest wins."""
     from real_time_trip_processing_spark.operators.asof import asof_join

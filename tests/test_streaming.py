@@ -148,6 +148,64 @@ def test_stateful_matcher(spark, replay_dir):
     assert abs(total - want) < 1e-6
 
 
+def test_late_event_dropped_after_watermark(spark, tmp_path):
+    """§2.10 deviation made observable: once the watermark passes a
+    trip's eviction horizon AND a subsequent batch has evicted its
+    state, a late-arriving partner finds nothing to match — the trip
+    never completes, while an in-time pair still matches. (The
+    reference would wait forever; we bound state. Note the watermark is
+    a *lower bound*: eviction happens at the end of the batch that runs
+    with the advanced watermark, hence the advancer batch in between —
+    a late row arriving in that same batch may still match.)"""
+    import json
+    import os
+
+    d = tmp_path / "late"
+    d.mkdir()
+
+    def ev(trip, dt, **kw):
+        return json.dumps(
+            {"trip_id": trip, "data_type": dt, "record_id": f"{trip}-{dt}", **kw}
+        )
+
+    f0 = d / "batch0.json"
+    f0.write_text(
+        "\n".join(
+            [
+                ev("A", "trip_start", pickup_datetime="2024-05-25T10:00:00"),
+                ev("B", "trip_start", pickup_datetime="2024-05-25T10:00:00"),
+                ev("B", "trip_end", dropoff_datetime="2024-05-25T10:30:00",
+                   fare_amount=12.5),
+                # watermark advancers on both sides: 20:00 - 1h delay
+                # puts the global watermark far past A's horizon
+                ev("Y", "trip_start", pickup_datetime="2024-05-25T20:00:00"),
+                ev("Z", "trip_end", dropoff_datetime="2024-05-25T20:00:00",
+                   fare_amount=1.0),
+            ]
+        )
+    )
+    # batch 1 runs with the advanced watermark → A's start state is
+    # evicted at its end; the late partner in batch 2 matches nothing
+    f1 = d / "batch1.json"
+    f1.write_text(
+        ev("Y2", "trip_start", pickup_datetime="2024-05-25T21:00:00")
+    )
+    f2 = d / "batch2.json"
+    f2.write_text(
+        ev("A", "trip_end", dropoff_datetime="2024-05-25T10:20:00", fare_amount=99.0)
+    )
+    # distinct mtimes pin micro-batch order (file source drains oldest-first)
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+    os.utime(f2, (1_000_000_200, 1_000_000_200))
+
+    events = stream_trip_events(spark, str(d), max_files_per_trigger=1)
+    starts, ends = split_start_end(events)
+    matched = stream_match_start_end(starts, ends, watermark="1 hour")
+    out = _run_stream(spark, matched, "late_drop")
+    assert {r["trip_id"] for r in out.select("trip_id").collect()} == {"B"}
+
+
 def test_keyed_sink_roundtrip(spark):
     """S8: keyed JSON message projection round-trips through the
     TRIP_EVENT envelope parser (base64 leg = the Kinesis shape,
