@@ -34,6 +34,10 @@ HEADLINE = [
     "dedup_near_minhash",
     "sim_topk",
     "text_stats",
+    "window_showcase",
+    "asof_join",
+    "range_join_1h",
+    "corpus_prep",
 ]
 
 

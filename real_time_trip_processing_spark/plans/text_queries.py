@@ -198,6 +198,76 @@ def lang_id_q(spark, sf_dir):
     )
 
 
+@declare(
+    "dataset_split",
+    oracle=rf"""
+    WITH b AS (SELECT doc_id, text,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 100 AS bucket
+               FROM documents)
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS docs,
+           CAST(SUM(len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}'))) AS BIGINT)
+             AS tokens
+    FROM b GROUP BY 1
+    """,
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by md5 bucket of the
+    document id — the standard leakage-safe split for training
+    pipelines: stable under reprocessing, no RNG state, computable
+    map-side on any engine (the oracle reproduces it bit-for-bit)."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select(split.alias("split"), "text").groupBy("split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(X.token_count(F.col("text"))).alias("tokens"),
+    )
+
+
+@declare(
+    "corpus_prep",
+    oracle=rf"""
+    WITH q AS (SELECT doc_id, lang, text,
+                      regexp_split_to_array(trim(text), '\s+') AS toks
+               FROM documents),
+         f AS (SELECT doc_id, lang, text FROM q
+               WHERE len(toks) >= 20
+                 AND len(list_distinct(toks)) / len(toks) >= 0.45),
+         d AS (SELECT doc_id, lang, text,
+                      row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                                         ORDER BY doc_id) AS rn
+               FROM f)
+    SELECT lang, COUNT(*) AS docs,
+           CAST(SUM(len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}'))) AS BIGINT)
+             AS tokens
+    FROM d WHERE rn = 1 GROUP BY lang
+    """,
+)
+def corpus_prep(spark, sf_dir):
+    """The composed training-data prep pipeline in one plan: quality
+    filter (length + type-token ratio) → exact content dedup → per-
+    language doc/token budget. The filter runs map-side before the
+    dedup's hash shuffle, so junk never shuffles — the order that
+    matters at 100 TB."""
+    docs = X.quality_score(table(spark, sf_dir, "documents"))
+    kept = docs.filter((F.col("n_words") >= 20) & (F.col("ttr") >= 0.45)).select(
+        "doc_id", "lang", "text"
+    )
+    return dedup_exact_text(kept).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(X.token_count(F.col("text"))).alias("tokens"),
+    )
+
+
 _SIMHASH_FP_SQL = f"""
     WITH tok AS (SELECT doc_id AS doc,
                         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS t
