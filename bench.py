@@ -61,6 +61,24 @@ def main() -> None:
     for name in HEADLINE:
         timings[name] = round(run_one(spark, name, sf_dir), 4)
 
+    # apples-to-apples vs the reference: its own 4,999-trip dataset end
+    # to end (load CSVs → clean/match → daily KPIs). The reference takes
+    # ≈1,000 s to replay + three AWS stages (BASELINE.md); this is the
+    # same result as one Spark job.
+    ref_data = "/root/reference/data"
+    if os.path.isdir(ref_data):
+        from real_time_trip_processing_spark import pipeline
+        from real_time_trip_processing_spark.sources.csv_dir import (
+            load_reference_trip_csvs,
+        )
+
+        t0 = time.perf_counter()
+        starts, ends = load_reference_trip_csvs(spark, ref_data)
+        pipeline.daily_kpis(pipeline.match(starts, ends)).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        timings["reference_pipeline_e2e"] = round(time.perf_counter() - t0, 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

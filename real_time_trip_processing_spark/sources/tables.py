@@ -36,3 +36,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every testdata table as a temp view so any declared
+    query is also runnable as ``spark.sql(...)`` (SURVEY §7: everything
+    DataFrame-native AND SQL-addressable — same Catalyst plans either
+    way). Returns the registered names."""
+    from ..schemas import TESTDATA_TABLES
+    import os
+
+    registered = []
+    for name in TESTDATA_TABLES:
+        if os.path.exists(f"{sf_dir}/{name}.parquet"):
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+            registered.append(name)
+    return registered

@@ -163,6 +163,31 @@ def test_multimodal_feature_plumbing(spark):
         decode_media(b"\xff\xd8", "image/jpeg")
 
 
+def test_sql_views_parity(spark):
+    """SURVEY §7: registered views make every table SQL-addressable —
+    the flagship KPI expressed as spark.sql matches the DataFrame plan
+    row-for-row."""
+    from real_time_trip_processing_spark.plans import REGISTRY
+    from real_time_trip_processing_spark.sources.tables import register_views
+
+    sf = "/root/testdata/sf0.001"
+    names = register_views(spark, sf)
+    assert {"events", "documents", "lineitem"} <= set(names)
+    via_sql = spark.sql(
+        """
+        SELECT date_trunc('day', ts) AS pickup_date,
+               SUM(value) AS total_fare, COUNT(event_id) AS trip_count,
+               AVG(value) AS average_fare, MAX(value) AS maximum_fare,
+               MIN(value) AS minimum_fare
+        FROM events GROUP BY 1
+        """
+    )
+    via_df = REGISTRY["kpi_daily"].builder(spark, sf)
+    assert sorted(map(tuple, via_sql.collect())) == sorted(
+        map(tuple, via_df.collect())
+    )
+
+
 def test_srp_near_dup_subset(spark):
     """SRP-LSH near-dup is exact-verified: every emitted pair (and its
     score) must appear in the exact all-pairs answer, and the buckets
