@@ -1,0 +1,93 @@
+"""Physical-plan regression tests — the SCALE.md claims, asserted.
+
+Correctness tests prove the small-SF answer; these prove the *shape*
+that survives 100 TB: broadcasts where a dimension is small, filters
+pushed into the parquet scan, one exchange where one suffices, top-k
+compiled to TakeOrderedAndProject instead of a global sort.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from real_time_trip_processing_spark.plans import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].builder(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    """region_revenue: every dim join is broadcast — the fact table
+    never shuffles for the join."""
+    plan = plan_of(spark, "region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_filters_reach_the_scan(spark):
+    """range_join_1h: the event_type predicates are pushed into the
+    parquet scan on both sides."""
+    plan = plan_of(spark, "range_join_1h")
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "EqualTo(event_type,view)" in plan
+
+
+def test_scan_prunes_columns(spark):
+    """kpi_daily reads only ts+value+event_id from a 6-column table."""
+    plan = plan_of(spark, "kpi_daily")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"ts", "value", "event_id"}
+
+
+def test_window_suite_single_exchange(spark):
+    """window_showcase: four analytic expressions share one Window node
+    over one Exchange + one Sort."""
+    plan = plan_of(spark, "window_showcase")
+    # exactly one shuffle exchange and one Window operator
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) == 1
+
+
+def test_topk_avoids_global_sort(spark):
+    """limit_topk: ORDER BY .. LIMIT k is TakeOrderedAndProject —
+    per-partition heaps, no range-partition exchange."""
+    plan = plan_of(spark, "limit_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_matcher_one_exchange_per_side(spark):
+    """match_start_end: per-side first-match dedup rides the same hash
+    exchange as the join — two exchanges total (one per side)."""
+    plan = plan_of(spark, "match_start_end")
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) <= 2
+
+
+def test_kpi_partial_aggregation(spark):
+    """kpi_daily: partial (map-side) + final HashAggregate around one
+    exchange — input rows collapse before they shuffle."""
+    plan = plan_of(spark, "kpi_daily")
+    assert len(re.findall(r"\n\(\d+\) HashAggregate", plan)) == 2
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
+
+
+def test_no_python_udfs_in_relational_plans(spark):
+    """The reference-parity surface is 100% JVM expressions — no
+    BatchEvalPython / ArrowEvalPython stages anywhere."""
+    for name in (
+        "kpi_daily", "match_start_end", "pricing_summary", "region_revenue",
+        "cleaning_pipeline", "dedup_exact_text", "window_showcase",
+        "asof_join", "sessionize", "dataset_split", "corpus_prep",
+    ):
+        plan = plan_of(spark, name)
+        assert "EvalPython" not in plan, f"{name} crosses the Python boundary"
