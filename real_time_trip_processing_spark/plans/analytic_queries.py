@@ -159,6 +159,35 @@ def kpi_cube(spark, sf_dir):
 
 
 @declare(
+    "skew_salted_kpi",
+    oracle="""
+    SELECT event_type, SUM(value) AS total, COUNT(value) AS cnt,
+           MIN(value) AS vmin, MAX(value) AS vmax, AVG(value) AS vavg
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_kpi(spark, sf_dir):
+    """Skew-resilient aggregation (operators/skew.py): identical result
+    to the plain groupBy — the oracle IS the plain GROUP BY — but a hot
+    key is reduced by `buckets` tasks instead of one. The shape that
+    keeps a 100 TB aggregation from serializing on its hottest group."""
+    from ..operators.skew import salted_agg
+
+    return salted_agg(
+        table(spark, sf_dir, "events"),
+        ["event_type"],
+        [
+            ("value", "sum", "total"),
+            ("value", "count", "cnt"),
+            ("value", "min", "vmin"),
+            ("value", "max", "vmax"),
+            ("value", "avg", "vavg"),
+        ],
+        buckets=16,
+    )
+
+
+@declare(
     "props_typed_extract",
     oracle="""
     SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

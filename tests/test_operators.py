@@ -163,6 +163,44 @@ def test_multimodal_feature_plumbing(spark):
         decode_media(b"\xff\xd8", "image/jpeg")
 
 
+def test_salted_agg_matches_plain(spark):
+    """Salted two-level aggregation is semantically identical to the
+    plain groupBy on a deliberately skewed frame (99% of rows on one
+    key)."""
+    import math
+
+    from real_time_trip_processing_spark.operators.skew import salted_agg
+
+    df = spark.range(0, 20_000, 1, 16).select(
+        F.when(F.col("id") % 100 < 99, "hot").otherwise("cold").alias("k"),
+        (F.col("id") % 997).cast("double").alias("v"),
+    )
+    got = {
+        r["k"]: r
+        for r in salted_agg(
+            df, ["k"],
+            [("v", "sum", "s"), ("v", "count", "c"),
+             ("v", "min", "lo"), ("v", "max", "hi"), ("v", "avg", "m")],
+            buckets=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("v").alias("c"),
+             F.min("v").alias("lo"), F.max("v").alias("hi"),
+             F.avg("v").alias("m"))
+        .collect()
+    }
+    assert set(got) == {"hot", "cold"} == set(want)
+    for k in want:
+        assert got[k]["c"] == want[k]["c"]
+        assert got[k]["lo"] == want[k]["lo"]
+        assert got[k]["hi"] == want[k]["hi"]
+        assert math.isclose(got[k]["s"], want[k]["s"], rel_tol=1e-12)
+        assert math.isclose(got[k]["m"], want[k]["m"], rel_tol=1e-12)
+
+
 def test_sql_views_parity(spark):
     """SURVEY §7: registered views make every table SQL-addressable —
     the flagship KPI expressed as spark.sql matches the DataFrame plan
