@@ -11,8 +11,13 @@ from pyspark.sql import Column, functions as F
 
 def decode_stream_payload(raw: Column, schema) -> Column:
     """F1+F2: base64 → utf8 → parsed struct
-    (reference scripts/lambda1.py:31-32)."""
-    return F.from_json(F.unbase64(raw).cast("string"), schema)
+    (reference scripts/lambda1.py:31-32). ``try_to_binary`` (not the
+    strict ``unbase64``, which throws under ANSI) nulls out invalid
+    base64 so corrupt payloads skip instead of failing the batch —
+    the reference's per-record try/except."""
+    return F.from_json(
+        F.try_to_binary(raw, F.lit("base64")).cast("string"), schema
+    )
 
 
 def json_field(col: Column, path: str) -> Column:

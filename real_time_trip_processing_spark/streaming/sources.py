@@ -35,12 +35,24 @@ def stream_trip_events(
 
 def parse_kafka_like(raw: DataFrame) -> DataFrame:
     """Decode a Kafka/Kinesis-shaped stream: binary ``value`` column of
-    base64 JSON → typed event columns (reference scripts/lambda1.py:26-32)."""
-    return raw.select(
-        decode_stream_payload(F.col("value").cast("string"), schemas.TRIP_EVENT).alias(
-            "e"
+    base64 JSON → typed event columns (reference scripts/lambda1.py:26-32).
+    Invalid base64 nulls the struct; invalid JSON yields an all-null
+    struct (PERMISSIVE) — both are skipped by the required-field filter,
+    which is exactly the reference's corrupt-record + missing-field
+    handling rolled together (scripts/lambda1.py:45-47, 96-101)."""
+    return (
+        raw.select(
+            decode_stream_payload(
+                F.col("value").cast("string"), schemas.TRIP_EVENT
+            ).alias("e")
         )
-    ).select("e.*")
+        .filter(
+            F.col("e").isNotNull()
+            & F.col("e.trip_id").isNotNull()
+            & F.col("e.data_type").isNotNull()
+        )
+        .select("e.*")
+    )
 
 
 def split_start_end(events: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -148,6 +148,27 @@ def test_stateful_matcher(spark, replay_dir):
     assert abs(total - want) < 1e-6
 
 
+def test_corrupt_records_skipped(spark):
+    """P-series 'skip unparseable' semantics (reference
+    scripts/lambda1.py:96-101): corrupt base64 / invalid JSON payloads
+    are dropped, valid ones in the same batch survive."""
+    import base64
+
+    from real_time_trip_processing_spark.streaming.sources import parse_kafka_like
+
+    good = base64.b64encode(
+        b'{"trip_id": "T1", "data_type": "trip_start", '
+        b'"pickup_datetime": "2024-05-25T10:00:00"}'
+    ).decode()
+    bad_json = base64.b64encode(b"{not json at all").decode()
+    not_b64 = "!!!not-base64!!!"
+    raw = spark.createDataFrame(
+        [(good,), (bad_json,), (not_b64,)], "value string"
+    ).select(F.col("value").cast("binary").alias("value"))
+    out = parse_kafka_like(raw).collect()
+    assert [r["trip_id"] for r in out] == ["T1"]
+
+
 def test_late_event_dropped_after_watermark(spark, tmp_path):
     """§2.10 deviation made observable: once the watermark passes a
     trip's eviction horizon AND a subsequent batch has evicted its
