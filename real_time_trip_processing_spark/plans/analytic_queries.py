@@ -158,6 +158,22 @@ def kpi_cube(spark, sf_dir):
     )
 
 
+@declare("approx_distinct_users", oracle=None)  # rows-only: HLL estimates are engine-specific
+def approx_distinct_users(spark, sf_dir):
+    """Sketch tier of distinct counting: HyperLogLog++ per day — one
+    pass, mergeable partials, no two-phase distinct expansion. At
+    extreme cardinality this replaces distinct_daily_users (the exact
+    flavor, which IS oracle-checked); accuracy vs exact is pinned by
+    tests/test_operators.py::test_approx_distinct_accuracy."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "pickup_date", F.date_trunc("day", F.col("ts"))
+    )
+    return ev.groupBy("pickup_date").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("events"),
+    )
+
+
 @declare(
     "skew_salted_kpi",
     oracle="""

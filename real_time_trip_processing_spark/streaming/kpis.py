@@ -12,6 +12,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def streaming_sessions(
+    events: DataFrame,
+    ts_col: str = "event_time",
+    key: str = "trip_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Event-time session windows per key — the streaming twin of the
+    batch sessionize query (plans/relational_queries.py): a session
+    closes after ``gap`` of inactivity and emits once the watermark
+    passes its end. ``session_window`` keeps state per *open* session
+    only, so state is bounded by active keys, not history."""
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("session"), F.col(key))
+        .agg(*aggs)
+        .select(
+            key,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            *[c for c in ("n_events", "total_value") if value_col or c == "n_events"],
+        )
+    )
+
+
 def streaming_kpi_daily(
     completed: DataFrame,
     ts_col: str = "pickup_datetime",

@@ -163,6 +163,27 @@ def test_multimodal_feature_plumbing(spark):
         decode_media(b"\xff\xd8", "image/jpeg")
 
 
+def test_approx_distinct_accuracy(spark):
+    """HLL++ distinct estimate within the configured rsd of exact on
+    every day bucket."""
+    from real_time_trip_processing_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["pickup_date"]: r["approx_users"]
+        for r in REGISTRY["approx_distinct_users"].builder(spark, sf).collect()
+    }
+    exact = {
+        r["pickup_date"]: r["users"]
+        for r in REGISTRY["distinct_daily_users"].builder(spark, sf).collect()
+    }
+    assert set(approx) == set(exact)
+    for day, est in approx.items():
+        assert abs(est - exact[day]) <= max(3, 0.1 * exact[day]), (
+            day, est, exact[day]
+        )
+
+
 def test_salted_agg_matches_plain(spark):
     """Salted two-level aggregation is semantically identical to the
     plain groupBy on a deliberately skewed frame (99% of rows on one

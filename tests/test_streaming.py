@@ -148,6 +148,54 @@ def test_stateful_matcher(spark, replay_dir):
     assert abs(total - want) < 1e-6
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """session_window: a 30-minute inactivity gap closes the session;
+    sessions emit in append mode once the watermark passes."""
+    import json
+    import os
+
+    from real_time_trip_processing_spark.streaming.kpis import streaming_sessions
+
+    d = tmp_path / "sess"
+    d.mkdir()
+
+    def ev(trip, ts):
+        return json.dumps(
+            {"trip_id": trip, "data_type": "trip_start",
+             "record_id": f"{trip}-{ts}", "pickup_datetime": ts}
+        )
+
+    f0 = d / "b0.json"
+    f0.write_text(
+        "\n".join(
+            [
+                ev("U", "2024-05-25T10:00:00"),
+                ev("U", "2024-05-25T10:10:00"),   # same session (gap < 30m)
+                ev("U", "2024-05-25T11:30:00"),   # new session
+                ev("V", "2024-05-25T10:05:00"),
+            ]
+        )
+    )
+    # watermark advancer so all sessions close and emit
+    f1 = d / "b1.json"
+    f1.write_text(ev("W", "2024-05-27T12:00:00"))
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+
+    events = stream_trip_events(spark, str(d), max_files_per_trigger=1).withColumn(
+        "event_time", F.coalesce("pickup_datetime", "dropoff_datetime")
+    )
+    sessions = streaming_sessions(events, gap="30 minutes", watermark="1 hour")
+    out = _run_stream(spark, sessions, "sessions_out")
+    got = {
+        (r["trip_id"], str(r["session_start"])): r["n_events"]
+        for r in out.collect()
+    }
+    assert got[("U", "2024-05-25 10:00:00")] == 2
+    assert got[("U", "2024-05-25 11:30:00")] == 1
+    assert got[("V", "2024-05-25 10:05:00")] == 1
+
+
 def test_corrupt_records_skipped(spark):
     """P-series 'skip unparseable' semantics (reference
     scripts/lambda1.py:96-101): corrupt base64 / invalid JSON payloads
