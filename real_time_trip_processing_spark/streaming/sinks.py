@@ -29,6 +29,27 @@ def to_keyed_messages(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def write_daily_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "pickup_datetime",
+    mode: str = "append",
+) -> None:
+    """Lake layout for the completed-trips table: Hive-partitioned by
+    (year, month, day) of the event time — the batch twin of the
+    reference's dated S3 prefixes (scripts/glue_scripts.py:16-24).
+    Reading back gets directory-level partition pruning: a one-day KPI
+    query scans 1/365th of a year's lake (SCALE.md "Scans")."""
+    (
+        df.withColumn("year", F.date_format(ts_col, "yyyy"))
+        .withColumn("month", F.date_format(ts_col, "MM"))
+        .withColumn("day", F.date_format(ts_col, "dd"))
+        .write.mode(mode)
+        .partitionBy("year", "month", "day")
+        .parquet(path)
+    )
+
+
 def write_kafka(
     df: DataFrame,
     key_col: str,

@@ -148,6 +148,31 @@ def test_stateful_matcher(spark, replay_dir):
     assert abs(total - want) < 1e-6
 
 
+def test_daily_partitioned_lake_prunes(spark, tmp_path):
+    """The partitioned lake layout delivers partition pruning: a
+    one-day filter reads only that day's directory (PartitionFilters in
+    the scan, not a post-scan filter)."""
+    from real_time_trip_processing_spark.streaming.sinks import (
+        write_daily_partitioned,
+    )
+
+    starts, ends = load_reference_trip_csvs(spark, DATA)
+    completed = pipeline.match(starts, ends)
+    out = str(tmp_path / "lake")
+    write_daily_partitioned(completed, out)
+
+    back = spark.read.parquet(out).filter(
+        (F.col("year") == "2024") & (F.col("month") == "05") & (F.col("day") == "25")
+    )
+    assert back.count() == 4999
+    plan = back._sc._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "isnotnull(year" in plan
+    # a non-existent day prunes to zero files, no data read
+    assert spark.read.parquet(out).filter(F.col("day") == "26").count() == 0
+
+
 def test_streaming_session_window(spark, tmp_path):
     """session_window: a 30-minute inactivity gap closes the session;
     sessions emit in append mode once the watermark passes."""
