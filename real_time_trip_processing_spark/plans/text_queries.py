@@ -148,6 +148,54 @@ def dedup_near_shingle(spark, sf_dir):
 
 
 @declare(
+    "dedup_canonical_docs",
+    oracle="""
+    WITH RECURSIVE
+    sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS sh_list
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t0) t1),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY a.doc, b.doc),
+    pairs AS (
+      SELECT a, b FROM inter
+      JOIN sizes sa ON sa.doc = a
+      JOIN sizes sb ON sb.doc = b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.2),
+    edges AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b AS u, a AS v FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node),
+    cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(cc.component, d.doc_id) AS canonical_id,
+           (COALESCE(cc.component, d.doc_id) = d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+    """,
+)
+def dedup_canonical_docs(spark, sf_dir):
+    """The step after near-dup pairs: connected components of the
+    similarity graph (iterative min-label propagation,
+    operators/graph.py) map every document to one canonical survivor.
+    The oracle computes the same fixpoint as a recursive CTE — the one
+    'iterative algorithm' query, still SQL-checkable."""
+    from ..operators.graph import dedup_canonical
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2).select("a", "b")
+    return dedup_canonical(docs, pairs)
+
+
+@declare(
     "token_count",
     oracle=rf"""
     SELECT doc_id,

@@ -163,6 +163,23 @@ def test_multimodal_feature_plumbing(spark):
         decode_media(b"\xff\xd8", "image/jpeg")
 
 
+def test_connected_components(spark):
+    """Min-label propagation: chains collapse to the minimum id,
+    singletons stay canonical."""
+    from real_time_trip_processing_spark.operators.graph import dedup_canonical
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 99)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 3), (1, 2), (10, 11)], "a long, b long")
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in dedup_canonical(docs, pairs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        10: (10, True), 11: (10, False), 99: (99, True),
+    }
+
+
 def test_approx_distinct_accuracy(spark):
     """HLL++ distinct estimate within the configured rsd of exact on
     every day bucket."""
