@@ -1,0 +1,323 @@
+"""Statistical / analytic completion tranche: grouping sets, moment
+statistics, arg-min/max, histogram, unpivot, gaps-and-islands streaks,
+full-outer funnel, ntile quartiles, and per-label embedding centroids.
+
+None of these exist in the reference (SURVEY §2.5 "no distinct
+aggregation, grouping sets / cube / rollup"; §2.6 "no window
+functions") — they round out the complete-engine surface. Every query
+is DuckDB-oracled; all aggregation happens JVM-side (built-in
+functions, no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from ..sources import table
+from .registry import declare
+
+
+@declare(
+    "kpi_grouping_sets",
+    oracle="""
+    SELECT event_type, date_trunc('day', ts) AS day,
+           GROUPING(event_type, date_trunc('day', ts)) AS gid,
+           ROUND(SUM(value), 8) AS total_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+    """,
+)
+def kpi_grouping_sets(spark, sf_dir):
+    """GROUPING SETS — per-type totals, per-day totals, and the grand
+    total in ONE pass (Spark expands to a single Expand + HashAggregate,
+    not three scans). grouping_id() disambiguates the null rows the
+    same way on both engines."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "value"
+    )
+    return (
+        ev.groupingSets([["event_type"], ["day"], []], "event_type", "day")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.round(F.sum("value"), 8).alias("total_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "day", "gid", "total_value", "n")
+    )
+
+
+@declare(
+    "stats_moments",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, AVG(value) AS mu FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(e.value), 6) AS mean_value,
+           ROUND(STDDEV_SAMP(e.value), 6) AS stddev_value,
+           ROUND(VAR_SAMP(e.value), 6) AS var_value,
+           ROUND(AVG(POWER(e.value - m.mu, 3))
+                 / POWER(AVG(POWER(e.value - m.mu, 2)), 1.5), 6) AS skew_pop,
+           ROUND(AVG(POWER(e.value - m.mu, 4))
+                 / POWER(AVG(POWER(e.value - m.mu, 2)), 2) - 3, 6) AS kurt_pop,
+           ROUND(CORR(e.value, CAST(e.user_id AS DOUBLE)), 6) AS corr_value_user,
+           ROUND(COVAR_SAMP(e.value, CAST(e.user_id AS DOUBLE)), 6)
+             AS covar_value_user
+    FROM events e JOIN m ON m.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def stats_moments(spark, sf_dir):
+    """Higher-moment aggregate suite per event_type: sample stddev/var,
+    population skewness/excess-kurtosis (Spark's definitions — the
+    oracle spells them out as explicit central moments), Pearson corr
+    and sample covariance. One HashAggregate pair, all codegen'd."""
+    ev = table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.skewness("value"), 6).alias("skew_pop"),
+        F.round(F.kurtosis("value"), 6).alias("kurt_pop"),
+        F.round(F.corr(F.col("value"), uid), 6).alias("corr_value_user"),
+        F.round(F.covar_samp(F.col("value"), uid), 6).alias("covar_value_user"),
+    )
+
+
+@declare(
+    "argminmax_events",
+    oracle="""
+    WITH mx AS (
+      SELECT event_type, event_id AS max_event_id, value AS max_value
+      FROM (SELECT event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1),
+    mn AS (
+      SELECT event_type, event_id AS min_event_id, value AS min_value
+      FROM (SELECT event_type, event_id, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value ASC, event_id ASC) AS rn
+            FROM events) WHERE rn = 1)
+    SELECT mx.event_type, max_event_id, ROUND(max_value, 8) AS max_value,
+           min_event_id, ROUND(min_value, 8) AS min_value
+    FROM mx JOIN mn ON mn.event_type = mx.event_type
+    """,
+)
+def argminmax_events(spark, sf_dir):
+    """arg-max / arg-min as single-pass aggregates: max_by/min_by over a
+    (value, event_id) struct — lexicographic ordering makes ties
+    deterministic, so the oracle's ROW_NUMBER formulation agrees
+    exactly. One aggregate, no window, no second scan."""
+    ev = table(spark, sf_dir, "events")
+    ord_ = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", ord_).alias("max_event_id"),
+        F.round(F.max("value"), 8).alias("max_value"),
+        F.min_by("event_id", ord_).alias("min_event_id"),
+        F.round(F.min("value"), 8).alias("min_value"),
+    )
+
+
+@declare(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 10) * 10 AS DOUBLE) AS bucket,
+           COUNT(*) AS n, ROUND(SUM(value), 8) AS bucket_sum
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values — the map-side-combinable
+    formulation (groupBy on a derived bucket key) that scales to any
+    row count, vs. collecting values to the driver."""
+    ev = table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / 10) * 10).cast("double")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 8).alias("bucket_sum"),
+    )
+
+
+@declare(
+    "kpi_unpivot",
+    oracle="""
+    WITH k AS (
+      SELECT date_trunc('day', ts) AS pickup_date,
+             ROUND(SUM(value), 8) AS total_fare,
+             CAST(COUNT(*) AS DOUBLE) AS trip_count,
+             ROUND(AVG(value), 8) AS average_fare,
+             ROUND(MAX(value), 8) AS max_fare,
+             ROUND(MIN(value), 8) AS min_fare
+      FROM events GROUP BY 1)
+    SELECT pickup_date, kpi, val FROM k
+    UNPIVOT (val FOR kpi IN (total_fare, trip_count, average_fare,
+                             max_fare, min_fare))
+    """,
+)
+def kpi_unpivot(spark, sf_dir):
+    """Wide→long reshape of the daily KPI row (SURVEY A6) via the native
+    unpivot operator — a zero-shuffle Expand node, the inverse of
+    event_type_pivot. Counts are cast to double so the value column is
+    single-typed on both engines."""
+    ev = table(spark, sf_dir, "events")
+    wide = ev.groupBy(F.date_trunc("day", "ts").alias("pickup_date")).agg(
+        F.round(F.sum("value"), 8).alias("total_fare"),
+        F.count(F.lit(1)).cast("double").alias("trip_count"),
+        F.round(F.avg("value"), 8).alias("average_fare"),
+        F.round(F.max("value"), 8).alias("max_fare"),
+        F.round(F.min("value"), 8).alias("min_fare"),
+    )
+    return wide.unpivot(
+        ["pickup_date"],
+        ["total_fare", "trip_count", "average_fare", "max_fare", "min_fare"],
+        "kpi",
+        "val",
+    )
+
+
+@declare(
+    "user_daily_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+    tagged AS (
+      SELECT user_id, day,
+             day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                   * INTERVAL 1 DAY AS anchor
+      FROM days)
+    SELECT user_id, MIN(day) AS streak_start, COUNT(*) AS streak_days
+    FROM tagged GROUP BY user_id, anchor
+    """,
+)
+def user_daily_streaks(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user. day − row_number·1day is constant within a run, so one window
+    sort + one aggregate finds every streak — no self-join, no
+    iteration; both shuffles are on user_id and AQE-coalescible."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    tagged = days.withColumn(
+        "anchor",
+        F.col("day") - F.make_interval(days=F.row_number().over(w)),
+    )
+    return tagged.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("anchor")
+
+
+@declare(
+    "outer_join_daily_funnel",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    p AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS purchases,
+             ROUND(SUM(value), 8) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.day, p.day) AS day,
+           COALESCE(clicks, 0) AS clicks,
+           COALESCE(purchases, 0) AS purchases,
+           COALESCE(purchase_value, 0.0) AS purchase_value
+    FROM c FULL OUTER JOIN p ON p.user_id = c.user_id AND p.day = c.day
+    """,
+)
+def outer_join_daily_funnel(spark, sf_dir):
+    """Full-outer join with key coalescing — the canonical funnel table
+    (user-days with clicks, purchases, or both). Aggregating BEFORE the
+    join keeps both shuffle inputs at user-day grain instead of raw
+    events: at 100 TB that is the difference between joining billions
+    and joining millions of rows."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day)
+        .agg(F.count(F.lit(1)).alias("clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", day)
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            F.round(F.sum("value"), 8).alias("purchase_value"),
+        )
+    )
+    j = c.join(p, ["user_id", "day"], "full_outer")
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("clicks", F.lit(0)).alias("clicks"),
+        F.coalesce("purchases", F.lit(0)).alias("purchases"),
+        F.coalesce("purchase_value", F.lit(0.0)).alias("purchase_value"),
+    )
+
+
+@declare(
+    "ntile_quartiles",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, value,
+             NTILE(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS quartile
+      FROM events)
+    SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+           COUNT(*) AS n, ROUND(AVG(value), 8) AS avg_value,
+           ROUND(MIN(value), 8) AS lo, ROUND(MAX(value), 8) AS hi
+    FROM q GROUP BY event_type, quartile
+    """,
+)
+def ntile_quartiles(spark, sf_dir):
+    """Equi-depth quartile summary per event_type via ntile — the
+    event_id tiebreak makes bucket assignment deterministic under any
+    partitioning, so the oracle agrees bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    q = ev.select(
+        "event_type",
+        "value",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+    return q.groupBy("event_type", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 8).alias("avg_value"),
+        F.round(F.min("value"), 8).alias("lo"),
+        F.round(F.max("value"), 8).alias("hi"),
+    )
+
+
+@declare(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+           ROUND(AVG(v), 6) AS centroid
+    FROM (SELECT label,
+                 unnest(CAST(embedding AS DOUBLE[])) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding (the k-means 'M step' / IVF centroid
+    refresh) in long form: posexplode → groupBy(label, pos). The
+    explode is pipelined (no shuffle until the aggregate) and the
+    aggregate is partial+final on (label, pos) — dimension count
+    multiplies rows, not shuffles, so this holds at 100 TB of vectors."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )
