@@ -1,0 +1,181 @@
+"""Property-based tests (hypothesis) for the core operators.
+
+The reference ships no property tests (SURVEY §5) and its matcher — the
+heart of the pipeline — is entirely untested there. These properties
+pin the operators against brute-force Python models on randomized
+inputs: arbitrary duplicate/missing/out-of-order events for the
+matcher, arbitrary corpora for shingle Jaccard, skewed keys for the
+salted aggregation.
+
+Each example round-trips through Spark, so example counts are kept
+small; the generators bias toward collisions (tiny key domains) to
+exercise the interesting paths, not the happy one.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from real_time_trip_processing_spark.functions.similarity import jaccard_pairs
+from real_time_trip_processing_spark.operators.dedup import dedup_keyed
+from real_time_trip_processing_spark.operators.joins import match_start_end
+from real_time_trip_processing_spark.operators.skew import salted_agg
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny domains → lots of duplicate keys, the case that matters
+trip_ids = st.integers(min_value=0, max_value=6).map(lambda i: f"t{i}")
+seqs = st.integers(min_value=0, max_value=9)
+
+start_events = st.lists(st.tuples(trip_ids, seqs), min_size=0, max_size=15)
+end_events = st.lists(st.tuples(trip_ids, seqs), min_size=0, max_size=15)
+
+
+@settings(**SETTINGS)
+@given(starts=start_events, ends=end_events)
+def test_matcher_first_match_wins(spark, starts, ends):
+    """match_start_end == brute force: one row per trip_id present on
+    BOTH sides; the surviving start/end are each the first per key
+    (min order column, ties broken arbitrarily but ties can't occur —
+    order key is made unique); collision column renamed end_*."""
+    s_rows = [
+        Row(trip_id=t, pickup_datetime=f"{seq:02d}-{i:03d}", fare=float(i))
+        for i, (t, seq) in enumerate(starts)
+    ]
+    e_rows = [
+        Row(trip_id=t, dropoff_datetime=f"{seq:02d}-{i:03d}", fare=float(100 + i))
+        for i, (t, seq) in enumerate(ends)
+    ]
+    s_schema = "trip_id string, pickup_datetime string, fare double"
+    e_schema = "trip_id string, dropoff_datetime string, fare double"
+    sdf = spark.createDataFrame(s_rows, schema=s_schema)
+    edf = spark.createDataFrame(e_rows, schema=e_schema)
+    got = {
+        r["trip_id"]: r
+        for r in match_start_end(sdf, edf, key="trip_id").collect()
+    }
+
+    first_start = {}
+    for r in sorted(s_rows, key=lambda r: (r.trip_id, r.pickup_datetime)):
+        first_start.setdefault(r.trip_id, r)
+    first_end = {}
+    for r in sorted(e_rows, key=lambda r: (r.trip_id, r.dropoff_datetime)):
+        first_end.setdefault(r.trip_id, r)
+
+    expect_keys = set(first_start) & set(first_end)
+    assert set(got) == expect_keys
+    for t in expect_keys:
+        row = got[t]
+        assert row["pickup_datetime"] == first_start[t].pickup_datetime
+        assert row["dropoff_datetime"] == first_end[t].dropoff_datetime
+        assert row["fare"] == first_start[t].fare  # start wins the name
+        assert row["end_fare"] == first_end[t].fare  # end renamed
+        assert row["status"] == "completed"
+
+
+@settings(**SETTINGS)
+@given(rows=st.lists(st.tuples(trip_ids, seqs, seqs), min_size=0, max_size=20))
+def test_dedup_keyed_is_first_per_key_and_idempotent(spark, rows):
+    df = spark.createDataFrame(
+        [Row(k=t, o=f"{a:02d}-{b:02d}-{i:03d}", payload=i) for i, (t, a, b) in enumerate(rows)],
+        schema="k string, o string, payload long",
+    )
+    out = dedup_keyed(df, ["k"], ["o"])
+    got = {r["k"]: (r["o"], r["payload"]) for r in out.collect()}
+
+    expect = {}
+    for r in sorted(
+        [(t, f"{a:02d}-{b:02d}-{i:03d}", i) for i, (t, a, b) in enumerate(rows)],
+        key=lambda x: (x[0], x[1]),
+    ):
+        expect.setdefault(r[0], (r[1], r[2]))
+    assert got == expect
+    # idempotence: dedup of the dedup is itself
+    again = {r["k"]: (r["o"], r["payload"]) for r in dedup_keyed(out, ["k"], ["o"]).collect()}
+    assert again == got
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-50, 50)), min_size=1, max_size=30
+    ),
+    buckets=st.sampled_from([1, 4, 64]),
+)
+def test_salted_agg_equals_plain_groupby(spark, rows, buckets):
+    """Salting is a pure physical rewrite: sum/count/min/max/avg per key
+    must equal the plain groupBy exactly (integer values → no fp
+    reassociation concerns for sum; avg checked with tolerance)."""
+    df = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in rows], schema="k int, v long"
+    )
+    out = {
+        r["k"]: r
+        for r in salted_agg(
+            df,
+            ["k"],
+            [("v", "sum", "s"), ("v", "count", "c"), ("v", "min", "lo"),
+             ("v", "max", "hi"), ("v", "avg", "m")],
+            buckets=buckets,
+        ).collect()
+    }
+    keys = {k for k, _ in rows}
+    assert set(out) == keys
+    for k in keys:
+        vs = [v for kk, v in rows if kk == k]
+        r = out[k]
+        assert r["s"] == sum(vs)
+        assert r["c"] == len(vs)
+        assert r["lo"] == min(vs)
+        assert r["hi"] == max(vs)
+        assert math.isclose(r["m"], sum(vs) / len(vs), rel_tol=1e-12)
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=1, max_size=8).map(" ".join), min_size=0, max_size=8
+)
+
+
+def _brute_shingles(text: str, n: int) -> set[str]:
+    toks = text.strip().split()
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)}
+
+
+@settings(**SETTINGS)
+@given(texts=docs_strategy, threshold=st.sampled_from([0.0, 0.3, 0.7]))
+def test_jaccard_pairs_matches_brute_force(spark, texts, threshold):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["sz_a"], r["sz_b"], r["jaccard"])
+        for r in jaccard_pairs(df, n=3, threshold=threshold).collect()
+    }
+
+    sets = {i: _brute_shingles(t, 3) for i, t in enumerate(texts)}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if union and inter and inter / union >= threshold:
+                    expect[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert set(got) == set(expect)
+    for pair, (inter, sz_a, sz_b) in expect.items():
+        gi, ga, gb, gj = got[pair]
+        assert (gi, ga, gb) == (inter, sz_a, sz_b)
+        assert gj == pytest.approx(round(inter / (sz_a + sz_b - inter), 8))
