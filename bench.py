@@ -38,6 +38,9 @@ HEADLINE = [
     "asof_join",
     "range_join_1h",
     "corpus_prep",
+    "top_unshipped_orders",
+    "customer_order_dist",
+    "embedding_centroids",
 ]
 
 
