@@ -105,3 +105,61 @@ def extract_features(assets: DataFrame) -> DataFrame:
     byte length, mean byte value, and an 8-bin byte histogram as the
     deterministic stand-in for a real embedding."""
     return assets.mapInPandas(_feature_batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame binary, frame_len bigint"
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 16, stride: int = 4
+) -> DataFrame:
+    """Video frame sampling over opaque payloads: split each payload
+    into fixed-size frames, keep every ``stride``-th (the every-k-th-
+    frame pattern of a real pyav sampler — which would replace only the
+    slicing below). One input row fans out to many frame rows INSIDE
+    the Arrow batch: no explode shuffle, no driver involvement, and the
+    blob column is read once per partition."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"]
+            ):
+                buf = decode_media(bytes(payload), mtype)
+                n = (len(buf) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(buf[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame": frames,
+                    "frame_len": pd.Series(
+                        [len(f) for f in frames], dtype="int64"
+                    ),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_media(assets: DataFrame, factor: int = 4) -> DataFrame:
+    """Thumbnail/downsample: keep every ``factor``-th byte of the
+    decoded payload (a real resampler — Pillow's ``Image.resize`` —
+    swaps in here; metadata is scaled the same way). Same mapInPandas
+    contract as the extractor: Arrow batch in/out, schema preserved."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["media"] = [
+                decode_media(bytes(m), t)[::factor]
+                for m, t in zip(pdf["media"], pdf["media_type"])
+            ]
+            out["width"] = (pdf["width"] // factor).clip(lower=1).astype("int32")
+            yield out
+
+    return assets.mapInPandas(batches, schema=assets.schema)

@@ -150,3 +150,36 @@ def multimodal_features(spark, sf_dir):
     return extract_features(synth_media(docs)).select(
         "doc_id", "media_type", "byte_len"
     )
+
+
+@declare(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents),
+    idx AS (
+      SELECT doc_id, ph,
+             unnest(range(0, CAST(ceil(length(ph) / 32.0) AS BIGINT), 4)) AS i
+      FROM b)
+    SELECT doc_id, i AS frame_idx,
+           substr(ph, CAST(i * 32 + 1 AS BIGINT), 32) AS frame_hex,
+           CAST(length(substr(ph, CAST(i * 32 + 1 AS BIGINT), 32)) / 2
+                AS BIGINT) AS frame_len
+    FROM idx
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """X6 video-style frame sampling: chunk each payload into 16-byte
+    frames, keep every 4th — mapInPandas fan-out with zero shuffles
+    (functions/multimodal.py sample_frames). The oracle replays the
+    byte slicing on the hex encoding of the same payload, so frame
+    boundaries, sampled indices, and frame bytes are all value-checked."""
+    from ..functions.multimodal import sample_frames, synth_media
+
+    docs = table(spark, sf_dir, "documents")
+    frames = sample_frames(synth_media(docs), frame_bytes=16, stride=4)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.hex("frame").alias("frame_hex"),
+        "frame_len",
+    )

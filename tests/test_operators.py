@@ -163,6 +163,39 @@ def test_multimodal_feature_plumbing(spark):
         decode_media(b"\xff\xd8", "image/jpeg")
 
 
+def test_multimodal_frame_sample_and_resize(spark):
+    """X6 frame sampling + resize: deterministic slicing math, empty
+    payloads yield no frames, resize keeps schema and scales bytes."""
+    from real_time_trip_processing_spark.functions.multimodal import (
+        resize_media,
+        sample_frames,
+        synth_media,
+    )
+
+    text = "x" * 100  # 100 bytes → 7 frames of 16 (last short), keep 0 and 4
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", 100), (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assets = synth_media(docs)
+    frames = sample_frames(assets, frame_bytes=16, stride=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_doc[1]) == [0, 4]
+    assert {r["frame_idx"]: r["frame_len"] for r in by_doc[1]} == {0: 16, 4: 16}
+    assert all(bytes(r["frame"]) == b"x" * 16 for r in by_doc[1])
+    assert 2 not in by_doc  # empty payload → zero frames
+
+    resized = {r["doc_id"]: r for r in resize_media(assets, factor=4).collect()}
+    assert len(bytes(resized[1]["media"])) == 25  # every 4th of 100
+    assert resized[1]["width"] == assets.filter("doc_id=1").first()["width"] // 4
+    assert len(bytes(resized[2]["media"])) == 0
+    assert [f.name for f in resize_media(assets).schema] == [
+        f.name for f in assets.schema
+    ]
+
+
 def test_connected_components(spark):
     """Min-label propagation: chains collapse to the minimum id,
     singletons stay canonical."""
