@@ -50,6 +50,32 @@ def write_daily_partitioned(
     )
 
 
+def upsert_foreach_batch(path: str):
+    """S5/S6 for non-transactional stores: a ``foreachBatch`` function
+    that lands each micro-batch in its own ``__batch_id`` partition
+    with DYNAMIC partition overwrite. A retried batch (same batch_id —
+    Spark replays the identical data from the checkpointed offsets)
+    overwrites its own partition instead of appending a duplicate:
+    at-least-once delivery + idempotent write = exactly-once table
+    contents, the reference's (PK,SK)-overwrite trick
+    (scripts/lambda1.py:104-205) without application-level retries.
+
+    Use: ``writeStream.foreachBatch(upsert_foreach_batch(p)).start()``;
+    read the table back with ``spark.read.parquet(p)``.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(path)
+        )
+
+    return write_batch
+
+
 def write_kafka(
     df: DataFrame,
     key_col: str,
