@@ -81,6 +81,49 @@ def test_kpi_partial_aggregation(spark):
     assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
 
 
+def test_q6_shape_single_pipelined_stage(spark):
+    """revenue_forecast_delta: all predicates scan-pushed, 4-column read
+    schema, one exchange (partial→final global agg)."""
+    plan = plan_of(spark, "revenue_forecast_delta")
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
+
+
+def test_q3_topk_and_broadcasts(spark):
+    """top_unshipped_orders: top-10 compiles to TakeOrderedAndProject
+    (no single-partition window), segment filter is scan-pushed, and
+    the filtered dims broadcast."""
+    plan = plan_of(spark, "top_unshipped_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) == 0
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_grouping_sets_single_expand(spark):
+    """kpi_grouping_sets: three grouping sets = ONE Expand + one
+    aggregate exchange, not three scans."""
+    plan = plan_of(spark, "kpi_grouping_sets")
+    assert len(re.findall(r"\n\(\d+\) Expand", plan)) == 1
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_streaks_reuse_user_partitioning(spark):
+    """user_daily_streaks: the distinct, the window and the final agg
+    all hash on user_id — at most two exchanges appear (distinct +
+    window share; the (user, anchor) agg adds one)."""
+    plan = plan_of(spark, "user_daily_streaks")
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) <= 2
+
+
 def test_no_python_udfs_in_relational_plans(spark):
     """The reference-parity surface is 100% JVM expressions — no
     BatchEvalPython / ArrowEvalPython stages anywhere."""
