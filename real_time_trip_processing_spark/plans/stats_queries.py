@@ -296,6 +296,42 @@ def ntile_quartiles(spark, sf_dir):
 
 
 @declare(
+    "regression_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 6) AS slope,
+           ROUND(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 6)
+             AS intercept,
+           ROUND(regr_r2(value, CAST(hour(ts) AS DOUBLE)), 6) AS r2,
+           regr_count(value, CAST(hour(ts) AS DOUBLE)) AS n,
+           ROUND(median(value), 6) AS median_value,
+           ROUND(quantile_cont(value, 0.25), 6) AS q1,
+           ROUND(quantile_cont(value, 0.75), 6) AS q3
+    FROM events GROUP BY event_type
+    """,
+)
+def regression_by_type(spark, sf_dir):
+    """Linear-regression aggregates (value ~ hour-of-day) plus EXACT
+    median/quartiles per event_type. The regr_* family is algebraic
+    (sums and cross-products) → partial+final HashAggregate like any
+    sum. Exact percentiles are NOT algebraic — they sort within the
+    group; at extreme group sizes switch to approx_percentile (declared
+    separately in fare_percentiles) — keeping both is the point."""
+    ev = table(spark, sf_dir, "events")
+    x = F.hour("ts").cast("double")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.regr_slope(v, x), 6).alias("slope"),
+        F.round(F.regr_intercept(v, x), 6).alias("intercept"),
+        F.round(F.regr_r2(v, x), 6).alias("r2"),
+        F.regr_count(v, x).alias("n"),
+        F.round(F.median(v), 6).alias("median_value"),
+        F.round(F.percentile(v, F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile(v, F.lit(0.75)), 6).alias("q3"),
+    )
+
+
+@declare(
     "embedding_centroids",
     oracle="""
     SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
