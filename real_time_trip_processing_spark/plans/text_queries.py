@@ -331,6 +331,40 @@ _SIMHASH_FP_SQL = f"""
 """
 
 
+@declare(
+    "top_terms_per_lang",
+    oracle=r"""
+    WITH tok AS (
+      SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents),
+    cnt AS (SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY lang, term),
+    ranked AS (
+      SELECT lang, term, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, term) AS rank
+      FROM cnt)
+    SELECT lang, term, n, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def top_terms_per_lang(spark, sf_dir):
+    """Corpus term-frequency profile: top-5 terms per language.
+    Explode is pipelined; the (lang, term) count is partial+final; the
+    rank window partitions on lang so the top-k never converges on one
+    partition (WindowGroupLimit prunes to 5 per partition pre-shuffle)."""
+    from ..functions.text import tokens
+    from ..operators.sorts import topk_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = topk_per_group(cnt, ["lang"], [F.desc("n"), F.col("term")], 5)
+    return top.select("lang", "term", "n", F.col("rank").cast("long").alias("rank"))
+
+
 @declare("dedup_simhash_fp", oracle=_SIMHASH_FP_SQL)
 def dedup_simhash_fp(spark, sf_dir):
     """X2 SimHash tier: 31-bit fingerprints from one codegen'd aggregate

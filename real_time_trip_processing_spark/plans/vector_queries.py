@@ -153,6 +153,67 @@ def multimodal_features(spark, sf_dir):
 
 
 @declare(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec
+               FROM embeddings),
+    s AS (SELECT vec_id, vec,
+                 greatest(list_max(list_transform(vec, x -> abs(x))), 1e-30)
+                   AS mx
+          FROM v)
+    SELECT vec_id, ROUND(mx, 6) AS scale,
+           array_to_string(
+             list_transform(vec, x -> CAST(round(127 * x / mx) AS BIGINT)),
+             ',') AS qvec
+    FROM s
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (the 4× memory cut every
+    vector store applies before ANN): scale = max|x|, q = round(127·x/s).
+    Pure array expressions — map-side, zero shuffles; the quantized
+    vector serializes as a csv string so the oracle hash covers every
+    element exactly."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    ).withColumn(
+        "mx",
+        F.greatest(
+            F.array_max(F.transform(F.col("vec"), lambda x: F.abs(x))),
+            F.lit(1e-30),
+        ),
+    )
+    q = F.transform(
+        F.col("vec"), lambda x: F.round(F.lit(127) * x / F.col("mx")).cast("long")
+    )
+    return v.select(
+        "vec_id",
+        F.round("mx", 6).alias("scale"),
+        F.array_join(q.cast("array<string>"), ",").alias("qvec"),
+    )
+
+
+@declare("kmeans_codebook")
+def kmeans_codebook(spark, sf_dir):
+    """IVF codebook training: 3 Lloyd's iterations, k=8, deterministic
+    init (functions/kmeans.py) — the one genuinely iterative vector
+    algorithm, like dedup_canonical_docs for graphs. Not SQL-expressible
+    (iterative fixpoint) → rows-only driver check; the convergence math
+    is pinned by tests/test_operators.py::test_kmeans_converges. Output
+    long-form (cent_id, pos, val) so schema and count (k × dim) are
+    stable."""
+    from ..functions.kmeans import kmeans_fit
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = kmeans_fit(emb, k=8, iters=3)
+    return cb.select(
+        "cent_id", F.posexplode("centroid").alias("pos", "val")
+    ).select("cent_id", F.col("pos").cast("long").alias("pos"),
+             F.round("val", 6).alias("val"))
+
+
+@declare(
     "multimodal_frame_sample",
     oracle="""
     WITH b AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents),

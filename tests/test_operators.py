@@ -196,6 +196,56 @@ def test_multimodal_frame_sample_and_resize(spark):
     ]
 
 
+def test_kmeans_converges(spark):
+    """Lloyd's on three obvious clusters: centroids land on the cluster
+    means, assignment is stable, empty clusters keep their centroid."""
+    import numpy as np
+
+    from real_time_trip_processing_spark.functions.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[10.0, 0.0], [0.0, 10.0], [-10.0, -10.0]])
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, (c + rng.normal(0, 0.1, 2)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cb = kmeans_fit(emb, k=3, iters=4)
+    cents = {r["cent_id"]: r["centroid"] for r in cb.collect()}
+    assert set(cents) == {0, 1, 2}
+    # each true center has exactly one learned centroid cosine≈1 to it
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    matched = set()
+    for tc in centers:
+        best = max(cents, key=lambda cid: cos(cents[cid], tc))
+        assert cos(cents[best], tc) > 0.999
+        matched.add(best)
+    assert matched == {0, 1, 2}
+
+    # assignment is pure: every vector goes to the centroid nearest it
+    vecs = emb.selectExpr("vec_id as vid", "cast(embedding as array<double>) as v")
+    assigned = {
+        r["vid"]: r["cent_id"]
+        for r in assign_clusters(
+            vecs, cb.select("cent_id", "centroid")
+        ).collect()
+    }
+    for i, v in rows:
+        best = max(cents, key=lambda cid: (cos(cents[cid], v), -cid))
+        assert assigned[i] == best
+
+    # determinism: second fit is identical
+    cb2 = {r["cent_id"]: r["centroid"] for r in kmeans_fit(emb, k=3, iters=4).collect()}
+    assert cb2 == cents
+
+
 def test_connected_components(spark):
     """Min-label propagation: chains collapse to the minimum id,
     singletons stay canonical."""
