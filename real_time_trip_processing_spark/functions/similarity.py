@@ -106,24 +106,31 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """X3 scale path: IVF-style approximate top-k cosine.
 
     Coarse quantizer: the first ``n_centroids`` vectors stand in for
-    k-means centroids (deterministic; a trained codebook drops in the
-    same way). Every corpus vector is assigned to its nearest centroid
-    (one broadcast pass); each query probes its ``nprobe`` nearest
-    centroid buckets and scores only those vectors — the scan cost drops
-    from O(N) to O(N * nprobe / n_centroids) per query, the standard
-    IVF trade. Deterministic tie-breaks (centroid id, candidate id)
-    keep the result oracle-reproducible.
+    k-means centroids by default; pass ``codebook`` — (cent_id,
+    centroid) from ``kmeans.kmeans_fit`` — to use a trained one (same
+    plan, better buckets). Every corpus vector is assigned to its
+    nearest centroid (one broadcast pass); each query probes its
+    ``nprobe`` nearest centroid buckets and scores only those vectors —
+    the scan cost drops from O(N) to O(N * nprobe / n_centroids) per
+    query, the standard IVF trade. Deterministic tie-breaks (centroid
+    id, candidate id) keep the result oracle-reproducible.
     """
     from ..operators.sorts import topk_per_group
 
-    centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).cast("array<double>").alias("cv"),
-    )
+    if codebook is not None:
+        centroids = codebook.select(
+            "cent_id", F.col("centroid").cast("array<double>").alias("cv")
+        )
+    else:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),

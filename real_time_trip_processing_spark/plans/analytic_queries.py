@@ -95,6 +95,55 @@ def except_users(spark, sf_dir):
 
 
 @declare(
+    "except_all_user_days",
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def except_all_user_days(spark, sf_dir):
+    """Multiset EXCEPT ALL (vs except_users' distinct EXCEPT): each
+    purchase row cancels ONE click row per (user, day) — multiplicity
+    arithmetic Spark plans as a count-tagged aggregate join, not a
+    distinct. The pair proves both set-op semantics (§2.8)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    buys = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    return clicks.exceptAll(buys)
+
+
+@declare(
+    "intersect_all_user_days",
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id, date_trunc('day', ts) AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def intersect_all_user_days(spark, sf_dir):
+    """Multiset INTERSECT ALL: (user, day) rows kept min(click_count,
+    purchase_count) times — the multiplicity-preserving twin of
+    intersect_users."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    buys = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    return clicks.intersectAll(buys)
+
+
+@declare(
     "range_join_1h",
     oracle="""
     SELECT p.event_id, p.user_id, p.ts,

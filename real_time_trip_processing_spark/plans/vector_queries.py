@@ -194,6 +194,24 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
+@declare("sim_ivf_topk_trained")
+def sim_ivf_topk_trained(spark, sf_dir):
+    """X3 full scale path: IVF probing over a TRAINED codebook (k-means,
+    functions/kmeans.py) instead of the first-k quantizer — the exact
+    pipeline a production vector index runs (train → assign → probe).
+    Iterative training isn't SQL-expressible → rows-only check; recall
+    vs the exact `sim_topk` is asserted in
+    tests/test_operators.py::test_ivf_trained_recall."""
+    from ..functions.kmeans import kmeans_fit
+    from ..functions.similarity import ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    cb = kmeans_fit(emb, k=8, iters=2)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, nprobe=3, codebook=cb
+    )
+
+
 @declare("kmeans_codebook")
 def kmeans_codebook(spark, sf_dir):
     """IVF codebook training: 3 Lloyd's iterations, k=8, deterministic

@@ -246,6 +246,37 @@ def test_kmeans_converges(spark):
     assert cb2 == cents
 
 
+def test_ivf_trained_recall(spark):
+    """IVF with a trained codebook: results are a subset of the legal
+    candidate space and recall@3 vs exact top-k is reasonable on
+    clustered data (probing 3 of 8 buckets)."""
+    from real_time_trip_processing_spark.functions.kmeans import kmeans_fit
+    from real_time_trip_processing_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 1, (8, 16))
+    rows = [
+        (i, (centers[i % 8] + rng.normal(0, 0.05, 16)).tolist())
+        for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 5")
+
+    cb = kmeans_fit(emb, k=8, iters=3)
+    approx = ivf_topk(emb, queries, k=3, nprobe=3, codebook=cb).collect()
+    exact = cosine_topk(emb, queries, k=3).collect()
+
+    ap = {(r["query_id"], r["cand_id"]) for r in approx}
+    ex = {(r["query_id"], r["cand_id"]) for r in exact}
+    assert len(ap) == len(ex) == 15  # 5 queries × 3
+    recall = len(ap & ex) / len(ex)
+    assert recall >= 0.8, f"recall {recall}"
+
+
 def test_connected_components(spark):
     """Min-label propagation: chains collapse to the minimum id,
     singletons stay canonical."""
