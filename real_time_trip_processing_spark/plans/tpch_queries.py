@@ -181,6 +181,53 @@ def customer_order_dist(spark, sf_dir):
 
 
 @declare(
+    "nation_part_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+           p.p_type,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS profit
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_type IN ('PROMO', 'ECONOMY')
+    GROUP BY n.n_name, year(l.l_shipdate), p.p_type
+    """,
+)
+def nation_part_profit(spark, sf_dir):
+    """Q9 analogue: profit by supplier nation × year × part type. The
+    only tables not yet exercised (part, supplier) join here — both are
+    true dimensions (100 / 2000 rows vs 600k lineitem at sf0.1), so
+    both broadcast and the type filter halves the part build side
+    BEFORE the broadcast. The fact table shuffles exactly once, for the
+    final aggregate."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type").isin("PROMO", "ECONOMY"))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+            "p_type",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("profit")
+        )
+    )
+
+
+@declare(
     "revenue_forecast_delta",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 6) AS revenue_delta,
