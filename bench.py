@@ -41,6 +41,9 @@ HEADLINE = [
     "top_unshipped_orders",
     "customer_order_dist",
     "embedding_centroids",
+    "nation_part_profit",
+    "local_supplier_volume",
+    "large_volume_customers",
 ]
 
 

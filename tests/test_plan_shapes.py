@@ -134,3 +134,48 @@ def test_no_python_udfs_in_relational_plans(spark):
     ):
         plan = plan_of(spark, name)
         assert "EvalPython" not in plan, f"{name} crosses the Python boundary"
+
+
+def test_q5_shape_one_shuffle_join_pair(spark):
+    """local_supplier_volume: customer/supplier/nation/region all
+    broadcast; the only shuffle join pair is lineitem x orders."""
+    plan = plan_of(spark, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q17_shape_no_aggregate_broadcast_back(spark):
+    """small_qty_avg_revenue: the per-part cutoff is a window over the
+    brand-reduced join output — a single hash-partitioned exchange, no
+    join of lineitem against a lineitem-derived aggregate (which would
+    not be broadcastable at scale)."""
+    plan = plan_of(spark, "small_qty_avg_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"hashpartitioning\(l_partkey", plan)) >= 1
+
+
+def test_q18_semi_join_before_rejoin(spark):
+    """large_volume_customers: the HAVING subquery reaches the fact as
+    a semi join, never materializing duplicate qualifying rows."""
+    plan = plan_of(spark, "large_volume_customers")
+    assert "LeftSemi" in plan
+
+
+def test_q19_part_disjunction_prunes_build_side(spark):
+    """brand_discount_revenue: the part-only OR branches filter the
+    broadcast build side before the hash table is built."""
+    plan = plan_of(spark, "brand_discount_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the part scan carries the brand/size disjunction as a pushed filter
+    assert re.search(r"PushedFilters: \[.*Or\(.*p_brand.*\]", plan) or "p_brand" in plan
+
+
+def test_q22_anti_join(spark):
+    """idle_rich_customers: NOT EXISTS compiles to a left-anti join on
+    the date-pruned orders scan; the scalar average arrives by
+    broadcast, not a per-row subquery."""
+    plan = plan_of(spark, "idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
