@@ -59,3 +59,41 @@ def salted_agg(
     salted = df.withColumn("__salt", F.spark_partition_id() % buckets)
     partial = salted.groupBy(*keys, "__salt").agg(*partials)
     return partial.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-resilient inner equi join (SCALE.md "Joins").
+
+    AQE's skew-join split handles moderate skew, but a pathological hot
+    key (one key holding a double-digit percent of the probe side)
+    still bounds the join by that key's single post-split stream when
+    the build side cannot broadcast. The classic fix: give every probe
+    row a salt in ``[0, buckets)`` that is INDEPENDENT of the key —
+    ``spark_partition_id() % buckets``, deterministic and free — and
+    replicate each build row once per salt value, so the hot key's rows
+    land on ``buckets`` different reducers, each holding its own copy
+    of the matching build rows.
+
+    Semantically identical to ``big.join(small, big[big_key] ==
+    small[small_key], "inner")`` — the oracle for any query built on
+    this is the plain join. Cost: the build side shuffles ``buckets``×
+    its size; use only when the build side is small-ish but above the
+    broadcast threshold and the probe side is provably skewed.
+    """
+    salted_big = big.withColumn("__salt", F.spark_partition_id() % buckets)
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    joined = salted_big.join(
+        salted_small,
+        (salted_big["__salt"] == salted_small["__salt"])
+        & (salted_big[big_key] == salted_small[small_key]),
+        "inner",
+    )
+    return joined.drop(salted_big["__salt"]).drop(salted_small["__salt"])

@@ -270,3 +270,30 @@ def props_typed_extract(spark, sf_dir):
     return parsed.groupBy(F.col("p.k").alias("k")).agg(
         F.count(F.lit(1)).alias("cnt"), F.avg("value").alias("avg_value")
     )
+
+
+@declare(
+    "skew_salted_join",
+    oracle="""
+    SELECT c.c_nationkey, ROUND(SUM(e.value), 6) AS total_value,
+           COUNT(*) AS n_events
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_nationkey
+    """,
+)
+def skew_salted_join(spark, sf_dir):
+    """Skew-resilient join demo: events x customer through
+    ``salted_join`` — same answer as the plain join (the oracle IS the
+    plain join), but a hot user_id's rows spread over 16 reducers, each
+    with its own replicated copy of the matching customer row. For when
+    the build side exceeds the broadcast threshold and AQE's skew split
+    can't save a single pathological key."""
+    from ..operators.skew import salted_join
+
+    e = table(spark, sf_dir, "events").select("user_id", "value")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(e, c, "user_id", "c_custkey", buckets=16)
+    return joined.groupBy("c_nationkey").agg(
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

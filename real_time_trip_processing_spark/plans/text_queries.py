@@ -389,3 +389,63 @@ def dedup_near_simhash(spark, sf_dir):
     over 4 bands guarantees a shared band) + bit_count verification —
     near-dup pair space without the O(n²) cross join."""
     return simhash_pairs(table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@declare(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT lang, term, COUNT(*) AS tf FROM tok GROUP BY lang, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.term,
+             ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS score
+      FROM tf JOIN df ON df.term = tf.term, n),
+    ranked AS (
+      SELECT lang, term, score,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score DESC, term) AS rank
+      FROM scored)
+    SELECT lang, term, score, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """X4 term weighting: top-5 TF-IDF terms per language. Three
+    aggregates over one explode: per-(lang,term) TF, per-term document
+    frequency (distinct doc_id), and the corpus size scalar. The DF
+    table is one row per distinct term — orders of magnitude smaller
+    than the token stream — so it joins back by broadcast; the scalar
+    N rides the same broadcast. The rank window partitions on lang
+    (WindowGroupLimit prunes to 5 pre-shuffle)."""
+    from ..functions.text import tokens
+    from ..operators.sorts import topk_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    ).withColumnRenamed("term", "df_term")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), tf.term == F.col("df_term"))
+        .join(F.broadcast(n_docs))
+        .select(
+            "lang",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    top = topk_per_group(scored, ["lang"], [F.desc("score"), F.col("term")], 5)
+    return top.select(
+        "lang", "term", "score", F.col("rank").cast("long").alias("rank")
+    )

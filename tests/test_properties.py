@@ -179,3 +179,35 @@ def test_jaccard_pairs_matches_brute_force(spark, texts, threshold):
         gi, ga, gb, gj = got[pair]
         assert (gi, ga, gb) == (inter, sz_a, sz_b)
         assert gj == pytest.approx(round(inter / (sz_a + sz_b - inter), 8))
+
+
+@settings(**SETTINGS)
+@given(
+    big=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=0, max_size=30
+    ),
+    small=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 9)), min_size=0, max_size=8
+    ),
+    buckets=st.sampled_from([1, 3, 16]),
+)
+def test_salted_join_equals_plain_join(spark, big, small, buckets):
+    """salted_join is a pure physical rewrite of the inner equi join:
+    same multiset of output rows as the plain join, for any key overlap
+    (including none), duplicate build keys included, any bucket count."""
+    from real_time_trip_processing_spark.operators.skew import salted_join
+
+    bdf = spark.createDataFrame(
+        [Row(k=k, v=v) for k, v in big], schema="k int, v long"
+    )
+    sdf = spark.createDataFrame(
+        [Row(sk=k, w=w) for k, w in small], schema="sk int, w long"
+    )
+    got = sorted(
+        (r["k"], r["v"], r["sk"], r["w"])
+        for r in salted_join(bdf, sdf, "k", "sk", buckets=buckets).collect()
+    )
+    expect = sorted(
+        (k, v, sk, w) for k, v in big for sk, w in small if k == sk
+    )
+    assert got == expect
