@@ -297,3 +297,100 @@ def skew_salted_join(spark, sf_dir):
         F.round(F.sum("value"), 6).alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@declare(
+    "rolling_7d_user_value",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts))
+                  AS BIGINT) AS day_num,
+             ROUND(SUM(value), 6) AS day_value
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, day_num, day_value,
+           ROUND(SUM(day_value) OVER (PARTITION BY user_id ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS rolling_7d,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY day_num
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS active_days_7d
+    FROM daily
+    """,
+)
+def rolling_7d_user_value(spark, sf_dir):
+    """Time-series RANGE frame: per-user 7-calendar-day rolling spend,
+    correct across gaps (a user absent for 3 days still gets a
+    7-day-bounded window, which ROWS BETWEEN cannot express). Day
+    granularity is an epoch day number so the frame bound is an
+    integer range — identical semantics in Spark and the oracle. The
+    daily pre-aggregate shuffles once on (user, day); the window reuses
+    the user_id hash partitioning with only a per-partition sort."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("day_num"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("day_value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day_num",
+        "day_value",
+        F.round(F.sum("day_value").over(w), 6).alias("rolling_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("active_days_7d"),
+    )
+
+
+@declare(
+    "event_state_history",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_id
+      FROM events),
+    transitions AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM changes
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to
+    FROM transitions
+    """,
+)
+def event_state_history(spark, sf_dir):
+    """SCD2-style state history: collapse each user's event stream into
+    [valid_from, valid_to) intervals per state run (lag to detect
+    change points, lead to close each interval; open interval = NULL).
+    Both windows share the user_id partitioning — one exchange, two
+    sorts over progressively smaller data (the transition filter drops
+    same-state repeats before the second window)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events")
+    changes = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    transitions = changes.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return transitions.select(
+        "user_id", "state", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )

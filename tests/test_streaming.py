@@ -352,3 +352,20 @@ def test_keyed_sink_roundtrip(spark):
     a = {r["trip_id"]: r["estimated_fare_amount"] for r in sample.collect()}
     b = {r["trip_id"]: r["estimated_fare_amount"] for r in parsed.collect()}
     assert a == b
+
+
+def test_stream_static_broadcast_enrichment(spark, replay_dir):
+    """Stream-static join: each micro-batch joins against a static
+    dimension with a per-batch broadcast — no streaming state, no
+    watermark required (inner stream-static joins are stateless), the
+    scale pattern for enriching a 100 TB/day stream with reference
+    data. Every replayed event must pick up exactly one dim row."""
+    static = spark.createDataFrame(
+        [("trip_start", "pickup"), ("trip_end", "dropoff")],
+        "data_type string, leg string",
+    )
+    events = stream_trip_events(spark, replay_dir)
+    enriched = events.join(F.broadcast(static), "data_type")
+    got = _run_stream(spark, enriched, "stream_static_enriched")
+    legs = {r["leg"]: r["n"] for r in got.groupBy("leg").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert legs == {"pickup": 4999, "dropoff": 4999}
