@@ -357,3 +357,64 @@ def embedding_centroids(spark, sf_dir):
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+@declare(
+    "stratified_sample",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 1000 AS bucket
+      FROM events),
+    rates AS (SELECT * FROM (VALUES ('purchase', 500), ('view', 100))
+              AS t(event_type, keep_below)),
+    s AS (SELECT b.event_type, b.value
+          FROM b JOIN rates r ON r.event_type = b.event_type
+          WHERE b.bucket < r.keep_below)
+    SELECT event_type, COUNT(*) AS sampled, ROUND(SUM(value), 6) AS sampled_value
+    FROM s GROUP BY event_type
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling (the training-data analog of
+    ``sampleBy`` without RNG state): each stratum gets its own keep
+    rate, membership decided by an md5 bucket of the row key — stable
+    under reprocessing and across engines, which `rand()`-based
+    sampling is not. The rate table is a broadcast literal; the filter
+    is map-side, so at 100 TB the sample never shuffles at all until
+    the final tiny aggregate."""
+    e = table(spark, sf_dir, "events")
+    rates = spark.createDataFrame(
+        [("purchase", 500), ("view", 100)], "rate_type string, keep_below int"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+    return (
+        e.withColumn("bucket", bucket)
+        .join(F.broadcast(rates), F.col("event_type") == F.col("rate_type"))
+        .filter(F.col("bucket") < F.col("keep_below"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("sampled"),
+            F.round(F.sum("value"), 6).alias("sampled_value"),
+        )
+    )
+
+
+@declare("approx_fare_percentiles", oracle=None)  # rows-only: sketch results are engine-specific
+def approx_fare_percentiles(spark, sf_dir):
+    """Quantile sketch per event type: percentile_approx (Greenwald-
+    Khanna in Spark) with accuracy 10000 — the mergeable-sketch path
+    that replaces exact sort-based percentiles at 100 TB (exact
+    quantiles need a full sort or two passes; sketches merge map-side
+    like any algebraic aggregate). Engine-specific values → rows-only
+    gate; tests/test_operators.py pins the estimates within 1% relative
+    error of the exact quantiles."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
