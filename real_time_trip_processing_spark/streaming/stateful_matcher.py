@@ -129,3 +129,96 @@ def stateful_match(events: DataFrame, watermark: str = "24 hours") -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --- Spark 4 transformWithState variant ------------------------------------
+#
+# Same state machine on the successor API (SPARK-46815 "Arbitrary State
+# API v2"): object-oriented processor, named state slots, explicit
+# per-key timers, and state-schema evolution support. Requires the
+# RocksDB state store provider (the test sets it) and the `protobuf`
+# package at runtime (Spark's TWS python worker imports it; the test
+# skips where it's absent); semantics are identical to
+# `stateful_match` above and to the stream-stream join.
+
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle  # noqa: E402
+
+
+class _TripMatchProcessor(StatefulProcessor):
+    """Per-trip first-match-wins pairing with event-time eviction."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._pair = handle.getValueState("pair", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (trip_id,) = key
+        start_us, start_rid, end_us, end_fare, end_rid = (
+            tuple(self._pair.get())
+            if self._pair.exists()
+            else (-1, None, -1, None, None)
+        )
+        for pdf in rows:
+            pdf = pdf.sort_values(["event_time", "record_id"], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                if row.data_type == "trip_start" and start_us < 0:
+                    start_us, start_rid = _us(row.pickup_datetime), row.record_id
+                elif row.data_type == "trip_end" and end_us < 0:
+                    end_us, end_fare, end_rid = (
+                        _us(row.dropoff_datetime),
+                        float(row.fare_amount),
+                        row.record_id,
+                    )
+        if start_us >= 0 and end_us >= 0:
+            self._pair.clear()
+            yield pd.DataFrame(
+                {
+                    "trip_id": [trip_id],
+                    "pickup_datetime": [pd.Timestamp(start_us * 1000)],
+                    "dropoff_datetime": [pd.Timestamp(end_us * 1000)],
+                    "fare_amount": [end_fare],
+                    "record_id": [start_rid],
+                    "end_record_id": [end_rid],
+                    "data_type": ["completed_trip"],
+                    "status": ["completed"],
+                }
+            )
+        else:
+            self._pair.update((start_us, start_rid, end_us, end_fare, end_rid))
+            self._handle.registerTimer(
+                timerValues.getCurrentWatermarkInMs() + 3_600_000
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        self._pair.clear()
+        return iter([])
+
+    def close(self) -> None:
+        pass
+
+
+def tws_match(events: DataFrame, watermark: str = "24 hours") -> DataFrame:
+    """`stateful_match` on transformWithStateInPandas (Spark 4 API v2).
+
+    Identical contract: interleaved TRIP_EVENT stream in, one completed
+    record per matched trip out, unmatched state evicted one hour past
+    the watermark by a per-key timer instead of a GroupState timeout.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = events.withColumn(
+        "event_time", F.coalesce("pickup_datetime", "dropoff_datetime")
+    ).withWatermark("event_time", watermark)
+    return (
+        keyed.select(
+            "trip_id", "data_type", "event_time",
+            "pickup_datetime", "dropoff_datetime", "fare_amount", "record_id",
+        )
+        .groupBy("trip_id")
+        .transformWithStateInPandas(
+            _TripMatchProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )

@@ -369,3 +369,37 @@ def test_stream_static_broadcast_enrichment(spark, replay_dir):
     got = _run_stream(spark, enriched, "stream_static_enriched")
     legs = {r["leg"]: r["n"] for r in got.groupBy("leg").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert legs == {"pickup": 4999, "dropoff": 4999}
+
+
+def test_tws_matcher(spark, replay_dir):
+    """The transformWithStateInPandas matcher (Spark 4 arbitrary-state
+    API v2, RocksDB-backed) reproduces the applyInPandasWithState
+    matcher's result exactly: one completed record per trip,
+    first-match-wins. Skipped where protobuf (a runtime dependency of
+    Spark's TWS python worker, not bundled in this container) is
+    absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from real_time_trip_processing_spark.streaming.stateful_matcher import (
+        tws_match,
+    )
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        events = stream_trip_events(spark, replay_dir, max_files_per_trigger=2)
+        completed = tws_match(events, watermark="24 hours")
+        out = _run_stream(spark, completed, "tws_completed")
+        assert out.count() == 4999
+        total = out.agg(F.sum("fare_amount")).collect()[0][0]
+        s, e = load_reference_trip_csvs(spark, DATA)
+        want = pipeline.daily_kpis(pipeline.match(s, e)).collect()[0]["total_fare"]
+        assert abs(total - want) < 1e-6
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
