@@ -452,3 +452,46 @@ def test_approx_percentiles_rank_error_bounded(spark):
             hi = bisect.bisect_right(vs, est) / n
             slack = 1.0 / 10000 + 1.0 / n
             assert lo - slack <= q <= hi + slack, (et, q, est, lo, hi, n)
+
+
+def test_compact_parquet_dir(spark, tmp_path):
+    """Compaction: 64 tiny files rewritten into the computed target
+    count with byte-identical content; clustered mode additionally
+    range-sorts so each output file covers a disjoint key range."""
+    from real_time_trip_processing_spark.operators.maintenance import (
+        compact_parquet_dir,
+        dir_bytes,
+    )
+    from real_time_trip_processing_spark.sources import table
+
+    src = str(tmp_path / "small_files")
+    events = table(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(64).write.parquet(src)
+    n_small = len([p for p in (tmp_path / "small_files").glob("*.parquet")])
+    assert n_small == 64
+
+    # target sized so everything fits in ONE file
+    dst = str(tmp_path / "compacted")
+    n = compact_parquet_dir(spark, src, dst, target_file_bytes=dir_bytes(spark, src) + 1)
+    assert n == 1
+    assert len([p for p in (tmp_path / "compacted").glob("*.parquet")]) == 1
+    assert spark.read.parquet(dst).orderBy("event_id").collect() == \
+        events.orderBy("event_id").collect()
+
+    # clustered rewrite: 4 files, disjoint user_id ranges
+    dst2 = str(tmp_path / "clustered")
+    n2 = compact_parquet_dir(
+        spark, src, dst2,
+        target_file_bytes=max(1, dir_bytes(spark, src) // 4),
+        cluster_by=["user_id"],
+    )
+    assert n2 >= 4
+    per_file = (
+        spark.read.parquet(dst2)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r["lo"], r["hi"]) for r in per_file)
+    for (prev_lo, prev_hi), (lo, hi) in zip(spans, spans[1:]):
+        assert prev_hi <= lo  # disjoint (boundary value may repeat)
