@@ -394,3 +394,117 @@ def event_state_history(spark, sf_dir):
         "user_id", "state", "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
     )
+
+
+@declare(
+    "kpi_15min",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def kpi_15min(spark, sf_dir):
+    """Hypertable-style sub-hour rollup: 15-minute tumbling buckets via
+    the same `window()` expression the streaming path uses — in batch
+    it folds to pure bucket arithmetic on the scan (no state), one
+    partial+final aggregate, so the continuous-aggregate pattern is a
+    single plan shared between batch backfill and live stream."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@declare(
+    "revenue_share_by_nation",
+    oracle="""
+    WITH nrev AS (
+      SELECT n.n_name AS nation,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name)
+    SELECT nation, ROUND(revenue, 6) AS revenue,
+           ROUND(100.0 * revenue / SUM(revenue) OVER (), 6) AS pct_of_total
+    FROM nrev
+    """,
+)
+def revenue_share_by_nation(spark, sf_dir):
+    """Ratio-to-report: each nation's share of global revenue. The
+    empty-frame window (SUM OVER ()) runs on the 25-row aggregate, not
+    the fact table — the only cost that scales is the one groupBy
+    shuffle; the single-partition window is constant-sized by
+    construction."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nrev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return nrev.select(
+        "nation",
+        F.round("revenue", 6).alias("revenue"),
+        F.round(100.0 * F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "pct_of_total"
+        ),
+    )
+
+
+@declare(
+    "outlier_events",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - s.mu) / s.sigma, 6) AS zscore
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE ABS(e.value - s.mu) > 3 * s.sigma
+    """,
+)
+def outlier_events(spark, sf_dir):
+    """Data-quality screen: events beyond 3 sigma of their type's
+    distribution. Per-type moments aggregate to a handful of rows that
+    broadcast back onto the scan — two passes over the fact but zero
+    fact-table shuffles; the z-score filter is map-side. (A windowed
+    formulation would shuffle the full table by a 5-value key — the
+    skew worst case.)"""
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    return (
+        e.join(F.broadcast(stats), e.event_type == F.col("s_type"))
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "zscore"
+            ),
+        )
+    )
