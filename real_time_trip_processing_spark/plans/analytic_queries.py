@@ -508,3 +508,47 @@ def outlier_events(spark, sf_dir):
             ),
         )
     )
+
+
+@declare(
+    "user_day_bookends",
+    oracle="""
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+           FIRST_VALUE(value) OVER w AS first_value_of_day,
+           LAST_VALUE(value) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND UNBOUNDED FOLLOWING)
+             AS last_value_of_day,
+           NTH_VALUE(value, 2) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING)
+             AS second_value_of_day
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                 ORDER BY ts, event_id)
+    """,
+)
+def user_day_bookends(spark, sf_dir):
+    """Bookend analytics: first/last/second event value of each user's
+    day — the remaining analytic functions (first_value, last_value,
+    nth_value) on an explicitly unbounded frame (last/nth need the full
+    frame; the default RANGE..CURRENT ROW frame would silently return
+    the running last). One window exchange on (user, day), then a
+    DISTINCT that reuses the same keys, so AQE plans it without a
+    second wide shuffle."""
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", day.alias("day")).orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            day.alias("day"),
+            F.first_value("value").over(w).alias("first_value_of_day"),
+            F.last_value("value").over(full).alias("last_value_of_day"),
+            F.nth_value("value", 2).over(full).alias("second_value_of_day"),
+        )
+        .distinct()
+    )
