@@ -449,3 +449,39 @@ def tfidf_top_terms(spark, sf_dir):
     return top.select(
         "lang", "term", "score", F.col("rank").cast("long").alias("rank")
     )
+
+
+@declare(
+    "dup_rate_by_source",
+    oracle="""
+    SELECT source, COUNT(*) AS docs,
+           COUNT(DISTINCT sha256(lower(trim(text)))) AS distinct_docs,
+           ROUND(100.0 * (COUNT(*) - COUNT(DISTINCT sha256(lower(trim(text)))))
+                 / COUNT(*), 6) AS dup_pct
+    FROM documents GROUP BY source
+    """,
+)
+def dup_rate_by_source(spark, sf_dir):
+    """Corpus-quality report: exact-duplicate rate per source — the
+    number a crawl pipeline watches to decide which feeds to throttle.
+    The distinct count runs on 32-byte content hashes, not bodies, so
+    the two-phase distinct expansion shuffles hashes only; text never
+    leaves the first stage."""
+    d = table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    return (
+        d.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.countDistinct("h").alias("distinct_docs"),
+        )
+        .select(
+            "source",
+            "docs",
+            "distinct_docs",
+            F.round(
+                100.0 * (F.col("docs") - F.col("distinct_docs")) / F.col("docs"), 6
+            ).alias("dup_pct"),
+        )
+    )
