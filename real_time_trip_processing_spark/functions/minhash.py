@@ -63,7 +63,7 @@ def minhash_lsh_pairs(
         shingle_rows(docs, n, id_col, text_col)
         .dropDuplicates(["doc", "sh"])
         .select("doc", F.xxhash64("sh").alias("h"))
-        .withColumn("h31", F.shiftright("h", 33))
+        .withColumn("h31", F.shiftrightunsigned("h", 33))
     )
 
     # one shuffle on doc: 32 min-aggregates (signature) + the hashed

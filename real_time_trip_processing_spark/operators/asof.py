@@ -39,15 +39,28 @@ def asof_join(
     the payload tuple.
     """
     lt = left.withColumn("__tag", F.lit(1))
-    rt = right.select(key, ts, *payload_cols).withColumn("__tag", F.lit(0))
-    u = lt.unionByName(rt, allowMissingColumns=True)
+    # pack the payload into ONE struct so last(..., ignorenulls) carries
+    # the latest right row atomically — per-column lasts could stitch
+    # fields from different right rows when payload columns hold nulls
+    rt = (
+        right.select(key, ts, *payload_cols)
+        .withColumn("__p", F.struct(*payload_cols))
+        .drop(*payload_cols)
+        .withColumn("__tag", F.lit(0))
+    )
+    u = lt.drop(*[c for c in payload_cols if c in left.columns]).unionByName(
+        rt, allowMissingColumns=True
+    )
     # right rows (tag 0) sort before left rows at equal ts → inclusive
-    # match; payload cols break exact right-side ties deterministically
+    # match; the payload struct breaks exact right-side ties
+    # deterministically (struct ordering is field-wise lexicographic)
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "__tag", *payload_cols)
+        .orderBy(ts, "__tag", "__p")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in payload_cols:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.withColumn("__p", F.last("__p", ignorenulls=True).over(w))
+    u = u.select(
+        "*", *[F.col(f"__p.{c}").alias(c) for c in payload_cols]
+    ).drop("__p")
     return u.filter(F.col("__tag") == 1).drop("__tag")

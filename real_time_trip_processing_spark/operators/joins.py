@@ -57,11 +57,15 @@ def merge_events(starts: DataFrame, ends: DataFrame, key: str) -> DataFrame:
     s, e = starts.alias("__s"), ends.alias("__e")
     start_cols = list(starts.columns)
     end_cols = [c for c in ends.columns if c != key]
-    collisions = {c for c in end_cols if c in start_cols}
+    # the reference exempts trip_id/data_type from the end_ collision
+    # rename (lambda2.py:101) — data_type is overwritten in place and
+    # then forced to 'completed_trip', so no end_data_type column exists
+    collisions = {c for c in end_cols if c in start_cols and c != "data_type"}
     projection = [F.col(f"__s.{c}").alias(c) for c in start_cols]
     projection += [
         F.col(f"__e.{c}").alias(f"end_{c}" if c in collisions else c)
         for c in end_cols
+        if not (c == "data_type" and c in start_cols)
     ]
     joined = s.join(e, on=F.col(f"__s.{key}") == F.col(f"__e.{key}"), how="inner")
     out = joined.select(*projection)

@@ -63,11 +63,14 @@ def merge_events_streaming(s: DataFrame, e: DataFrame, key: str, cond) -> DataFr
     s_a, e_a = s.alias("__s"), e.alias("__e")
     start_cols = list(s.columns)
     end_cols = [c for c in e.columns if c != key]
-    collisions = {c for c in end_cols if c in start_cols}
+    # same exemption as the batch merge: data_type never gets the end_
+    # prefix (lambda2.py:101) — it is forced to 'completed_trip' below
+    collisions = {c for c in end_cols if c in start_cols and c != "data_type"}
     projection = [F.col(f"__s.{c}").alias(c) for c in start_cols]
     projection += [
         F.col(f"__e.{c}").alias(f"end_{c}" if c in collisions else c)
         for c in end_cols
+        if not (c == "data_type" and c in start_cols)
     ]
     out = s_a.join(e_a, on=cond, how="inner").select(*projection)
     if "data_type" in out.columns:

@@ -9,6 +9,7 @@ The document shape is reproduced exactly:
 
 from __future__ import annotations
 
+import calendar
 import time
 
 from pyspark.sql import DataFrame, functions as F
@@ -52,9 +53,11 @@ def write_report(report: DataFrame, base_path: str, now: time.struct_time | None
     (reference scripts/glue_scripts.py:16-24) and overwrite
     ``daily_kpis/latest/`` (scripts/glue_scripts.py:237-250)."""
     t = now or time.gmtime()
+    # t is a UTC struct_time → timegm, not mktime (mktime would shift the
+    # epoch prefix by the host's UTC offset / DST)
     dated = (
         f"{base_path}/daily_kpis/{t.tm_year:04d}/{t.tm_mon:02d}/{t.tm_mday:02d}/"
-        f"{int(time.mktime(t))}-daily_trip_kpis"
+        f"{calendar.timegm(t)}-daily_trip_kpis"
     )
     latest = f"{base_path}/daily_kpis/latest"
     one = report.coalesce(1)
