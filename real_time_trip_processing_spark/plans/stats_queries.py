@@ -404,17 +404,52 @@ def stratified_sample(spark, sf_dir):
     )
 
 
-@declare("approx_fare_percentiles", oracle=None)  # rows-only: sketch results are engine-specific
+@declare(
+    "approx_fare_percentiles",
+    oracle="""
+    SELECT event_type, COUNT(value) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_fare_percentiles(spark, sf_dir):
     """Quantile sketch per event type: percentile_approx (Greenwald-
     Khanna in Spark) with accuracy 10000 — the mergeable-sketch path
     that replaces exact sort-based percentiles at 100 TB (exact
     quantiles need a full sort or two passes; sketches merge map-side
-    like any algebraic aggregate). Engine-specific values → rows-only
-    gate; tests/test_operators.py pins the estimates within 1% relative
-    error of the exact quantiles."""
-    e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
-        F.count(F.lit(1)).cast("long").alias("n"),
+    like any algebraic aggregate).
+
+    Sketch values are engine-specific, but the GK *guarantee* is not:
+    the returned element's rank must sit within ±n/accuracy of the
+    target rank. The query verifies that guarantee exactly — it joins
+    the (broadcast-tiny) sketch output back to the data, counts rows
+    ≤/< each estimate, and emits one deterministic boolean per
+    percentile. The oracle computes the same group keys/counts exactly
+    and TRUE for each guarantee — so a sketch outside its error band
+    hash-mismatches."""
+    acc = 10000
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    apx = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], acc).alias("ps"),
+        F.count("value").alias("n"),
+    ).select(
+        "event_type", "n",
+        F.element_at("ps", 1).alias("q50"),
+        F.element_at("ps", 2).alias("q90"),
+        F.element_at("ps", 3).alias("q99"),
     )
+    j = e.join(F.broadcast(apx), "event_type")
+    aggs = [F.first("n").alias("n")]
+    for p, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+        aggs.append(F.sum((F.col("value") <= F.col(col)).cast("long")).alias(f"le_{col}"))
+        aggs.append(F.sum((F.col("value") < F.col(col)).cast("long")).alias(f"lt_{col}"))
+    chk = j.groupBy("event_type").agg(*aggs)
+    out_cols = [F.col("event_type"), F.col("n").cast("long").alias("n")]
+    for p, col in ((0.5, "q50"), (0.9, "q90"), (0.99, "q99")):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        slack = F.col("n") / acc + 1
+        ok = (F.col(f"le_{col}") >= target - slack) & (
+            F.col(f"lt_{col}") <= target + slack
+        )
+        out_cols.append(ok.alias(f"p{int(p * 100)}_ok"))
+    return chk.select(*out_cols)
