@@ -2,25 +2,56 @@
 trainer for the IVF index (`similarity.ivf_topk` notes that a trained
 codebook "drops in"; this trains it).
 
-Everything is DataFrame ops: assignment is a broadcast cross join +
-per-vector argmax (k is small — centroids always broadcast), the
-update step is posexplode → (cluster, dim) partial means → array
-rebuild. Per iteration: ONE shuffle of (k × dim) partial sums, never
-of the vectors themselves. `localCheckpoint` truncates lineage so the
-plan doesn't grow with iterations (same discipline as
-operators/graph.py connected components).
+Scale shape (the one that survives 100 TB of vectors):
+- the codebook is DRIVER-RESIDENT: k × dim scalars (k ≤ a few hundred)
+  collected once per iteration — the same discipline as Spark MLlib's
+  KMeans, whose per-iteration `collect()` of cluster centers is the
+  canonical pattern for iterative refinement;
+- assignment scores all k centroids WITHIN one row: the centroids are
+  an array *literal* in the projection, so assignment is a map-side
+  `transform` + argmax — zero extra rows, zero shuffle, and the
+  embedding column never enters an exchange (pinned by
+  tests/test_plan_shapes.py::test_kmeans_assignment_no_vector_shuffle);
+- the update step shuffles only (k × dim) partial sums (posexplode →
+  per-(cluster, dim) means). Per iteration the ONLY shuffle is that
+  k × dim aggregate — never the vectors themselves;
+- no lineage growth: every iteration's plan starts fresh from the
+  corpus scan plus new literals, so no checkpointing is needed.
 
 Deterministic by construction: init = the k lowest-id vectors, cosine
 ties break toward the lower centroid id — re-running on the same data
-yields the same codebook, which is what makes the rows-only driver
-check and the unit tests meaningful.
+yields the same codebook up to float-summation order in the means
+(which is why the declared `kmeans_codebook` query asserts structural
+invariants rather than centroid bits).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .similarity import cosine
+from .similarity import CentroidRows, nearest_centroid
+
+
+def assign_clusters(
+    vecs: DataFrame,
+    centroids: CentroidRows | DataFrame,
+    vec_col: str = "v",
+) -> DataFrame:
+    """Nearest-centroid assignment: a pure map-side projection — every
+    centroid is scored inside the row, so no exchange ever carries the
+    vector column (the k-fold candidate blow-up of a join-based
+    assignment is gone entirely). Accepts the codebook as driver rows
+    or as a k-row (cent_id, centroid) DataFrame (collected — k × dim
+    scalars)."""
+    if isinstance(centroids, DataFrame):
+        centroids = [
+            (int(r["cent_id"]), list(r["centroid"])) for r in centroids.collect()
+        ]
+    return vecs.select(
+        "vid",
+        F.col(vec_col).alias(vec_col),
+        nearest_centroid(F.col(vec_col), centroids).alias("cent_id"),
+    )
 
 
 def _rebuild(assigned: DataFrame) -> DataFrame:
@@ -40,27 +71,30 @@ def _rebuild(assigned: DataFrame) -> DataFrame:
     )
 
 
-def assign_clusters(
-    vecs: DataFrame, centroids: DataFrame, vec_col: str = "v"
-) -> DataFrame:
-    """Nearest-centroid assignment by cosine, ties to the lower
-    cent_id. One broadcast pass; the per-vector argmax is a max_by
-    aggregate on the vector id — no window, no sort."""
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        "vid",
-        vec_col,
-        "cent_id",
-        cosine(F.col(vec_col), F.col("centroid")).alias("cs"),
+def kmeans_fit_rows(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> CentroidRows:
+    """Train a k-centroid codebook; returns the driver-side rows
+    (cent_id, centroid). Empty clusters keep their previous centroid.
+
+    Each iteration moves k × dim doubles to the driver and k × dim
+    literals back into the next plan — the corpus itself never moves.
+    """
+    vecs = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     )
-    return (
-        scored.groupBy("vid")
-        .agg(
-            F.max_by(
-                "cent_id", F.struct(F.col("cs"), -F.col("cent_id"))
-            ).alias("cent_id"),
-            F.first(vec_col).alias(vec_col),
-        )
-    )
+    init = vecs.orderBy("vid").limit(k).collect()
+    centroids: CentroidRows = [(i, list(r["v"])) for i, r in enumerate(init)]
+    for _ in range(iters):
+        assigned = assign_clusters(vecs, centroids)
+        updated = {r["cent_id"]: list(r["centroid"]) for r in _rebuild(assigned).collect()}
+        centroids = [(cid, updated.get(cid, old)) for cid, old in centroids]
+    return centroids
 
 
 def kmeans_fit(
@@ -70,34 +104,10 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Train a k-centroid codebook; returns (cent_id int, centroid
-    array<double>). Empty clusters keep their previous centroid."""
-    vecs = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
+    """DataFrame flavor of `kmeans_fit_rows`: (cent_id int, centroid
+    array<double>), k rows."""
+    rows = kmeans_fit_rows(emb, k, iters, id_col, vec_col)
+    spark = SparkSession.getActiveSession() or emb.sparkSession
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in rows], "cent_id INT, centroid ARRAY<DOUBLE>"
     )
-    w = Window.orderBy("vid")
-    centroids = (
-        vecs.orderBy("vid")
-        .limit(k)
-        .select(
-            (F.row_number().over(w) - 1).alias("cent_id"),
-            F.col("v").alias("centroid"),
-        )
-        .localCheckpoint()
-    )
-    for _ in range(iters):
-        assigned = assign_clusters(vecs, centroids)
-        updated = _rebuild(assigned)
-        centroids = (
-            centroids.alias("old")
-            .join(updated.alias("new"), "cent_id", "left")
-            .select(
-                "cent_id",
-                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias(
-                    "centroid"
-                ),
-            )
-            .localCheckpoint()
-        )
-    return centroids

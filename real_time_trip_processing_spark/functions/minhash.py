@@ -53,18 +53,38 @@ def minhash_lsh_pairs(
     threshold: float = 0.2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    det: bool = False,
 ) -> DataFrame:
     """Near-dup pairs (a, b, inter, jaccard) via MinHash-LSH candidates
-    + exact-Jaccard verification on the hashed shingle sets."""
+    + exact-Jaccard verification on the hashed shingle sets.
+
+    ``det=False`` (default): xxhash64 shingle hashing + xxhash64 band
+    keys — the cheapest flavor for production runs. ``det=True``: the
+    shingle hash is the top 60 bits of md5 and band keys are plain
+    signature-value strings — ~same plan, marginally more CPU, but
+    every intermediate is reproducible in ANY engine with md5, which is
+    what lets the DuckDB oracle replay the whole LSH pipeline and
+    hash-match the declared query (plans/vector_queries.py)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
-    sh_rows = (
-        shingle_rows(docs, n, id_col, text_col)
-        .dropDuplicates(["doc", "sh"])
-        .select("doc", F.xxhash64("sh").alias("h"))
-        .withColumn("h31", F.shiftrightunsigned("h", 33))
-    )
+    if det:
+        # 15 hex chars = 60 bits → always fits BIGINT; h31 by modulus
+        # keeps universal-hash arithmetic under 2^62 (ANSI-safe)
+        h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+        sh_rows = (
+            shingle_rows(docs, n, id_col, text_col)
+            .dropDuplicates(["doc", "sh"])
+            .select("doc", h.alias("h"))
+            .withColumn("h31", F.col("h") % F.lit(2147483648))
+        )
+    else:
+        sh_rows = (
+            shingle_rows(docs, n, id_col, text_col)
+            .dropDuplicates(["doc", "sh"])
+            .select("doc", F.xxhash64("sh").alias("h"))
+            .withColumn("h31", F.shiftrightunsigned("h", 33))
+        )
 
     # one shuffle on doc: 32 min-aggregates (signature) + the hashed
     # shingle set for exact verification of candidates
@@ -74,13 +94,14 @@ def minhash_lsh_pairs(
         .persist()
     )
 
+    def band_key(b: int):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if det:
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols).cast("string")
+
     band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bh"),
-        )
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
         for b in range(bands)
     ]
     bucketed = sig.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(

@@ -6,6 +6,16 @@ Design for 100 TB:
   (query, candidate, score) and the planner's TakeOrdered/window-top-k
   keeps only k per query. Dot products run as built-in higher-order
   functions on double arrays — JVM-side, no Python.
+- IVF / k-means assignment: the codebook is k × dim scalars — it rides
+  into the plan as an array LITERAL and every centroid is scored inside
+  the row (transform + argmax). No join, no extra rows, and no exchange
+  ever carries an embedding column (pinned by
+  tests/test_plan_shapes.py::test_kmeans_assignment_no_vector_shuffle).
+- SRP-LSH near-dup: sign-random-projections over integer-quantized
+  vectors with ±1 planes derived from md5 — pure integer arithmetic,
+  so the whole bucketing pipeline is order-independent and replayable
+  bit-for-bit by the DuckDB oracle (declared queries go hash-green,
+  not rows-only).
 - n-gram Jaccard near-dup: inverted-index self-join (explode shingles →
   equi-join on shingle → count per pair) instead of the O(n²) cross
   join; doc-frequency capping bounds the worst-case bucket.
@@ -13,9 +23,14 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import shingle_rows
+
+#: (cent_id, vector) pairs, cent_id ascending — a driver-side codebook.
+CentroidRows = list[tuple[int, list[float]]]
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -82,10 +97,10 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
-    Exact all-pairs flavor — the correctness reference. At corpus scale
-    the pair space must be pruned first (sign-random-projection buckets,
-    i.e. SimHash-for-vectors, or the IVF buckets below); this exact form
-    is what those candidates are verified against.
+    Exact all-pairs flavor — the correctness/recall reference that the
+    SRP-LSH scale path (`srp_near_dup`) is verified against in tests.
+    O(n²): NOT a declared query shape at corpus scale — keep it on
+    samples and test fixtures.
     """
     a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"))
@@ -98,6 +113,58 @@ def embedding_near_dup(
     )
 
 
+def _centroid_literals(rows: CentroidRows) -> tuple[Column, Column]:
+    """The codebook as two array literals: vectors (cent_id-ascending)
+    and the matching cent_id array."""
+    rows = sorted(rows, key=lambda r: r[0])
+    vec_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in rows]
+    )
+    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in rows])
+    return vec_arr, cid_arr
+
+
+def nearest_centroid(vec: Column, rows: CentroidRows) -> Column:
+    """cent_id of the nearest centroid by cosine, ties to the lower
+    cent_id — a single-row expression (no join, no shuffle). Scoring
+    uses the same sequential `cosine` fold as the exact queries, so
+    assignment agrees bit-for-bit with the SQL oracles' arithmetic."""
+    vec_arr, cid_arr = _centroid_literals(rows)
+    scores = F.transform(vec_arr, lambda c: cosine(vec, c))
+    # array_position returns the FIRST index of the max → lowest cent_id
+    return F.element_at(
+        cid_arr, F.array_position(scores, F.array_max(scores)).cast("int")
+    )
+
+
+def _resolve_centroids(
+    corpus: DataFrame,
+    codebook: DataFrame | CentroidRows | None,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> CentroidRows:
+    """Driver-side codebook rows from whichever form the caller holds.
+    Collecting is k × dim scalars — the codebook is driver-resident by
+    design (MLlib KMeans discipline); the corpus never moves."""
+    if codebook is None:
+        rows = (
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(
+                F.col(id_col).cast("int").alias("cent_id"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+            )
+            .collect()
+        )
+    elif isinstance(codebook, DataFrame):
+        rows = codebook.select(
+            F.col("cent_id").cast("int"), F.col("centroid").cast("array<double>")
+        ).collect()
+    else:
+        return list(codebook)
+    return [(int(r[0]), list(r[1])) for r in rows]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -106,59 +173,61 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    codebook: DataFrame | None = None,
+    codebook: DataFrame | CentroidRows | None = None,
 ) -> DataFrame:
     """X3 scale path: IVF-style approximate top-k cosine.
 
     Coarse quantizer: the first ``n_centroids`` vectors stand in for
-    k-means centroids by default; pass ``codebook`` — (cent_id,
-    centroid) from ``kmeans.kmeans_fit`` — to use a trained one (same
-    plan, better buckets). Every corpus vector is assigned to its
-    nearest centroid (one broadcast pass); each query probes its
-    ``nprobe`` nearest centroid buckets and scores only those vectors —
-    the scan cost drops from O(N) to O(N * nprobe / n_centroids) per
-    query, the standard IVF trade. Deterministic tie-breaks (centroid
-    id, candidate id) keep the result oracle-reproducible.
+    k-means centroids by default; pass ``codebook`` (from
+    ``kmeans.kmeans_fit``) to use a trained one (same plan, better
+    buckets). Scale shape:
+
+    - corpus→centroid assignment scores every centroid INSIDE the row
+      (centroid array literal + transform/argmax): a pure map-side
+      projection — no join, no window, and no exchange whose rows carry
+      the embedding column (the k-fold vector-shuffle of a join-based
+      assignment is gone);
+    - each query picks its ``nprobe`` nearest buckets the same way
+      (row-local sort of (−score, cent_id) structs), then the tiny
+      (queries × nprobe) probe table is broadcast against the assigned
+      corpus — the corpus streams through a map-side hash join keyed on
+      cent_id, scoring only O(N · nprobe / n_centroids) candidates;
+    - the only shuffle in the plan is the final per-query top-k window
+      over (query_id, cand_id, score) rows.
+
+    Deterministic tie-breaks (centroid id, candidate id) keep the
+    result oracle-reproducible.
     """
     from ..operators.sorts import topk_per_group
 
-    if codebook is not None:
-        centroids = codebook.select(
-            "cent_id", F.col("centroid").cast("array<double>").alias("cv")
-        )
-    else:
-        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).cast("array<double>").alias("cv"),
-        )
-    c = corpus.select(
+    rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
+    vec_arr, cid_arr = _centroid_literals(rows)
+
+    assigned = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
-    assigned = topk_per_group(
-        c.crossJoin(F.broadcast(centroids)).select(
-            "cand_id", "c_vec", "cent_id", cosine(F.col("c_vec"), F.col("cv")).alias("cs")
-        ),
-        ["cand_id"],
-        [F.desc("cs"), F.col("cent_id")],
-        1,
-    ).select("cand_id", "c_vec", "cent_id")
+    assigned = assigned.withColumn(
+        "cent_id", nearest_centroid(F.col("c_vec"), rows)
+    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
-    probes = topk_per_group(
-        q.crossJoin(F.broadcast(centroids)).select(
-            "query_id", "q_vec", "cent_id", cosine(F.col("q_vec"), F.col("cv")).alias("qs")
-        ),
-        ["query_id"],
-        [F.desc("qs"), F.col("cent_id")],
-        nprobe,
-    ).select("query_id", "q_vec", "cent_id")
+    probe_pairs = F.zip_with(
+        F.transform(vec_arr, lambda c: cosine(F.col("q_vec"), c)),
+        cid_arr,
+        lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
+    )
+    probes = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
+    ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
 
     scored = (
-        probes.join(assigned, "cent_id")
+        assigned.join(F.broadcast(probes), "cent_id")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -173,20 +242,77 @@ def ivf_topk(
     )
 
 
-def _srp_planes(num_bits: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random hyperplanes in [-1, 1) — splitmix64
-    bit-mix per (bit, coord), no RNG state, reproducible everywhere."""
-    planes = []
-    for i in range(num_bits):
-        row = []
-        for j in range(dim):
-            x = ((i * dim + j + 1) * 0x9E3779B97F4A7C15) % (1 << 64)
-            x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
-            x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
-            x ^= x >> 31
-            row.append((x / float(1 << 64)) * 2.0 - 1.0)
-        planes.append(row)
-    return planes
+#: quantization scale for the SRP integer path: six decimal digits keeps
+#: every |q| ≤ ~2^21 for unit-ish embeddings, so a dim-4096 signed dot
+#: still fits a BIGINT with > 2^20 headroom.
+SRP_QUANT = 1_000_000
+
+
+def srp_signs(num_bits: int, dim: int) -> list[list[int]]:
+    """±1 projection planes derived from md5(\"srp:bit:coord\") parity —
+    no RNG state, reproducible in any engine that has md5 (the DuckDB
+    oracle replays them exactly)."""
+    return [
+        [
+            1 if int(hashlib.md5(f"srp:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for j in range(dim)
+        ]
+        for i in range(num_bits)
+    ]
+
+
+def srp_buckets(
+    emb: DataFrame,
+    num_bits: int,
+    bands: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vid, band, bh) LSH bucket rows for sign-random-projection over
+    integer-quantized vectors.
+
+    Everything before the bucket rows is row-local: quantize → num_bits
+    integer dot products against ±1 plane literals → per-band bit
+    strings → explode. Integer sums are order-independent, which is
+    what makes the bucketing deterministic across engines and
+    partitionings (a float-plane SRP could flip a sign bit on
+    summation-order noise).
+
+    ``dim`` is a schema-level constant of the corpus and must be passed
+    in — constructing the plan triggers no Spark job.
+    """
+    assert num_bits % bands == 0
+    rows_per_band = num_bits // bands
+    signs = srp_signs(num_bits, dim)
+
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * SRP_QUANT).cast("long"),
+    )
+    v = emb.select(F.col(id_col).alias("vid"), qv.alias("qv"))
+
+    def bit_char(i: int) -> Column:
+        plane = F.array(*[F.lit(s) for s in signs[i]])
+        d = F.aggregate(
+            F.zip_with(F.col("qv"), plane, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(
+                *[bit_char(b * rows_per_band + r) for r in range(rows_per_band)]
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return v.select("vid", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "vid", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
 
 
 def srp_near_dup(
@@ -196,55 +322,19 @@ def srp_near_dup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding near-dup, LSH-bucketed: sign-random-projection
-    (SimHash-for-vectors) banding prunes the pair space, exact cosine
-    verifies candidates — output is a no-false-positive subset of
-    ``embedding_near_dup``; recall is tuned by bands/bits (collision
-    prob per bit = 1 - θ/π).
+    """Embedding near-dup, LSH-bucketed: sign-random-projection banding
+    prunes the pair space, exact cosine verifies candidates — output is
+    a no-false-positive subset of ``embedding_near_dup``; recall is
+    tuned by bands/bits (collision prob per bit = 1 − θ/π).
 
-    Scale shape: the projection is posexplode + broadcast join with the
-    (num_bits × dim) plane table + one hash aggregation — never a cross
-    join; candidate generation is a per-bucket self-join like MinHash
-    banding (functions/minhash.py).
+    Scale shape: signatures are computed row-locally (plane literals —
+    zero shuffle, no plan-time Spark job); candidate generation is a
+    per-(band, bits) bucket self-join like MinHash banding
+    (functions/minhash.py); only candidate pairs are exact-verified.
     """
-    assert num_bits % bands == 0
-    rows_per_band = num_bits // bands
-    spark = emb.sparkSession
-    dim = len(emb.select(vec_col).first()[0])
-
-    planes = spark.createDataFrame(
-        [
-            (i, j, w)
-            for i, row in enumerate(_srp_planes(num_bits, dim))
-            for j, w in enumerate(row)
-        ],
-        "bit INT, j INT, w DOUBLE",
-    )
-    v = emb.select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("j", "x"),
-    )
-    # one shuffle: num_bits partial sums per vector
-    signs = (
-        v.join(F.broadcast(planes), "j")
-        .groupBy("vid", "bit")
-        .agg(F.sum(F.col("x") * F.col("w")).alias("p"))
-        .select("vid", "bit", (F.col("p") >= 0).cast("int").alias("s"))
-    )
-    sig = signs.groupBy("vid").pivot("bit", list(range(num_bits))).agg(F.first("s"))
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col(str(b * rows_per_band + r)) for r in range(rows_per_band)]
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ]
-    bucketed = sig.select("vid", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "vid", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
-    )
+    bucketed = srp_buckets(emb, num_bits, bands, dim, id_col, vec_col)
     candidates = (
         bucketed.alias("l")
         .join(bucketed.alias("r"), ["band", "bh"])

@@ -1,12 +1,27 @@
-"""Extension queries over ``embeddings``: similarity search + MinHash-LSH
-near-dup (SURVEY §2.12, X2/X3)."""
+"""Extension queries over ``embeddings``/``documents``: similarity
+search, MinHash-LSH and SRP-LSH near-dup (SURVEY §2.12, X2/X3).
+
+Every query here is hash-adjudicable. The two LSH pipelines are built
+from engine-portable primitives (md5-derived hashes / ±1 planes,
+integer arithmetic) so the DuckDB oracles replay candidate generation
+*and* verification bit-for-bit; the two iterative queries (k-means,
+trained IVF) declare deterministic invariants (conservation, recall
+bands) whose oracle side is exactly computable.
+"""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.minhash import minhash_lsh_pairs
-from ..functions.similarity import cosine_topk, embedding_near_dup, ivf_topk
+from ..functions.minhash import _perm_constants, minhash_lsh_pairs
+from ..functions.similarity import (
+    SRP_QUANT,
+    cosine_topk,
+    ivf_topk,
+    srp_buckets,
+    srp_near_dup,
+    srp_signs,
+)
 from ..sources import table
 from .registry import declare
 
@@ -42,51 +57,179 @@ def sim_topk(spark, sf_dir):
     return top.withColumn("rank", F.col("rank").cast("long"))
 
 
-@declare("dedup_near_minhash", oracle=None)  # rows-only: LSH bucketing is not SQL-oracle-able
+def _minhash_oracle(
+    n: int = 3, num_perm: int = 32, bands: int = 8, threshold: float = 0.2
+) -> str:
+    """DuckDB replay of the ENTIRE deterministic MinHash-LSH pipeline:
+    same shingles, same md5-60-bit hashes, same universal-hash
+    signature constants (shared Python source: _perm_constants), same
+    band keys, same exact-Jaccard verification. Any drift anywhere in
+    the pipeline hash-mismatches the declared query."""
+    rpb = num_perm // bands
+    consts = _perm_constants(num_perm)
+    sig_aggs = ",\n            ".join(
+        f"MIN({a} * h31 + {b}) AS s{i}" for i, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(s{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh0 AS (
+      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+{n - 1}], ' ')
+                FOR i IN range(1, greatest(len(toks) - {n - 1}, 1) + 1)] AS sh_list
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t0) t1),
+    hd AS (SELECT DISTINCT doc,
+                  CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+           FROM sh0),
+    sig AS (SELECT doc, {sig_aggs}
+            FROM (SELECT doc, h % 2147483648 AS h31 FROM hd) GROUP BY doc),
+    bnd AS ({band_selects}),
+    cand AS (SELECT DISTINCT l.doc AS a, r.doc AS b
+             FROM bnd l JOIN bnd r
+               ON l.band = r.band AND l.bh = r.bh AND l.doc < r.doc),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM hd GROUP BY doc),
+    inter AS (SELECT c.a, c.b, COUNT(*) AS inter
+              FROM cand c
+              JOIN hd x ON x.doc = c.a
+              JOIN hd y ON y.doc = c.b AND y.h = x.h
+              GROUP BY c.a, c.b)
+    SELECT i.a, i.b, i.inter,
+           ROUND(i.inter / (sa.sz + sb.sz - i.inter), 8) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc = i.a
+    JOIN sizes sb ON sb.doc = i.b
+    WHERE i.inter / (sa.sz + sb.sz - i.inter) >= {threshold}
+    """
+
+
+@declare("dedup_near_minhash", oracle=_minhash_oracle())
 def dedup_near_minhash(spark, sf_dir):
     """X2 scale flavor: MinHash signatures over 3-gram shingles, banded
     LSH bucketing, exact-Jaccard verification of candidates only. The
     100 TB path: pair space is per-bucket, never O(n²); verified output
-    is a subset of dedup_near_shingle's exact answer."""
+    is a subset of dedup_near_shingle's exact answer.
+
+    Declared in the deterministic (md5-hash) flavor so the DuckDB
+    oracle can replay signatures, banding AND verification — the LSH
+    pipeline itself is hash-adjudicated, not just row-counted. The
+    xxhash64 flavor (det=False) is the same plan with a cheaper hash."""
     return minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
         n=3,
         num_perm=32,
         bands=8,
         threshold=0.2,
+        det=True,
     )
+
+
+def _srp_sql_ctes(num_bits: int = 16, bands: int = 8, dim: int = 64) -> str:
+    """Shared DuckDB CTE chain replaying srp_buckets exactly: integer
+    quantization, md5-parity ±1 planes (same Python source: srp_signs),
+    order-independent integer dots, per-band bit strings."""
+    rpb = num_bits // bands
+    signs = srp_signs(num_bits, dim)
+    values = ",".join(
+        f"({i},{j + 1},{s})" for i, row in enumerate(signs) for j, s in enumerate(row)
+    )
+    return f"""
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    q AS (SELECT vec_id, list_transform(vec,
+                 x -> CAST(round(x * {SRP_QUANT}.0) AS BIGINT)) AS qv FROM v),
+    ex AS (SELECT vec_id, unnest(qv) AS x, unnest(range(1, len(qv)+1)) AS j FROM q),
+    planes(bit, j, s) AS (VALUES {values}),
+    dots AS (SELECT e.vec_id, p.bit, SUM(e.x * p.s) AS d
+             FROM ex e JOIN planes p ON p.j = e.j GROUP BY e.vec_id, p.bit),
+    bks AS (SELECT vec_id, CAST(bit // {rpb} AS INT) AS band,
+                   string_agg(CASE WHEN d >= 0 THEN '1' ELSE '0' END,
+                              '' ORDER BY bit) AS bh
+            FROM dots GROUP BY vec_id, bit // {rpb})
+    """
 
 
 @declare(
     "dedup_near_embedding",
     oracle=f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         p AS (SELECT x.vec_id AS a, y.vec_id AS b,
-                      list_dot_product(x.vec, y.vec) /
-                      (sqrt(list_dot_product(x.vec, x.vec)) * sqrt(list_dot_product(y.vec, y.vec)))
-                        AS score
-               FROM v x JOIN v y ON x.vec_id < y.vec_id)
-    SELECT a, b, ROUND(score, 8) AS score FROM p WHERE score >= 0.4
+    WITH {_srp_sql_ctes()},
+    cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+             FROM bks l JOIN bks r
+               ON l.band = r.band AND l.bh = r.bh AND l.vec_id < r.vec_id),
+    s AS (SELECT a, b,
+                 list_dot_product(x.vec, y.vec) /
+                 (sqrt(list_dot_product(x.vec, x.vec)) *
+                  sqrt(list_dot_product(y.vec, y.vec))) AS score
+          FROM cand JOIN v x ON x.vec_id = a JOIN v y ON y.vec_id = b)
+    SELECT a, b, ROUND(score, 8) AS score FROM s WHERE score >= 0.4
     """,
 )
 def dedup_near_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs — exact all-pairs reference
-    flavor (the LSH/IVF bucket paths are verified against this). The
-    synthetic embeddings have no true duplicates (max pairwise cosine
-    ~0.51), so the threshold is set where pairs exist."""
-    return embedding_near_dup(table(spark, sf_dir, "embeddings"), threshold=0.4)
+    """Embedding near-dup — the SCALE path is the declared query:
+    sign-random-projection banding prunes the pair space, exact cosine
+    verifies candidates. No cross join anywhere; signatures are
+    row-local integer arithmetic, so the oracle replays the whole
+    pipeline (planes included) and hash-matches.
 
-
-@declare("dedup_near_embedding_lsh", oracle=None)  # rows-only: SRP bucketing not SQL-oracle-able
-def dedup_near_embedding_lsh(spark, sf_dir):
-    """Embedding near-dup scale path: sign-random-projection banding +
-    exact-cosine verification — a no-false-positive subset of
-    dedup_near_embedding (subset/recall pinned by unit test
-    tests/test_operators.py::test_srp_near_dup_subset)."""
-    from ..functions.similarity import srp_near_dup
-
+    The exact all-pairs form (functions/similarity.embedding_near_dup)
+    stays in tests as the recall/no-false-positive reference
+    (tests/test_operators.py::test_srp_near_dup_subset)."""
     return srp_near_dup(
-        table(spark, sf_dir, "embeddings"), num_bits=16, bands=8, threshold=0.4
+        table(spark, sf_dir, "embeddings"),
+        num_bits=16, bands=8, threshold=0.4, dim=64,
+    )
+
+
+@declare(
+    "dedup_near_embedding_lsh",
+    oracle=f"""
+    WITH {_srp_sql_ctes()},
+    per_band AS (SELECT band, COUNT(*) AS n_vectors,
+                        COUNT(DISTINCT bh) AS n_buckets
+                 FROM bks GROUP BY band),
+    pairs AS (SELECT l.band, COUNT(*) AS n_pairs
+              FROM bks l JOIN bks r
+                ON l.band = r.band AND l.bh = r.bh AND l.vec_id < r.vec_id
+              GROUP BY l.band)
+    SELECT pb.band, pb.n_vectors, pb.n_buckets,
+           COALESCE(p.n_pairs, 0) AS n_pairs
+    FROM per_band pb LEFT JOIN pairs p ON p.band = pb.band
+    """,
+)
+def dedup_near_embedding_lsh(spark, sf_dir):
+    """SRP-LSH bucket diagnostics — the tuning view every LSH deploy
+    needs: per band, how many distinct buckets and how many candidate
+    pairs the band contributes (the band-level cost/recall dial).
+    Deterministic end-to-end (integer signatures), so bucket structure
+    itself is hash-adjudicated against the oracle's replay."""
+    bucketed = srp_buckets(
+        table(spark, sf_dir, "embeddings"), num_bits=16, bands=8, dim=64
+    )
+    per_band = bucketed.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("bh").alias("n_buckets"),
+    )
+    pairs = (
+        bucketed.alias("l")
+        .join(bucketed.alias("r"), ["band", "bh"])
+        .filter(F.col("l.vid") < F.col("r.vid"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return (
+        per_band.join(pairs, "band", "left")
+        .select(
+            "band", "n_vectors", "n_buckets",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+        )
     )
 
 
@@ -123,8 +266,9 @@ _IVF_COS = lambda x, y: (  # noqa: E731
 )
 def sim_ivf_topk(spark, sf_dir):
     """X3 scale path: IVF-style ANN — coarse-quantize the corpus into
-    centroid buckets, probe only the nprobe nearest buckets per query.
-    Scan cost per query drops O(N) → O(N·nprobe/n_centroids)."""
+    centroid buckets (row-local argmax over the centroid literal —
+    zero shuffle of vectors), probe only the nprobe nearest buckets per
+    query. Scan cost per query drops O(N) → O(N·nprobe/n_centroids)."""
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5),
                     k=3, n_centroids=16, nprobe=4)
@@ -194,41 +338,99 @@ def embedding_quantize_int8(spark, sf_dir):
     )
 
 
-@declare("sim_ivf_topk_trained")
+@declare(
+    "sim_ivf_topk_trained",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
 def sim_ivf_topk_trained(spark, sf_dir):
-    """X3 full scale path: IVF probing over a TRAINED codebook (k-means,
-    functions/kmeans.py) instead of the first-k quantizer — the exact
-    pipeline a production vector index runs (train → assign → probe).
-    Iterative training isn't SQL-expressible → rows-only check; recall
-    vs the exact `sim_topk` is asserted in
-    tests/test_operators.py::test_ivf_trained_recall."""
-    from ..functions.kmeans import kmeans_fit
-    from ..functions.similarity import ivf_topk
+    """X3 full scale path: IVF probing over a TRAINED codebook
+    (k-means, functions/kmeans.py) instead of the first-k quantizer —
+    the exact pipeline a production vector index runs (train → assign →
+    probe).
+
+    Training is an iterative float fixpoint (mean-summation order makes
+    centroid low bits engine/run-specific), so the declared result is
+    the deterministic CONTRACT of the index: every probe returns
+    exactly k results whose recall@k against the exact brute-force
+    top-k (computed side-by-side in the same plan) clears ⅔. The
+    oracle computes the contract exactly; an index whose recall
+    degrades hash-mismatches. Measured recall on this corpus is 1.0
+    (tests/test_operators.py::test_ivf_trained_recall)."""
+    from ..functions.kmeans import kmeans_fit_rows
 
     emb = table(spark, sf_dir, "embeddings")
-    cb = kmeans_fit(emb, k=8, iters=2)
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=3, nprobe=3, codebook=cb
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = kmeans_fit_rows(emb, k=8, iters=2)
+    ivf = ivf_topk(emb, queries, k=3, nprobe=3, codebook=cb).select(
+        "query_id", "cand_id"
+    )
+    exact = cosine_topk(emb, queries, k=3).select("query_id", "cand_id")
+    hits = (
+        ivf.join(exact, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    return (
+        per_q.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_results").cast("long").alias("n_results"),
+            (F.coalesce(F.col("hits"), F.lit(0)) >= 2).alias("recall_ok"),
+        )
     )
 
 
-@declare("kmeans_codebook")
+@declare(
+    "kmeans_codebook",
+    oracle="""
+    SELECT CAST(8 AS BIGINT) AS k, TRUE AS dims_ok,
+           COUNT(*) AS points_total, TRUE AS improved
+    FROM embeddings
+    """,
+)
 def kmeans_codebook(spark, sf_dir):
     """IVF codebook training: 3 Lloyd's iterations, k=8, deterministic
     init (functions/kmeans.py) — the one genuinely iterative vector
-    algorithm, like dedup_canonical_docs for graphs. Not SQL-expressible
-    (iterative fixpoint) → rows-only driver check; the convergence math
-    is pinned by tests/test_operators.py::test_kmeans_converges. Output
-    long-form (cent_id, pos, val) so schema and count (k × dim) are
-    stable."""
-    from ..functions.kmeans import kmeans_fit
+    algorithm, like dedup_canonical_docs for graphs.
 
+    Centroid float bits depend on mean-summation order, so the declared
+    result asserts the training INVARIANTS that are deterministic:
+    codebook size k, centroid dimensionality, conservation (every
+    vector assigned exactly once — points_total is hash-matched against
+    the oracle's exact count), and that training improved the objective
+    (mean best-cosine ≥ init's, computed side-by-side in one pass).
+    Convergence math is pinned by
+    tests/test_operators.py::test_kmeans_converges."""
+    from ..functions.kmeans import kmeans_fit_rows
+    from ..functions.similarity import _centroid_literals, cosine
+
+    k, dim = 8, 64
     emb = table(spark, sf_dir, "embeddings")
-    cb = kmeans_fit(emb, k=8, iters=3)
-    return cb.select(
-        "cent_id", F.posexplode("centroid").alias("pos", "val")
-    ).select("cent_id", F.col("pos").cast("long").alias("pos"),
-             F.round("val", 6).alias("val"))
+    init = kmeans_fit_rows(emb, k=k, iters=0)
+    fin = kmeans_fit_rows(emb, k=k, iters=3)
+    dims_ok = len(fin) == k and all(len(vec) == dim for _, vec in fin)
+
+    vecs = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+    def best(rows):
+        vec_arr, _ = _centroid_literals(rows)
+        return F.array_max(F.transform(vec_arr, lambda c: cosine(F.col("v"), c)))
+
+    agg = vecs.agg(
+        F.count(F.lit(1)).alias("points_total"),
+        F.avg(best(init)).alias("obj_init"),
+        F.avg(best(fin)).alias("obj_fin"),
+    )
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        F.lit(dims_ok).alias("dims_ok"),
+        F.col("points_total").cast("long").alias("points_total"),
+        (F.col("obj_fin") >= F.col("obj_init") - F.lit(1e-9)).alias("improved"),
+    )
 
 
 @declare(

@@ -179,3 +179,52 @@ def test_q22_anti_join(spark):
     plan = plan_of(spark, "idle_rich_customers")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_kmeans_assignment_no_vector_shuffle(spark):
+    """Cluster assignment scores every centroid inside the row: the
+    plan is a pure projection — zero exchanges, zero joins — so no
+    shuffle ever carries the embedding column (the k-fold vector
+    blow-up of a join-based assignment can't exist)."""
+    from real_time_trip_processing_spark.functions.kmeans import assign_clusters
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    vecs = emb.selectExpr("vec_id AS vid", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    rows = [(i, [float(j == i) for j in range(64)]) for i in range(4)]
+    df = assign_clusters(vecs, rows)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_ivf_no_exchange_carries_vectors(spark):
+    """sim_ivf_topk: the corpus never shuffles — assignment is
+    row-local, the probe table is the broadcast side, and the only
+    hash-partitioned exchange is the final per-query top-k over
+    (query_id, cand_id, score)."""
+    plan = plan_of(spark, "sim_ivf_topk")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # every shuffle exchange must be the compact scored-rows one: no
+    # exchange argument list may mention a vector column
+    for m in re.finditer(r"\n\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        cols = m.group(1)
+        assert "c_vec" not in cols and "q_vec" not in cols, plan
+
+
+def test_srp_plan_builds_without_spark_job(spark):
+    """srp_near_dup takes dim as a parameter — constructing the plan
+    must trigger no Spark job (the round-1 shape ran a .first() per
+    construction)."""
+    from real_time_trip_processing_spark.functions.similarity import srp_near_dup
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    df = srp_near_dup(emb, num_bits=8, bands=4, threshold=0.4, dim=64)
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == len(before), "plan construction ran a Spark job"
+    assert df.columns == ["a", "b", "score"]
