@@ -60,7 +60,14 @@ def write_report(report: DataFrame, base_path: str, now: time.struct_time | None
         f"{calendar.timegm(t)}-daily_trip_kpis"
     )
     latest = f"{base_path}/daily_kpis/latest"
-    one = report.coalesce(1)
-    one.write.mode("overwrite").json(dated)
-    one.write.mode("overwrite").json(latest)
+    # persist so the one-row document is computed ONCE and both writes
+    # emit identical bytes (generated_at/current_timestamp would
+    # otherwise re-evaluate per write; the reference uploads the same
+    # serialized document to both paths, glue_scripts.py:237-250)
+    one = report.coalesce(1).persist()
+    try:
+        one.write.mode("overwrite").json(dated)
+        one.write.mode("overwrite").json(latest)
+    finally:
+        one.unpersist()
     return dated

@@ -83,3 +83,31 @@ def test_report_document(spark, tmp_path):
     assert len(doc["daily_kpis"]) == 1
     row = doc["daily_kpis"][0]
     assert row["pickup_date"] == "2024-05-25" and row["trip_count"] == 4999
+
+
+def test_report_latest_equals_dated(spark, tmp_path):
+    """S7 nuance: the `latest/` overwrite carries byte-identical
+    document content to the newest dated report (the reference uploads
+    the SAME serialized document to both paths,
+    scripts/glue_scripts.py:237-250) — in particular generated_at /
+    generated_timestamp must not re-evaluate between the two writes."""
+    from real_time_trip_processing_spark.streaming.report import (
+        build_report,
+        write_report,
+    )
+
+    starts, ends = load_reference_trip_csvs(spark, DATA)
+    completed = pipeline.match(starts, ends)
+    kpis = pipeline.daily_kpis(completed)
+    report = build_report(kpis, completed)
+    dated = write_report(report, str(tmp_path))
+
+    def doc_bytes(d):
+        files = sorted(f for f in os.listdir(d) if f.endswith(".json"))
+        assert len(files) == 1
+        return (os.path.join(d, files[0]), open(os.path.join(d, files[0]), "rb").read())
+
+    latest = tmp_path / "daily_kpis" / "latest"
+    _, a = doc_bytes(dated)
+    _, b = doc_bytes(latest)
+    assert a == b and len(a) > 0

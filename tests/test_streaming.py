@@ -403,3 +403,201 @@ def test_tws_matcher(spark, replay_dir):
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, old)
+
+
+# --- TWS processor logic without the protobuf-gated runtime ---------------
+#
+# transformWithStateInPandas needs google.protobuf in the Python env
+# (absent in this container — test_tws_matcher importorskips). The
+# processor's state-machine logic is still fully testable: drive
+# _TripMatchProcessor through fake handle/state/timer objects and
+# assert it emits exactly what the (integration-tested)
+# applyInPandasWithState function emits for the same event sequences.
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = []
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def registerTimer(self, ts):
+        self.timers.append(ts)
+
+
+class _FakeTimerValues:
+    def __init__(self, wm_ms):
+        self._wm = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+
+class _FakeGroupState:
+    """Just enough of pyspark.sql.streaming.state.GroupState for
+    _match_group: exists/get/update/remove + timeout plumbing."""
+
+    def __init__(self, wm_ms):
+        self._v = None
+        self._wm = wm_ms
+        self.hasTimedOut = False
+        self.timeout_set_to = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_set_to = ts
+
+    def getCurrentWatermarkMs(self):
+        return self._wm
+
+
+def _mk_batch(rows):
+    import pandas as pd
+
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "trip_id", "data_type", "event_time",
+            "pickup_datetime", "dropoff_datetime", "fare_amount", "record_id",
+        ],
+    )
+
+
+_T0 = "2024-05-25 10:00:00"
+_T1 = "2024-05-25 10:30:00"
+
+
+def _sequences():
+    import pandas as pd
+
+    t0, t1 = pd.Timestamp(_T0), pd.Timestamp(_T1)
+    start = ("t1", "trip_start", t0, t0, None, None, "rs")
+    start_dup = ("t1", "trip_start", t1, t1, None, None, "rs2")
+    end = ("t1", "trip_end", t1, None, t1, 17.5, "re")
+    end_dup = ("t1", "trip_end", t1, None, t1, 99.0, "rz")
+    return {
+        "same_batch": [[start, end]],
+        "across_batches": [[start], [end]],
+        "out_of_order": [[end], [start]],
+        "first_match_wins": [[start, start_dup, end_dup, end]],
+        "start_only": [[start]],
+    }
+
+
+def _drive_tws(batches, wm_ms=0):
+    from real_time_trip_processing_spark.streaming.stateful_matcher import (
+        _TripMatchProcessor,
+    )
+
+    proc = _TripMatchProcessor()
+    handle = _FakeHandle()
+    proc.init(handle)
+    out = []
+    for batch in batches:
+        out += list(
+            proc.handleInputRows(
+                ("t1",), iter([_mk_batch(batch)]), _FakeTimerValues(wm_ms)
+            )
+        )
+    return out, handle
+
+
+def _drive_gs(batches, wm_ms=0):
+    from real_time_trip_processing_spark.streaming.stateful_matcher import (
+        _match_group,
+    )
+
+    state = _FakeGroupState(wm_ms)
+    out = []
+    for batch in batches:
+        out += list(_match_group(("t1",), iter([_mk_batch(batch)]), state))
+    return out, state
+
+
+def test_tws_processor_state_machine():
+    """The v2 (transformWithState) processor implements the same
+    first-match-wins machine as the integration-tested
+    applyInPandasWithState flavor: one completed record per matched
+    pair, dedup by first event, out-of-order tolerant, state kept and
+    a timer registered while a partner is missing."""
+    import pandas as pd
+
+    for name, batches in _sequences().items():
+        tws_out, handle = _drive_tws(batches)
+        if name == "start_only":
+            assert tws_out == []
+            assert handle.states["pair"].exists()
+            assert handle.timers == [3_600_000]  # wm 0 + 1h eviction
+            continue
+        assert len(tws_out) == 1, name
+        row = tws_out[0].iloc[0]
+        assert row["trip_id"] == "t1"
+        assert row["record_id"] == "rs" and row["end_record_id"] == "re"
+        assert row["fare_amount"] == 17.5
+        assert row["pickup_datetime"] == pd.Timestamp(_T0)
+        assert row["dropoff_datetime"] == pd.Timestamp(_T1)
+        assert row["data_type"] == "completed_trip" and row["status"] == "completed"
+        assert not handle.states["pair"].exists(), "state must clear on emit"
+
+
+def test_tws_processor_equivalent_to_group_state():
+    """Shared-assertion equivalence: both state APIs produce identical
+    emitted frames (and equivalent state/timer side effects) for every
+    sequence, including the no-emit case."""
+    for name, batches in _sequences().items():
+        tws_out, handle = _drive_tws(batches)
+        gs_out, state = _drive_gs(batches)
+        assert len(tws_out) == len(gs_out), name
+        for a, b in zip(tws_out, gs_out):
+            assert a.to_dict("records") == b.to_dict("records"), name
+        assert handle.states["pair"].exists() == state.exists, name
+        if state.exists:
+            assert tuple(handle.states["pair"].get()) == tuple(state.get), name
+            assert handle.timers[-1] == state.timeout_set_to, name
+
+
+def test_tws_processor_timer_expiry_clears_state():
+    """Eviction parity: the v2 timer callback clears the pending pair
+    exactly like the GroupState timeout branch."""
+    batches = _sequences()["start_only"]
+    _, handle = _drive_tws(batches)
+    from real_time_trip_processing_spark.streaming.stateful_matcher import (
+        _TripMatchProcessor,
+    )
+
+    proc = _TripMatchProcessor()
+    proc.init(handle)  # reuse populated fake state
+    assert handle.states["pair"].exists()
+    out = list(proc.handleExpiredTimer(("t1",), _FakeTimerValues(10), None))
+    assert out == [] and not handle.states["pair"].exists()
