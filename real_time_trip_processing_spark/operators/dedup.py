@@ -50,3 +50,31 @@ def dedup_exact_text(
         hash_out, F.sha2(F.lower(F.trim(F.col(text_col))), 256)
     )
     return dedup_keyed(hashed, [hash_out], [id_col])
+
+
+def dedup_priority(
+    df: DataFrame,
+    priority_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_out: str = "text_hash",
+) -> DataFrame:
+    """X1 with source preference: among exact duplicates keep the row
+    with the lowest (priority, id) — the corpus-curation rule "when the
+    same document arrives from several feeds, keep the most trusted
+    one". Adds ``dup_count`` (group size) for lineage reports.
+
+    Same scale shape as dedup_exact_text: the 32-byte hash is the only
+    shuffle key; ranking and group size share ONE window partitioning.
+    """
+    hashed = df.withColumn(
+        hash_out, F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    )
+    w = Window.partitionBy(hash_out)
+    rank = F.row_number().over(w.orderBy(priority_col, id_col))
+    return (
+        hashed.withColumn("__rn", rank)
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -9,5 +9,6 @@ from . import relational_queries  # noqa: E402,F401
 from . import stats_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import tpch_queries  # noqa: E402,F401
+from . import tpch2_queries  # noqa: E402,F401
 from . import trip_queries  # noqa: E402,F401
 from . import vector_queries  # noqa: E402,F401

@@ -485,3 +485,135 @@ def dup_rate_by_source(spark, sf_dir):
             ).alias("dup_pct"),
         )
     )
+
+
+_SHINGLE_PAIRS_CTE = """
+    sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS sh_list
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t0) t1),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY a.doc, b.doc),
+    pairs AS (
+      SELECT a, b, inter / (sa.sz + sb.sz - inter) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc = a
+      JOIN sizes sb ON sb.doc = b
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.2)
+"""
+
+
+@declare(
+    "dedup_priority_source",
+    oracle="""
+    SELECT doc_id, source, CAST(cnt AS BIGINT) AS dup_count FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY h ORDER BY pri, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY h) AS cnt
+      FROM (SELECT doc_id, source,
+                   sha256(lower(trim(text))) AS h,
+                   CAST(substr(source, 4) AS INTEGER) AS pri
+            FROM documents) t) r
+    WHERE rn = 1
+    """,
+)
+def dedup_priority_source(spark, sf_dir):
+    """X1 flavor: exact dedup with source preference — among identical
+    documents keep the one from the most-trusted feed (numeric source
+    rank), then the lowest doc_id; report the duplicate-group size.
+    One shuffle on the 32-byte content hash; rank and group size share
+    the window partitioning (operators/dedup.py dedup_priority)."""
+    from ..operators.dedup import dedup_priority
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "pri", F.substring("source", 4, 10).cast("int")
+    )
+    return dedup_priority(docs, priority_col="pri").select(
+        "doc_id", "source", F.col("dup_count").cast("long").alias("dup_count")
+    )
+
+
+@declare(
+    "jaccard_top_neighbor",
+    oracle=f"""
+    WITH {_SHINGLE_PAIRS_CTE},
+    sym AS (SELECT a AS doc, b AS neighbor, jaccard FROM pairs
+            UNION ALL
+            SELECT b AS doc, a AS neighbor, jaccard FROM pairs),
+    ranked AS (SELECT doc, neighbor, jaccard,
+                      row_number() OVER (PARTITION BY doc
+                                         ORDER BY jaccard DESC, neighbor) AS rn
+               FROM sym)
+    SELECT doc, neighbor, ROUND(jaccard, 8) AS jaccard
+    FROM ranked WHERE rn = 1
+    """,
+)
+def jaccard_top_neighbor(spark, sf_dir):
+    """Nearest-neighbor-by-content view: for every document with at
+    least one near-dup candidate, its single most-similar neighbor
+    (highest shingle Jaccard, ties to the lower id). The inverted-index
+    pair join from jaccard_pairs symmetrized + one top-1 window —
+    Jaccard values are exact rationals, so the ranking is engine-stable."""
+    from ..functions.similarity import jaccard_pairs
+
+    pairs = jaccard_pairs(table(spark, sf_dir, "documents"), n=3, threshold=0.2)
+    sym = pairs.select(
+        F.col("a").alias("doc"), F.col("b").alias("neighbor"), "jaccard"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("doc"), F.col("a").alias("neighbor"), "jaccard"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy(F.desc("jaccard"), "neighbor")
+    return (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc", "neighbor", F.round("jaccard", 8).alias("jaccard"))
+    )
+
+
+@declare(
+    "near_dup_rate",
+    oracle=f"""
+    WITH {_SHINGLE_PAIRS_CTE},
+    involved AS (SELECT DISTINCT doc FROM
+                 (SELECT a AS doc FROM pairs UNION ALL SELECT b FROM pairs) u)
+    SELECT (SELECT COUNT(*) FROM documents) AS docs_total,
+           (SELECT COUNT(*) FROM involved) AS docs_with_neardup,
+           ROUND((SELECT COUNT(*) FROM involved) * 1.0 /
+                 (SELECT COUNT(*) FROM documents), 6) AS near_dup_rate
+    """,
+)
+def near_dup_rate(spark, sf_dir):
+    """Corpus-health KPI: what fraction of documents have at least one
+    near-duplicate (shingle Jaccard ≥ 0.2)? The single-row rollup every
+    training-data pipeline reports before/after dedup. Same bucketed
+    pair generation; the involved-doc set is a cheap distinct over pair
+    endpoints."""
+    from ..functions.similarity import jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, threshold=0.2)
+    involved = (
+        pairs.select(F.col("a").alias("doc"))
+        .unionByName(pairs.select(F.col("b").alias("doc")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("docs_with_neardup"))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("docs_total"))
+    return total.join(involved).select(
+        "docs_total",
+        "docs_with_neardup",
+        F.round(F.col("docs_with_neardup") / F.col("docs_total"), 6).alias(
+            "near_dup_rate"
+        ),
+    )

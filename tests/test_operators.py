@@ -500,3 +500,22 @@ def test_compact_parquet_dir(spark, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in per_file)
     for (prev_lo, prev_hi), (lo, hi) in zip(spans, spans[1:]):
         assert prev_hi <= lo  # disjoint (boundary value may repeat)
+
+
+def test_dedup_priority_source_preference(spark):
+    """Among exact duplicates the lowest (priority, id) row survives
+    and carries the duplicate-group size; unique docs pass through
+    with dup_count=1."""
+    from real_time_trip_processing_spark.operators.dedup import dedup_priority
+
+    rows = [
+        (1, "Same Text ", 5),   # dup group (normalized) — worst priority
+        (2, "same text", 1),    # survivor: priority 1
+        (3, "  SAME TEXT", 1),  # same priority, higher id → loses
+        (4, "unique", 9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, pri int")
+    got = {r["doc_id"]: r for r in dedup_priority(df, "pri").collect()}
+    assert set(got) == {2, 4}
+    assert got[2]["dup_count"] == 3 and got[2]["pri"] == 1
+    assert got[4]["dup_count"] == 1
