@@ -1,0 +1,207 @@
+"""Corpus-curation operators for the LLM-training-data extension surface
+(SURVEY §2.12): benchmark decontamination, sequence packing, rule-based
+quality gating, repetition screening, and domain-mix reweighting.
+
+All deterministic, built-in-expression pipelines (no Python UDFs) so each
+operator is both DuckDB-oracle-checkable and codegen'd at 100 TB.
+
+Scale notes:
+- ``ngram_decontaminate``: the benchmark side is tiny by construction
+  (eval sets are MBs, the corpus is TBs), so its distinct n-gram set is
+  broadcast and the contamination join is map-side — the corpus is
+  scanned exactly once and never shuffled on the gram key.
+- ``pack_sequences``: one window per partition column; at cluster scale
+  partition by (lang, date-bucket) to bound per-partition state instead
+  of a single global ordering.
+- ``top_token_stats``: two partial-aggregated shuffles (doc×token, then
+  doc); token rows are (id, word) pairs — never the document body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from .text import LANG_MARKERS, text_stats, token_count, tokens
+from .text import shingle_rows
+
+__all__ = [
+    "ngram_decontaminate", "pack_sequences", "quality_gate",
+    "top_token_stats", "source_mix_weights", "ALL_MARKER_WORDS",
+]
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    bench_pred: Column,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    distinct word ``n``-gram with the benchmark subset (rows where
+    ``bench_pred`` holds), with the count of distinct shared grams.
+
+    The standard pre-training hygiene step (filter training docs that
+    textually overlap an eval set). Returns ``(doc_id, n_hits)`` for
+    contaminated docs only.
+    """
+    bench_grams = (
+        shingle_rows(docs.filter(bench_pred), n=n, id_col=id_col, text_col=text_col)
+        .select("sh")
+        .distinct()
+    )
+    corpus_grams = shingle_rows(
+        docs.filter(~bench_pred), n=n, id_col=id_col, text_col=text_col
+    ).distinct()
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "sh")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each ``part_col``
+    stream, documents are concatenated in ``id_col`` order and split into
+    fixed ``budget``-token training sequences; each doc is tagged with the
+    sequence its first token lands in (docs may straddle a boundary,
+    exactly like LLM pre-training context-window chunking).
+
+    Adds ``n_tokens`` (BPE-ish count), ``tok_offset`` (tokens before this
+    doc in its stream) and ``seq_id``.
+    """
+    w = (
+        W.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    n_toks = token_count(F.col(text_col))
+    return (
+        docs.withColumn("n_tokens", n_toks)
+        .withColumn("tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .withColumn("seq_id", F.floor(F.col("tok_offset") / budget))
+    )
+
+
+#: union of every language's marker words — the stopword probe for the
+#: quality gate (a doc with zero stopwords in any language is suspect).
+ALL_MARKER_WORDS: tuple[str, ...] = tuple(
+    sorted({w for words in LANG_MARKERS.values() for w in words})
+)
+
+
+def quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 10,
+    max_words: int = 2000,
+    min_mwl: float = 2.0,
+    max_mwl: float = 12.0,
+    min_ttr: float = 0.2,
+    max_symbol_ratio: float = 0.1,
+) -> DataFrame:
+    """Gopher-style rule filter: per-document boolean rule columns plus
+    the conjunction ``keep``. Pure map-side arithmetic — at corpus scale
+    this runs inside the scan stage.
+
+    Rules: word-count band, mean-word-length band, type-token-ratio
+    floor, symbol-to-char ratio cap, and a stopword-presence probe over
+    the union of language marker words.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    n_chars = F.length(t)
+    mwl = F.length(F.regexp_replace(t, r"\s+", "")) / n_words
+    ttr = F.size(F.array_distinct(toks)) / n_words
+    sym_ratio = F.length(F.regexp_replace(t, r"[a-zA-Z0-9\s]", "")) / F.greatest(
+        n_chars, F.lit(1)
+    )
+    has_stop = (
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.split(F.trim(F.lower(t)), r"\s+")),
+                F.array(*[F.lit(w) for w in ALL_MARKER_WORDS]),
+            )
+        )
+        > 0
+    )
+    rules = {
+        "ok_len": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mwl": (mwl >= min_mwl) & (mwl <= max_mwl),
+        "ok_ttr": ttr >= min_ttr,
+        "ok_sym": sym_ratio <= max_symbol_ratio,
+        "ok_stop": has_stop,
+    }
+    out = docs.withColumns(rules)
+    keep = None
+    for c in rules:
+        keep = F.col(c) if keep is None else (keep & F.col(c))
+    return out.withColumn("keep", keep)
+
+
+def top_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition screen: per document, the most frequent whitespace
+    token and its share of all tokens (ties broken toward the
+    lexicographically largest token, deterministically).
+
+    Shape: explode to (id, token) rows, partial-aggregated count per
+    (id, token), then a per-id max over (count, token) structs — the
+    document body itself is never shuffled.
+    """
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    cnt = tok.groupBy(id_col, "t").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cnt.groupBy(id_col)
+        .agg(
+            F.max(F.struct(F.col("n").alias("n"), F.col("t").alias("t"))).alias("top"),
+            F.sum("n").alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            F.col("top.t").alias("top_token"),
+            F.col("top.n").alias("top_n"),
+            F.col("n_tokens"),
+            F.round(F.col("top.n") / F.col("n_tokens"), 8).alias("top_ratio"),
+            (F.col("top.n") / F.col("n_tokens") > 0.1).alias("repetitive"),
+        )
+    )
+
+
+def source_mix_weights(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    cap: float = 3.0,
+) -> DataFrame:
+    """Domain-mix reweighting: per-source token share and the sampling
+    weight that moves the mix toward uniform-over-sources, capped at
+    ``cap`` (never upsample a tiny domain more than ``cap``×).
+
+    One shuffle (groupBy source → ~#domains rows) then empty-frame
+    window arithmetic over that tiny aggregate — free at any scale.
+    """
+    per = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).alias("tot_tokens"),
+    )
+    all_w = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    share = F.col("tot_tokens") / F.sum("tot_tokens").over(all_w)
+    target = F.lit(1.0) / F.count(F.lit(1)).over(all_w)
+    return per.select(
+        source_col,
+        "n_docs",
+        "tot_tokens",
+        F.round(share, 8).alias("token_share"),
+        F.round(F.least(target / share, F.lit(cap)), 8).alias("mix_weight"),
+    )

@@ -5,6 +5,7 @@ from .registry import REGISTRY, DeclaredQuery, declare  # noqa: F401
 
 # importing the modules populates REGISTRY
 from . import analytic_queries  # noqa: E402,F401
+from . import curation_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
 from . import stats_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401

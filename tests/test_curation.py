@@ -1,0 +1,89 @@
+"""Unit tests for the corpus-curation operators (functions/curation.py)
+with planted micro-cases: decontamination hit/miss, packing boundary
+arithmetic, quality-gate rules, repetition tie-break, mix-weight cap."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_spark.functions import curation as C
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string"
+
+
+def test_ngram_decontaminate_flags_only_overlap(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon", "en", "bench"),   # benchmark
+            (1, "x alpha beta gamma delta y", "en", "web"),          # shares 4-gram
+            (2, "alpha beta zeta delta epsilon", "en", "web"),       # no shared 4-gram
+            (3, "alpha beta gamma delta epsilon zz", "en", "web"),   # shares two
+        ],
+        DOCS_SCHEMA,
+    )
+    out = C.ngram_decontaminate(df, bench_pred=F.col("doc_id") == 0, n=4)
+    got = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert got == {1: 1, 3: 2}
+
+
+def test_pack_sequences_offsets_and_boundaries(spark):
+    # token_count of "a b c" = 3; budget 5 → doc2 starts at offset 3 and
+    # straddles into seq 0 (first token rule), doc3 starts at 8 → seq 1.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s"),
+            (2, "d e f g h", "en", "s"),
+            (3, "i j", "en", "s"),
+            (10, "k k k k k k", "fr", "s"),  # separate stream restarts at 0
+        ],
+        DOCS_SCHEMA,
+    )
+    out = C.pack_sequences(df, budget=5, part_col="lang")
+    rows = {r["doc_id"]: (r["n_tokens"], r["tok_offset"], r["seq_id"]) for r in out.collect()}
+    assert rows[1] == (3, 0, 0)
+    assert rows[2] == (5, 3, 0)
+    assert rows[3] == (2, 8, 1)
+    assert rows[10] == (6, 0, 0)
+
+
+def test_quality_gate_rules(spark):
+    good = "the quick brown fox jumps over the lazy dog again and again ok"
+    short = "the cat"                                   # fails ok_len
+    symbols = "the " + "@#$% " * 12                     # fails ok_sym (and mwl band ok)
+    no_stop = "zzz " * 15                               # fails ok_stop and ok_ttr
+    df = spark.createDataFrame(
+        [(1, good, "en", "s"), (2, short, "en", "s"),
+         (3, symbols.strip(), "en", "s"), (4, no_stop.strip(), "en", "s")],
+        DOCS_SCHEMA,
+    )
+    out = {r["doc_id"]: r.asDict() for r in C.quality_gate(df).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["ok_len"] is False and out[2]["keep"] is False
+    assert out[3]["ok_sym"] is False and out[3]["keep"] is False
+    assert out[4]["ok_stop"] is False and out[4]["ok_ttr"] is False
+
+
+def test_top_token_stats_tiebreak_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "b a b a c", "en", "s"),      # a and b tie at 2 → 'b' (larger) wins
+         (2, "x x x y", "en", "s")],
+        DOCS_SCHEMA,
+    )
+    out = {r["doc_id"]: r.asDict() for r in C.top_token_stats(df).collect()}
+    assert out[1]["top_token"] == "b" and out[1]["top_n"] == 2 and out[1]["n_tokens"] == 5
+    assert out[2]["top_token"] == "x" and out[2]["top_ratio"] == 0.75
+    assert out[2]["repetitive"] is True
+
+
+def test_source_mix_weights_cap_and_share(spark):
+    # source A: 9 tokens, source B: 1 token → shares 0.9/0.1; uniform
+    # target 0.5 → raw weights 0.555…/5.0, B capped at 3.0.
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i", "en", "A"), (2, "j", "en", "B")],
+        DOCS_SCHEMA,
+    )
+    out = {r["source"]: r.asDict() for r in C.source_mix_weights(df, cap=3.0).collect()}
+    assert out["A"]["tot_tokens"] == 9 and out["B"]["tot_tokens"] == 1
+    assert abs(out["A"]["token_share"] - 0.9) < 1e-9
+    assert abs(out["A"]["mix_weight"] - 0.5 / 0.9) < 1e-6
+    assert out["B"]["mix_weight"] == 3.0
