@@ -17,6 +17,7 @@ from .operators import cleaning as P
 from .operators.dedup import dedup_keyed
 from .operators.joins import match_start_end
 from .sources.csv_dir import load_reference_trip_csvs
+from .streaming.notify import notify_completion
 from .streaming.report import build_report, write_report
 
 
@@ -69,8 +70,17 @@ def daily_report(spark: SparkSession, completed: DataFrame, out_dir: str) -> str
 
 def run_reference_batch(spark: SparkSession, data_dir: str, out_dir: str) -> DataFrame:
     """The whole reference pipeline on its own CSVs: load → clean →
-    match → KPIs → report. Returns the daily KPI frame."""
+    match → KPIs → report, then the post-job completion notification
+    (reference step_functions.json:13-23 publishes {"messagekey1":
+    "success"} to SNS after the Glue run). Returns the daily KPI frame."""
     starts, ends = load_reference_trip_csvs(spark, data_dir)
     completed = match(starts, ends)
-    daily_report(spark, completed, out_dir)
+    try:
+        report_path = daily_report(spark, completed, out_dir)
+    except Exception as e:  # the reference's state machine still alerts
+        notify_completion(f"{out_dir}/etl_topic", "TripsKPIs", "failure", error=str(e))
+        raise
+    notify_completion(
+        f"{out_dir}/etl_topic", "TripsKPIs", "success", extra={"report_path": report_path}
+    )
     return daily_kpis(completed)

@@ -111,3 +111,19 @@ def test_report_latest_equals_dated(spark, tmp_path):
     _, a = doc_bytes(dated)
     _, b = doc_bytes(latest)
     assert a == b and len(a) > 0
+
+
+def test_batch_pipeline_publishes_completion_notification(spark, tmp_path):
+    """Post-job SNS analogue (reference step_functions.json:13-23): the
+    batch e2e run publishes a success doc with the reference's payload
+    shape to the topic directory."""
+    import json
+
+    pipeline.run_reference_batch(spark, DATA, str(tmp_path))
+    topic = tmp_path / "etl_topic"
+    docs = [json.load(open(topic / f)) for f in os.listdir(topic) if f.endswith(".json")]
+    assert len(docs) == 1
+    assert docs[0]["status"] == "success"
+    assert docs[0]["message"] == {"messagekey1": "success"}
+    assert docs[0]["job_name"] == "TripsKPIs"
+    assert "daily_kpis" in docs[0]["report_path"]

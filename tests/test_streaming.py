@@ -601,3 +601,49 @@ def test_tws_processor_timer_expiry_clears_state():
     assert handle.states["pair"].exists()
     out = list(proc.handleExpiredTimer(("t1",), _FakeTimerValues(10), None))
     assert out == [] and not handle.states["pair"].exists()
+
+
+def test_completion_notifier_publishes_sns_doc(spark, tmp_path, replay_dir):
+    """SNS-publish analogue (reference step_functions.json:13-23): a
+    StreamingQueryListener publishes {"messagekey1": "success"} with the
+    run's input-row total when the query terminates cleanly."""
+    import json
+    import time as _t
+
+    from real_time_trip_processing_spark.streaming.notify import attach_notifier
+
+    topic = str(tmp_path / "etl_topic")
+    listener = attach_notifier(spark, topic)
+    try:
+        events = stream_trip_events(spark, replay_dir)
+        q = (
+            events.writeStream.outputMode("append")
+            .format("noop")
+            .queryName("notify_me")
+            .option("checkpointLocation", str(tmp_path / "ckpt_notify"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        docs = []
+        for _ in range(100):  # listener events are delivered async
+            import os
+
+            docs = [
+                json.load(open(os.path.join(topic, f)))
+                for f in (os.listdir(topic) if os.path.isdir(topic) else [])
+                if f.endswith(".json")
+            ]
+            if any(d.get("run_id") == str(q.runId) for d in docs):
+                break
+            _t.sleep(0.2)
+        mine = [d for d in docs if d.get("run_id") == str(q.runId)]
+        assert mine, f"no notification published in {topic}"
+        doc = mine[0]
+        assert doc["status"] == "success"
+        assert doc["message"] == {"messagekey1": "success"}
+        assert doc["job_name"] == "notify_me"
+        assert doc["input_rows"] > 0
+    finally:
+        spark.streams.removeListener(listener)
