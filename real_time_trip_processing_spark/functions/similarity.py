@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import shingle_rows
@@ -113,14 +115,38 @@ def embedding_near_dup(
     )
 
 
+def _int_matrix_literal(matrix: list[list[int]]) -> Column:
+    """A nested int matrix as ONE `F.expr` call. PySpark's `F.lit(list)`
+    maps `lit` over every element — k × dim py4j round-trips (seconds of
+    plan-build time for a 96×64 plane matrix). A single SQL string
+    parses JVM-side in one call, and ConstantFolding collapses the
+    CreateArray tree into one Literal node before the expensive
+    optimizer passes run."""
+    body = ",".join(
+        "array(" + ",".join(str(int(v)) for v in row) + ")" for row in matrix
+    )
+    return F.expr(f"array({body})")
+
+
+def _double_matrix_literal(matrix: list[list[float]]) -> Column:
+    """Same single-call trick for doubles. String→double CAST round-trips
+    `repr(float)` exactly, so the literal is bit-identical to the
+    driver-side values (keeps assignment oracle-reproducible)."""
+    body = ",".join(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in row) + ")"
+        for row in matrix
+    )
+    return F.expr(f"array({body})")
+
+
 def _centroid_literals(rows: CentroidRows) -> tuple[Column, Column]:
     """The codebook as two array literals: vectors (cent_id-ascending)
-    and the matching cent_id array."""
+    and the matching cent_id array — one py4j call each, not k × dim."""
     rows = sorted(rows, key=lambda r: r[0])
-    vec_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in rows]
+    vec_arr = _double_matrix_literal([vec for _, vec in rows])
+    cid_arr = F.expr(
+        "array(" + ",".join(str(int(cid)) for cid, _ in rows) + ")"
     )
-    cid_arr = F.array(*[F.lit(int(cid)) for cid, _ in rows])
     return vec_arr, cid_arr
 
 
@@ -261,6 +287,59 @@ def srp_signs(num_bits: int, dim: int) -> list[list[int]]:
     ]
 
 
+def _srp_sig_expr(num_bits: int, dim: int) -> Column:
+    """The signature as pure JVM expressions over column ``qv``
+    (quantized vector): num_bits interpreted higher-order-function folds
+    per row. Correct and Python-free, but Catalyst does not codegen
+    higher-order functions — each of the num_bits × dim element steps
+    is an interpreted eval, ~100× slower per element than the Arrow
+    kernel. Kept as the no-Python fallback / cross-check."""
+    # ONE expr call for the whole plane matrix (num_bits × dim): a single
+    # py4j round-trip, folded to one Catalyst Literal node, so plan
+    # construction is O(1) in num_bits.
+    planes = _int_matrix_literal(srp_signs(num_bits, dim))
+    dots = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(F.col("qv"), p, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return F.array_join(
+        F.transform(dots, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))),
+        "",
+    )
+
+
+def _srp_sig_arrow(num_bits: int, dim: int):
+    """Arrow-batched signature kernel: one int64 matmul per batch.
+
+    Bit-for-bit identical to `_srp_sig_expr`: quantization replicates
+    Spark/DuckDB ROUND (half away from zero) and the plane dots are
+    int64 sums — order-independent, so BLAS accumulation order cannot
+    flip a sign bit. This is dense linear algebra, exactly the workload
+    where a vectorized Pandas UDF beats interpreted Catalyst
+    higher-order functions by ~100× (pyspark guide: prefer built-ins
+    EXCEPT where they can't express the computation efficiently —
+    num_bits × dim folds per row is that case)."""
+    planes_t = np.array(srp_signs(num_bits, dim), dtype=np.int64).T  # dim×bits
+
+    @F.pandas_udf("string")
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        m = np.array([np.asarray(x, dtype=np.float64) for x in v]) * SRP_QUANT
+        # ROUND half-away-from-zero == Spark round() == DuckDB round()
+        q = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+        bits = (q @ planes_t >= 0).astype(np.uint8) + ord("0")
+        return pd.Series(
+            [bits[i].tobytes().decode("ascii") for i in range(bits.shape[0])]
+        )
+
+    return sig
+
+
 def srp_buckets(
     emb: DataFrame,
     num_bits: int,
@@ -268,49 +347,52 @@ def srp_buckets(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """(vid, band, bh) LSH bucket rows for sign-random-projection over
     integer-quantized vectors.
 
     Everything before the bucket rows is row-local: quantize → num_bits
-    integer dot products against ±1 plane literals → per-band bit
-    strings → explode. Integer sums are order-independent, which is
-    what makes the bucketing deterministic across engines and
-    partitionings (a float-plane SRP could flip a sign bit on
+    integer dot products against ±1 planes → per-band bit strings →
+    explode. Integer sums are order-independent, which is what makes
+    the bucketing deterministic across engines, partitionings AND the
+    two impls (a float-plane SRP could flip a sign bit on
     summation-order noise).
+
+    ``impl="arrow"`` (default) computes signatures with one int64
+    matmul per Arrow batch; ``impl="builtin"`` uses pure JVM
+    higher-order functions (slower: interpreted, not codegen'd — kept
+    as the Python-free fallback and equivalence cross-check).
 
     ``dim`` is a schema-level constant of the corpus and must be passed
     in — constructing the plan triggers no Spark job.
     """
     assert num_bits % bands == 0
     rows_per_band = num_bits // bands
-    signs = srp_signs(num_bits, dim)
 
-    qv = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * SRP_QUANT).cast("long"),
-    )
-    v = emb.select(F.col(id_col).alias("vid"), qv.alias("qv"))
-
-    def bit_char(i: int) -> Column:
-        plane = F.array(*[F.lit(s) for s in signs[i]])
-        d = F.aggregate(
-            F.zip_with(F.col("qv"), plane, lambda x, s: x * s),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
+    if impl == "arrow":
+        s = emb.select(
+            F.col(id_col).alias("vid"),
+            _srp_sig_arrow(num_bits, dim)(
+                F.col(vec_col).cast("array<double>")
+            ).alias("sig"),
         )
-        return F.when(d >= 0, F.lit("1")).otherwise(F.lit("0"))
+    else:
+        qv = F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * SRP_QUANT).cast("long"),
+        )
+        v = emb.select(F.col(id_col).alias("vid"), qv.alias("qv"))
+        s = v.select("vid", _srp_sig_expr(num_bits, dim).alias("sig"))
 
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
-            F.concat(
-                *[bit_char(b * rows_per_band + r) for r in range(rows_per_band)]
-            ).alias("bh"),
+            F.substring("sig", b * rows_per_band + 1, rows_per_band).alias("bh"),
         )
         for b in range(bands)
     ]
-    return v.select("vid", F.explode(F.array(*band_cols)).alias("bk")).select(
+    return s.select("vid", F.explode(F.array(*band_cols)).alias("bk")).select(
         "vid", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
 
@@ -323,31 +405,52 @@ def srp_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding near-dup, LSH-bucketed: sign-random-projection banding
     prunes the pair space, exact cosine verifies candidates — output is
     a no-false-positive subset of ``embedding_near_dup``; recall is
     tuned by bands/bits (collision prob per bit = 1 − θ/π).
 
-    Scale shape: signatures are computed row-locally (plane literals —
-    zero shuffle, no plan-time Spark job); candidate generation is a
-    per-(band, bits) bucket self-join like MinHash banding
-    (functions/minhash.py); only candidate pairs are exact-verified.
+    Scale shape: signatures are computed row-locally (Arrow int64
+    matmul — zero shuffle, no plan-time Spark job); candidate
+    generation is a per-(band, bits) bucket self-join like MinHash
+    banding (functions/minhash.py); only candidate pairs are
+    exact-verified. Verify-stage hygiene: per-vector norms are computed
+    ONCE on the 2×N vector sides (not once per pair — identical
+    doubles, 3× less fold work), and the deduped pair list is
+    explicitly spread across the cluster before vectors are attached —
+    the repartition moves only (a, b) id rows, and stops AQE from
+    coalescing the pair partitions to one core because the PRE-join
+    bytes look small (the verify compute after vector-attach is the
+    real cost it can't see).
     """
-    bucketed = srp_buckets(emb, num_bits, bands, dim, id_col, vec_col)
+    bucketed = srp_buckets(emb, num_bits, bands, dim, id_col, vec_col, impl=impl)
+    spread = emb.sparkSession.sparkContext.defaultParallelism
     candidates = (
         bucketed.alias("l")
         .join(bucketed.alias("r"), ["band", "bh"])
         .select(F.col("l.vid").alias("a"), F.col("r.vid").alias("b"))
         .filter(F.col("a") < F.col("b"))
         .distinct()
+        .repartition(spread, "a", "b")
     )
-    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"))
-    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    va = emb.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    ).withColumn("na", norm(F.col("va")))
+    vb = emb.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    ).withColumn("nb", norm(F.col("vb")))
     return (
         candidates.join(va, "a")
         .join(vb, "b")
-        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("score"))
+        .select(
+            "a",
+            "b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score"),
+        )
         .filter(F.col("score") >= threshold)
         .select("a", "b", F.round("score", 8).alias("score"))
     )

@@ -160,7 +160,7 @@ def _srp_sql_ctes(num_bits: int = 16, bands: int = 8, dim: int = 64) -> str:
 @declare(
     "dedup_near_embedding",
     oracle=f"""
-    WITH {_srp_sql_ctes()},
+    WITH {_srp_sql_ctes(96, 16, 64)},
     cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
              FROM bks l JOIN bks r
                ON l.band = r.band AND l.bh = r.bh AND l.vec_id < r.vec_id),
@@ -181,17 +181,23 @@ def dedup_near_embedding(spark, sf_dir):
 
     The exact all-pairs form (functions/similarity.embedding_near_dup)
     stays in tests as the recall/no-false-positive reference
-    (tests/test_operators.py::test_srp_near_dup_subset)."""
+    (tests/test_operators.py::test_srp_near_dup_subset).
+
+    Config: 6 bits/band × 16 bands = 64 buckets per band. Candidate
+    mass scales as bands/2^(bits_per_band) — this config carries 1/8th
+    the candidate pairs of a 2-bit-band layout at identical verify
+    precision; bits_per_band is THE 100 TB dial (production near-dup
+    thresholds run 16-20 bits/band → 65k-1M buckets)."""
     return srp_near_dup(
         table(spark, sf_dir, "embeddings"),
-        num_bits=16, bands=8, threshold=0.4, dim=64,
+        num_bits=96, bands=16, threshold=0.4, dim=64,
     )
 
 
 @declare(
     "dedup_near_embedding_lsh",
     oracle=f"""
-    WITH {_srp_sql_ctes()},
+    WITH {_srp_sql_ctes(96, 16, 64)},
     per_band AS (SELECT band, COUNT(*) AS n_vectors,
                         COUNT(DISTINCT bh) AS n_buckets
                  FROM bks GROUP BY band),
@@ -211,7 +217,7 @@ def dedup_near_embedding_lsh(spark, sf_dir):
     Deterministic end-to-end (integer signatures), so bucket structure
     itself is hash-adjudicated against the oracle's replay."""
     bucketed = srp_buckets(
-        table(spark, sf_dir, "embeddings"), num_bits=16, bands=8, dim=64
+        table(spark, sf_dir, "embeddings"), num_bits=96, bands=16, dim=64
     )
     per_band = bucketed.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_vectors"),

@@ -397,10 +397,33 @@ def test_srp_near_dup_subset(spark):
     assert set(got) <= set(exact)          # no false positives
     for k, v in got.items():
         assert v == exact[k]               # scores are the exact scores
+    # the declared production config (6-bit bands) holds the same contract
+    got96 = {
+        (r["a"], r["b"]): r["score"]
+        for r in srp_near_dup(emb, num_bits=96, bands=16, threshold=0.4).collect()
+    }
+    assert set(got96) <= set(exact)
+    for k, v in got96.items():
+        assert v == exact[k]
     if exact:
         # the highest-cosine pair collides in some band with high prob
         best = max(exact, key=exact.get)
         assert best in got, f"strongest pair {best} missed by LSH"
+
+
+def test_srp_signature_impls_agree(spark):
+    """The Arrow int64-matmul signature kernel and the JVM
+    higher-order-function fallback produce identical (vid, band, bh)
+    bucket rows — integer dots are accumulation-order-free, so the two
+    impls (and the DuckDB oracle) must agree bit-for-bit."""
+    from real_time_trip_processing_spark.functions.similarity import srp_buckets
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    arrow = sorted(map(tuple, srp_buckets(emb, 96, 16, 64, impl="arrow").collect()))
+    builtin = sorted(map(tuple, srp_buckets(emb, 96, 16, 64, impl="builtin").collect()))
+    assert arrow == builtin
+    assert len(arrow) == emb.count() * 16
 
 
 def test_asof_join_edges(spark):
