@@ -32,6 +32,7 @@ HEADLINE = [
     "sessionize",
     "dedup_exact_text",
     "dedup_near_minhash",
+    "dedup_near_embedding",
     "sim_topk",
     "text_stats",
     "window_showcase",
