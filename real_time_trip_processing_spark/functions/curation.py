@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .text import LANG_MARKERS, text_stats, token_count, tokens
-from .text import shingle_rows
+from .text import shingles
 
 __all__ = [
     "ngram_decontaminate", "pack_sequences", "quality_gate",
@@ -44,19 +44,30 @@ def ngram_decontaminate(
     The standard pre-training hygiene step (filter training docs that
     textually overlap an eval set). Returns ``(doc_id, n_hits)`` for
     contaminated docs only.
+
+    Corpus-side shape: grams are built ROW-LOCALLY (array expressions —
+    the window-exec ``shingle_rows`` path would shuffle the token
+    stream on doc just to build grams), then probed against the
+    broadcast benchmark set; ~every row dies in that map-side join, so
+    per-doc gram dedup runs AFTER the kill-filter (countDistinct over
+    hit rows only) and the one corpus exchange carries hit rows, not
+    the corpus. Locally the window path is ~2× faster on toy docs (its
+    shuffle is a memcpy while array lambdas are interpreted), but at
+    cluster scale a corpus-wide token shuffle is the bottleneck this
+    operator exists to avoid — row-local CPU scales with cores,
+    all-to-all network does not.
     """
+    gram_arr = shingles(F.col(text_col), n)
     bench_grams = (
-        shingle_rows(docs.filter(bench_pred), n=n, id_col=id_col, text_col=text_col)
-        .select("sh")
-        .distinct()
+        docs.filter(bench_pred).select(F.explode(gram_arr).alias("sh")).distinct()
     )
-    corpus_grams = shingle_rows(
-        docs.filter(~bench_pred), n=n, id_col=id_col, text_col=text_col
-    ).distinct()
+    corpus = docs.filter(~bench_pred).select(
+        F.col(id_col), F.explode(gram_arr).alias("sh")
+    )
     return (
-        corpus_grams.join(F.broadcast(bench_grams), "sh")
-        .groupBy(F.col("doc").alias(id_col))
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        corpus.join(F.broadcast(bench_grams), "sh")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("sh")).alias("n_hits"))
     )
 
 

@@ -51,3 +51,33 @@ def compact_parquet_dir(
         out = df.repartition(n)
     out.write.mode("overwrite").parquet(dst)
     return n
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-clustered)
+    parquet table.
+
+    Bucketing is THE shuffle eliminator for repeated large-×-large
+    joins: two tables bucketed on their join key with the same bucket
+    count join bucket-to-bucket with ZERO Exchange — the hash
+    partitioning is baked into the storage layout once at write time
+    instead of re-paid at every query (pinned by
+    tests/test_plan_shapes.py::test_bucketed_join_no_shuffle).
+    ``sort_cols`` additionally pre-sorts each bucket file so sort-merge
+    joins can skip the per-task Sort. At 100 TB this converts the
+    fact-×-fact join (e.g. lineitem × orders on the order key) from the
+    plan's dominant shuffle into a pure map-side zip.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)

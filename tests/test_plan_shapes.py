@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from real_time_trip_processing_spark.plans import REGISTRY
 
@@ -212,6 +213,75 @@ def test_ivf_no_exchange_carries_vectors(spark):
     for m in re.finditer(r"\n\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
         cols = m.group(1)
         assert "c_vec" not in cols and "q_vec" not in cols, plan
+
+
+def test_srp_no_exchange_carries_vectors(spark):
+    """dedup_near_embedding: signatures are row-local, the bucket
+    self-join shuffles (vid, band, bh) rows, the pair repartition moves
+    only ids, and vectors reach the verify join by broadcast — no
+    shuffle exchange may ever carry an embedding column."""
+    plan = plan_of(spark, "dedup_near_embedding")
+    for m in re.finditer(r"\n\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
+        cols = m.group(1)
+        assert "va" not in cols and "vb" not in cols and "embedding" not in cols, plan
+
+
+def test_decontaminate_bench_grams_broadcast(spark):
+    """decontaminate_ngrams: grams are built row-locally, the benchmark
+    gram set is the broadcast build side, and the only shuffles are the
+    (tiny) bench-side distinct plus the two-phase per-doc
+    distinct-hit-count — all AFTER the kill-filter, so every exchange
+    carries hit-grain rows. The corpus token/gram stream itself never
+    shuffles."""
+    plan = plan_of(spark, "decontaminate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    exchanges = re.findall(
+        r"\n\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan
+    )
+    assert len(exchanges) == 3, plan
+    for cols in exchanges:
+        assert "text#" not in cols and "pos#" not in cols, plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts
+    join bucket-to-bucket: the sort-merge join runs with ZERO shuffle
+    exchange — the hash partitioning was paid once at write time."""
+    from real_time_trip_processing_spark.operators.maintenance import write_bucketed
+    from real_time_trip_processing_spark.sources import table
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    od = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderdate")
+    write_bucketed(
+        li, "li_bkt", 4, ["l_orderkey"], ["l_orderkey"], path=str(tmp_path / "li")
+    )
+    write_bucketed(
+        od, "od_bkt", 4, ["o_orderkey"], ["o_orderkey"], path=str(tmp_path / "od")
+    )
+    try:
+        joined = (
+            spark.table("li_bkt")
+            .hint("merge")
+            .join(
+                spark.table("od_bkt"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount" in plan, plan
+        # and it computes the same rows as the unbucketed join
+        expect = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS od_bkt")
 
 
 def test_srp_plan_builds_without_spark_job(spark):
