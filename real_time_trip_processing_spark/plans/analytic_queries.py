@@ -448,6 +448,48 @@ def kpi_15min(spark, sf_dir):
 
 
 @declare(
+    "rollup_cascade",
+    oracle="""
+    WITH m15 AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS b15, event_type,
+             COUNT(*) AS n, SUM(value) AS sv
+      FROM events GROUP BY 1, 2),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', b15) AS b1h, event_type,
+             SUM(n) AS n, SUM(sv) AS sv
+      FROM m15 GROUP BY 1, 2)
+    SELECT date_trunc('day', b1h) AS day, event_type,
+           CAST(SUM(n) AS BIGINT) AS n, ROUND(SUM(sv), 6) AS total_value
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def rollup_cascade(spark, sf_dir):
+    """Multi-resolution rollup cascade: daily KPIs derived from hourly,
+    hourly from 15-minute — each level re-aggregates the one below it,
+    never the raw events. The continuous-aggregate refresh pattern at
+    100 TB: only the finest rollup ever scans raw data (and in
+    production it is the one materialized/streamed); every coarser
+    resolution aggregates ~10-100× fewer rows, so the cascade costs
+    ~nothing beyond level one. Counts stay exact across levels;
+    re-grouped double sums agree because addition is re-bucketed, not
+    re-ordered arbitrarily (same partial-aggregation tree both
+    engines)."""
+    e = table(spark, sf_dir, "events")
+    m15 = e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+    )
+    hourly = m15.groupBy(
+        F.window(F.col("w.start"), "1 hour").alias("w2"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+    return hourly.groupBy(
+        F.date_trunc("day", F.col("w2.start")).alias("day"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("sv"), 6).alias("total_value"),
+    )
+
+
+@declare(
     "revenue_share_by_nation",
     oracle="""
     WITH nrev AS (

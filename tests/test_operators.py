@@ -525,6 +525,53 @@ def test_compact_parquet_dir(spark, tmp_path):
         assert prev_hi <= lo  # disjoint (boundary value may repeat)
 
 
+def test_zorder_two_dim_pruning(spark, tmp_path):
+    """Z-order clustering: on a 64×64 uniform grid rewritten into ~16
+    files, a selective filter on EITHER dimension intersects only a
+    fraction of the files' min/max spans — single-column clustering can
+    only ever prune its leading column."""
+    from real_time_trip_processing_spark.operators.maintenance import (
+        dir_bytes,
+        zorder_parquet_dir,
+    )
+
+    src = str(tmp_path / "grid")
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    grid.coalesce(1).write.parquet(src)
+
+    dst = str(tmp_path / "zordered")
+    n = zorder_parquet_dir(
+        spark, src, dst,
+        zorder_by=["x", "y"],
+        target_file_bytes=max(1, dir_bytes(spark, src) // 16),
+    )
+    assert n >= 8
+    out = spark.read.parquet(dst)
+    assert out.count() == 64 * 64
+
+    per_file = (
+        out.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("x").alias("x_lo"), F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"), F.max("y").alias("y_hi"),
+        )
+        .collect()
+    )
+    n_files = len(per_file)
+    for dim in ("x", "y"):
+        # files whose [min,max] span intersects the narrow band [0, 7]
+        touching = [
+            r for r in per_file if r[f"{dim}_lo"] <= 7 and r[f"{dim}_hi"] >= 0
+        ]
+        assert len(touching) <= n_files // 2, (
+            f"{dim}-band filter touches {len(touching)}/{n_files} files"
+        )
+
+
 def test_dedup_priority_source_preference(spark):
     """Among exact duplicates the lowest (priority, id) row survives
     and carries the duplicate-group size; unique docs pass through

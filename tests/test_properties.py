@@ -211,3 +211,94 @@ def test_salted_join_equals_plain_join(spark, big, small, buckets):
         (k, v, sk, w) for k, v in big for sk, w in small if k == sk
     )
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.text(alphabet="ab c", min_size=0, max_size=30),
+            st.sampled_from(["en", "de"]),
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    budget=st.sampled_from([1, 3, 8]),
+)
+def test_pack_sequences_model(spark, docs, budget):
+    """Sequence packing against a Python model: within each stream,
+    offsets are the running token sum in doc_id order, seq_id is
+    offset // budget, and chunk boundaries never reorder or drop docs."""
+    from real_time_trip_processing_spark.functions.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lang) for i, (t, lang) in enumerate(docs)],
+        schema="doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["tok_offset"], r["seq_id"])
+        for r in pack_sequences(df, budget=budget, part_col="lang").collect()
+    }
+    # model: BPE-ish token count is opaque — reuse the operator's own
+    # n_tokens and model ONLY the packing arithmetic on top of it
+    by_lang: dict = {}
+    for i, (t, lang) in enumerate(docs):
+        by_lang.setdefault(lang, []).append(i)
+    for ids in by_lang.values():
+        off = 0
+        for i in sorted(ids):
+            n, got_off, got_seq = got[i]
+            assert got_off == off
+            assert got_seq == off // budget
+            off += n
+    assert len(got) == len(docs)
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc xyz", min_size=0, max_size=40),
+        min_size=0,
+        max_size=12,
+    ),
+    n=st.sampled_from([2, 3]),
+)
+def test_decontaminate_model(spark, texts, n):
+    """n-gram decontamination against a brute-force model: every doc
+    sharing >=1 distinct word n-gram with the bench subset (doc_id % 3
+    == 0) is reported with the exact distinct-shared-gram count."""
+    from real_time_trip_processing_spark.functions.curation import (
+        ngram_decontaminate,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+
+    def grams(t: str) -> set:
+        toks = t.strip().split()
+        if not toks:
+            toks = [""]
+        if len(toks) <= n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench = set().union(*(grams(t) for i, t in enumerate(texts) if i % 3 == 0)) \
+        if any(i % 3 == 0 for i in range(len(texts))) else set()
+    expect = {}
+    for i, t in enumerate(texts):
+        if i % 3 == 0:
+            continue
+        hits = len(grams(t) & bench)
+        if hits:
+            expect[i] = hits
+
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in ngram_decontaminate(
+            df, bench_pred=F.col("doc_id") % 3 == 0, n=n
+        ).collect()
+    }
+    assert got == expect
