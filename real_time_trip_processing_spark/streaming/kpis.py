@@ -41,6 +41,39 @@ def streaming_sessions(
     )
 
 
+def streaming_kpi_15min(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """The streaming twin of the batch ``kpi_15min`` query and the
+    finest level of the rollup cascade (plans/analytic_queries.py
+    ``rollup_cascade``): 15-minute tumbling buckets per event type.
+
+    Materialize it with ``keyed_upsert_foreach_batch`` (update mode) and
+    every coarser resolution — hourly, daily — is a cheap batch
+    re-aggregate of the materialized rollup, never of raw events. This
+    is the continuous-aggregate pattern: the stream maintains only the
+    finest level's state (bounded by watermark horizon × #types), and
+    100 TB of raw history is scanned zero times after ingest."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), "15 minutes").alias("w"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            type_col,
+            "n",
+            "total_value",
+        )
+    )
+
+
 def streaming_kpi_daily(
     completed: DataFrame,
     ts_col: str = "pickup_datetime",

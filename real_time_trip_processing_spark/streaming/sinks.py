@@ -76,6 +76,33 @@ def upsert_foreach_batch(path: str):
     return write_batch
 
 
+def keyed_upsert_foreach_batch(path: str, key_cols: list[str]):
+    """Key-addressed upsert for UPDATE-mode streaming aggregates: each
+    micro-batch's changed rows overwrite exactly their own key
+    partitions (dynamic partition overwrite, one directory per key
+    tuple), so the parquet table always holds the LATEST aggregate
+    state per key — a materialized view maintained by the stream.
+
+    This is how a continuous aggregate (e.g. ``streaming_kpi_15min``)
+    lands in a plain parquet lake: late events re-emit their bucket and
+    the bucket's partition is replaced, never duplicated. Idempotent
+    under batch replay for the same reason as ``upsert_foreach_batch``.
+    Partition count = key cardinality — right for rollup keys
+    (time-bucket × type), wrong for row-grain keys (use the batch-id
+    flavor there).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*key_cols)
+            .parquet(path)
+        )
+
+    return write_batch
+
+
 def write_kafka(
     df: DataFrame,
     key_col: str,

@@ -647,3 +647,83 @@ def test_completion_notifier_publishes_sns_doc(spark, tmp_path, replay_dir):
         assert doc["input_rows"] > 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_rollup_upsert_matches_batch_cascade(spark, tmp_path):
+    """Continuous-aggregate materialization: the events table replayed
+    as a multi-batch stream, 15-min buckets maintained in UPDATE mode
+    and upserted key-addressed into a parquet rollup lake. The lake's
+    final state must equal the batch kpi_15min aggregate, and a daily
+    re-aggregate OF THE LAKE must equal the batch rollup cascade — raw
+    events are scanned only by the stream."""
+    from real_time_trip_processing_spark.sources import table
+    from real_time_trip_processing_spark.streaming.kpis import streaming_kpi_15min
+    from real_time_trip_processing_spark.streaming.sinks import (
+        keyed_upsert_foreach_batch,
+    )
+
+    events = table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "events_stream")
+    events.repartition(6).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    rollup_dir = str(tmp_path / "rollup15")
+    # replay order is arbitrary across the 6 files → watermark must
+    # cover the full event-time span or genuinely-late buckets are
+    # (correctly) dropped; parity needs the keep-everything setting
+    q = (
+        streaming_kpi_15min(stream, watermark="365 days")
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            keyed_upsert_foreach_batch(rollup_dir, ["bucket_start", "event_type"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    lake = spark.read.parquet(rollup_dir)
+    batch15 = events.groupBy(
+        F.window("ts", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in lake.collect()
+    }
+    want = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch15.collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, tv) in want.items():
+        assert got[k][0] == n
+        assert math.isclose(got[k][1], tv, rel_tol=1e-9)
+
+    # cascade: daily KPIs from the MATERIALIZED rollup == batch-from-raw
+    daily_from_lake = {
+        (r["day"], r["event_type"]): (r["n"], r["total_value"])
+        for r in lake.groupBy(
+            F.date_trunc("day", "bucket_start").alias("day"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("total_value").alias("total_value"))
+        .collect()
+    }
+    daily_from_raw = {
+        (r["day"], r["event_type"]): (r["n"], r["total_value"])
+        for r in events.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+    assert set(daily_from_lake) == set(daily_from_raw)
+    for k, (n, tv) in daily_from_raw.items():
+        assert daily_from_lake[k][0] == n
+        assert math.isclose(daily_from_lake[k][1], tv, rel_tol=1e-9)
