@@ -1,0 +1,230 @@
+"""Product quantization (PQ) — the compression half of a production
+vector index (IVF-PQ), completing the X3 surface next to `ivf_topk`
+(coarse quantizer) and `embedding_quantize_int8` (scalar quantizer).
+
+A vector is split into ``m`` subspaces; each subspace gets its own
+k-entry codebook (L2 Lloyd, the PQ standard — Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011); a vector is
+stored as ``m`` small codes (m=8, k=16 → 8 nibbles ≈ 4 bytes for a
+64-dim float vector, a 64× compression). Search uses asymmetric
+distance computation (ADC): the query stays exact, per-(subspace, code)
+inner products are precomputed into a lookup table, and scoring a
+corpus vector is ``m`` table lookups — no float vector is ever read at
+query time.
+
+Scale shape:
+- TRAINING is driver-coordinated like `kmeans_fit_rows`: per iteration
+  only (m × k × sub_dim) partial sums cross to the driver; the corpus
+  never moves. Assignment runs as an Arrow-batched argmin kernel (dense
+  linear algebra — the measured ~100× win over interpreted Catalyst
+  higher-order functions, see `similarity._srp_sig_arrow`).
+- ENCODING is the same Arrow kernel: one (batch × dim) · (dim × m·k)
+  matmul per Arrow batch, row-local, zero shuffle.
+- ADC SEARCH is pure JVM expressions: the per-query LUT rides in as a
+  broadcast literal, scoring is ``m`` `element_at` lookups + adds
+  inside whole-stage codegen, and the only exchange in the plan is the
+  per-query top-k window over (query_id, cand_id, score) rows. The
+  corpus side reads CODES (bytes), not vectors — at 100 TB this is the
+  difference between scanning 4 bytes/vector and 256.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+#: [subspace][code][sub_dim] — driver-resident, like CentroidRows.
+SubCodebooks = list[list[list[float]]]
+
+
+def _slices(dim: int, m: int) -> list[tuple[int, int]]:
+    assert dim % m == 0
+    sub = dim // m
+    return [(j * sub, (j + 1) * sub) for j in range(m)]
+
+
+def _encode_kernel(books: SubCodebooks, dim: int):
+    """Arrow-batched PQ encoder: argmin-L2 code per subspace.
+
+    ||x_j - c||² = ||c||² - 2·x_j·c + const(x) → argmin over codes
+    needs only the (sub_dim × k) matmul plus the precomputed ||c||²
+    row; ties resolve to the LOWEST code (np.argmin contract), so
+    encoding is deterministic for a fixed codebook."""
+    mats = [np.array(b, dtype=np.float64) for b in books]  # k × sub
+    norms = [np.sum(b * b, axis=1) for b in mats]
+    bounds = _slices(dim, len(books))
+
+    @F.pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(r, dtype=np.float64) for r in v])
+        codes = np.empty((x.shape[0], len(mats)), dtype=np.int32)
+        for j, ((lo, hi), cb, cn) in enumerate(zip(bounds, mats, norms)):
+            d = cn[None, :] - 2.0 * (x[:, lo:hi] @ cb.T)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> SubCodebooks:
+    """Train per-subspace codebooks with L2 Lloyd iterations.
+
+    Init: per subspace, the slices of the ``k`` lowest-id vectors (the
+    deterministic init discipline of `kmeans_fit_rows`). Update: one
+    aggregate per iteration producing (m × k × sub_dim) means — the
+    only data that ever reaches the driver. Empty codes keep their
+    previous centroid."""
+    bounds = _slices(dim, m)
+    v = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+
+    init = (
+        emb.select(
+            F.col("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .orderBy("vec_id")
+        .limit(k)
+        .collect()
+    )
+    books: SubCodebooks = [
+        [list(r["v"][lo:hi]) for r in init] for lo, hi in bounds
+    ]
+
+    for _ in range(iters):
+        enc = _encode_kernel(books, dim)
+        coded = v.select("v", enc(F.col("v")).alias("codes"))
+        # one aggregate: mean of every (subspace, code, sub_dim) cell
+        sums = (
+            coded.select(
+                F.posexplode("v").alias("d", "x"),
+                F.col("codes"),
+            )
+            .select(
+                (F.col("d") / (dim // m)).cast("int").alias("j"),
+                (F.col("d") % (dim // m)).alias("sd"),
+                F.element_at("codes", (F.col("d") / (dim // m)).cast("int") + 1).alias(
+                    "code"
+                ),
+                "x",
+            )
+            .groupBy("j", "code", "sd")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        cell = {(r["j"], r["code"], r["sd"]): r["mean"] for r in sums}
+        books = [
+            [
+                [
+                    cell.get((j, c, sd), books[j][c][sd])
+                    for sd in range(dim // m)
+                ]
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: SubCodebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, codes array<int>) — the stored form of the index."""
+    enc = _encode_kernel(books, dim)
+    return emb.select(
+        F.col(id_col).alias("cand_id"),
+        enc(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+
+def pq_adc_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    books: SubCodebooks,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Asymmetric-distance top-k by approximate cosine: exact query ×
+    reconstructed corpus vector, scored entirely from lookup tables.
+
+    The queries (a handful of probes) are collected driver-side — the
+    same discipline as the codebook — and ride back in as ONE broadcast
+    DataFrame carrying each query's (m × k) dot-product LUT; the
+    codebook-norm LUT is a global literal. The corpus codes stream
+    through a single scan × broadcast cross join, and scoring a row is
+    ``m`` `element_at` lookups into each LUT: pure codegen'd
+    expressions over the codes column; the embedding column does not
+    exist in this plan at all."""
+    from ..operators.sorts import topk_per_group
+
+    m = len(books)
+    bounds = _slices(dim, m)
+    mats = [np.array(b, dtype=np.float64) for b in books]
+    # ||x_hat||² contribution of each (subspace, code) — query-free
+    norm_lut = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(np.dot(c, c))) for c in cb) + ")"
+            for cb in mats
+        )
+        + ")"
+    )
+
+    q_rows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    spark = corpus_codes.sparkSession
+    q_lut = spark.createDataFrame(
+        [
+            (
+                qr[id_col],
+                float(np.sqrt(np.dot(qr["v"], qr["v"]))),
+                [
+                    [float(np.dot(np.asarray(qr["v"])[lo:hi], c)) for c in cb]
+                    for (lo, hi), cb in zip(bounds, mats)
+                ],
+            )
+            for qr in q_rows
+        ],
+        "query_id LONG, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
+    )
+
+    dot_expr = None
+    nrm_expr = None
+    for j in range(m):
+        code_j = F.element_at("codes", j + 1) + 1
+        d = F.element_at(F.element_at("dot_lut", j + 1), code_j)
+        n = F.element_at(F.element_at(norm_lut, j + 1), code_j)
+        dot_expr = d if dot_expr is None else dot_expr + d
+        nrm_expr = n if nrm_expr is None else nrm_expr + n
+
+    scored = (
+        corpus_codes.crossJoin(F.broadcast(q_lut))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            (dot_expr / (F.col("q_norm") * F.sqrt(nrm_expr))).alias("score"),
+        )
+    )
+    top = topk_per_group(scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k)
+    return top.select(
+        "query_id",
+        "cand_id",
+        F.round("score", 8).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

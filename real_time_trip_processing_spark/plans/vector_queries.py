@@ -392,6 +392,50 @@ def sim_ivf_topk_trained(spark, sf_dir):
 
 
 @declare(
+    "sim_pq_topk",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
+           TRUE AS quality_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def sim_pq_topk(spark, sf_dir):
+    """X3 compression path: product-quantization ADC search
+    (functions/pq.py) — per-subspace L2 codebooks, Arrow-batched
+    encoding, pure-codegen lookup-table scoring over the CODES column
+    (the embedding column does not exist in the search plan; at 100 TB
+    the scan reads 16 bytes/vector instead of 256).
+
+    Like sim_ivf_topk_trained, training is a float fixpoint, so the
+    declared result is the index's deterministic CONTRACT: every probe
+    returns exactly k results, each probe's ADC top-3 intersects the
+    exact brute-force top-10 (computed side-by-side). The oracle
+    computes the contract exactly; a quantizer whose precision
+    collapses hash-mismatches. Measured on this corpus: ≥2 of 3 ADC
+    results are exact-top-10 members per query
+    (tests/test_operators.py::test_pq_adc_quality)."""
+    from ..functions.pq import pq_adc_topk, pq_encode, pq_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(emb, m=32, k=16, iters=2)
+    codes = pq_encode(emb, books)
+    adc = pq_adc_topk(codes, queries, books, k=3).select("query_id", "cand_id")
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "cand_id")
+    hits = (
+        adc.join(exact, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = adc.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_results").cast("long").alias("n_results"),
+        (F.coalesce(F.col("hits"), F.lit(0)) >= 1).alias("quality_ok"),
+    )
+
+
+@declare(
     "kmeans_codebook",
     oracle="""
     SELECT CAST(8 AS BIGINT) AS k, TRUE AS dims_ok,

@@ -589,3 +589,52 @@ def test_dedup_priority_source_preference(spark):
     assert set(got) == {2, 4}
     assert got[2]["dup_count"] == 3 and got[2]["pri"] == 1
     assert got[4]["dup_count"] == 1
+
+
+def test_pq_encode_deterministic_and_bounded(spark):
+    """PQ encoding: codes are deterministic for a fixed codebook and
+    every code addresses a real codebook entry."""
+    from real_time_trip_processing_spark.functions.pq import pq_encode, pq_train
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_train(emb, m=8, k=16, iters=1)
+    a = {r["cand_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    b = {r["cand_id"]: list(r["codes"]) for r in pq_encode(emb, books).collect()}
+    assert a == b
+    assert len(a) == emb.count()
+    for codes in a.values():
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+
+
+def test_pq_adc_quality(spark):
+    """ADC top-3 against exact top-10: the declared contract's stronger
+    measured form — every probe's approximate top-3 shares >=2 members
+    with the exact top-10."""
+    from real_time_trip_processing_spark.functions.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from real_time_trip_processing_spark.functions.similarity import cosine_topk
+    from real_time_trip_processing_spark.sources import table
+    from collections import defaultdict
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(emb, m=32, k=16, iters=2)
+    adc = pq_adc_topk(pq_encode(emb, books), queries, books, k=3).collect()
+    exact10 = defaultdict(set)
+    for r in cosine_topk(emb, queries, k=10).collect():
+        exact10[r["query_id"]].add(r["cand_id"])
+    hits = defaultdict(int)
+    n_res = defaultdict(int)
+    for r in adc:
+        n_res[r["query_id"]] += 1
+        if r["cand_id"] in exact10[r["query_id"]]:
+            hits[r["query_id"]] += 1
+    assert set(n_res) == set(exact10)
+    for q in exact10:
+        assert n_res[q] == 3
+        assert hits[q] >= 2, (q, dict(hits))
