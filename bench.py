@@ -61,8 +61,14 @@ def main() -> None:
     spark = get_spark("rtp-bench")
 
     # warm-up: run the flagship once so JVM/codegen/parquet-footer costs
-    # don't land on the first measured query
+    # don't land on the first measured query, and touch a Pandas UDF so
+    # Python-worker/Arrow startup doesn't land on the vector entries
     run_one(spark, "kpi_daily", sf_dir)
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(8).select(warm("id")).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
