@@ -169,12 +169,44 @@ def pq_adc_topk(
     ``m`` `element_at` lookups into each LUT: pure codegen'd
     expressions over the codes column; the embedding column does not
     exist in this plan at all."""
-    from ..operators.sorts import topk_per_group
+    spark = corpus_codes.sparkSession
+    q_rows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    q_lut = spark.createDataFrame(
+        [
+            (qr[id_col],) + _query_lut(qr["v"], books, dim)
+            for qr in q_rows
+        ],
+        "query_id LONG, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
+    )
+    scored = (
+        corpus_codes.crossJoin(F.broadcast(q_lut))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _adc_score(books).alias("score"))
+    )
+    return _rank_topk(scored, k)
 
-    m = len(books)
-    bounds = _slices(dim, m)
+
+def _query_lut(
+    v, books: SubCodebooks, dim: int
+) -> tuple[float, list[list[float]]]:
+    """(||q||, per-(subspace, code) dot-product table) for one query."""
+    qv = np.asarray(v, dtype=np.float64)
+    return (
+        float(np.sqrt(np.dot(qv, qv))),
+        [
+            [float(np.dot(qv[lo:hi], c)) for c in np.array(cb, dtype=np.float64)]
+            for (lo, hi), cb in zip(_slices(dim, len(books)), books)
+        ],
+    )
+
+
+def _adc_score(books: SubCodebooks) -> "F.Column":
+    """Approximate cosine from the codes column + the row's `dot_lut` /
+    `q_norm` columns + the global codebook-norm literal — m element_at
+    lookups per LUT, all codegen'd."""
     mats = [np.array(b, dtype=np.float64) for b in books]
-    # ||x_hat||² contribution of each (subspace, code) — query-free
     norm_lut = F.expr(
         "array("
         + ",".join(
@@ -183,44 +215,20 @@ def pq_adc_topk(
         )
         + ")"
     )
-
-    q_rows = queries.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).collect()
-    spark = corpus_codes.sparkSession
-    q_lut = spark.createDataFrame(
-        [
-            (
-                qr[id_col],
-                float(np.sqrt(np.dot(qr["v"], qr["v"]))),
-                [
-                    [float(np.dot(np.asarray(qr["v"])[lo:hi], c)) for c in cb]
-                    for (lo, hi), cb in zip(bounds, mats)
-                ],
-            )
-            for qr in q_rows
-        ],
-        "query_id LONG, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
-    )
-
     dot_expr = None
     nrm_expr = None
-    for j in range(m):
+    for j in range(len(books)):
         code_j = F.element_at("codes", j + 1) + 1
         d = F.element_at(F.element_at("dot_lut", j + 1), code_j)
         n = F.element_at(F.element_at(norm_lut, j + 1), code_j)
         dot_expr = d if dot_expr is None else dot_expr + d
         nrm_expr = n if nrm_expr is None else nrm_expr + n
+    return dot_expr / (F.col("q_norm") * F.sqrt(nrm_expr))
 
-    scored = (
-        corpus_codes.crossJoin(F.broadcast(q_lut))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            (dot_expr / (F.col("q_norm") * F.sqrt(nrm_expr))).alias("score"),
-        )
-    )
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    from ..operators.sorts import topk_per_group
+
     top = topk_per_group(scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k)
     return top.select(
         "query_id",
@@ -228,3 +236,74 @@ def pq_adc_topk(
         F.round("score", 8).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: SubCodebooks,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    codebook=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The composed IVF-PQ index: coarse quantizer prunes the scan to
+    ``nprobe / n_centroids`` of the corpus, PQ codes compress what is
+    scanned, ADC LUTs score it — the standard billion-vector layout
+    (FAISS IVF-PQ) as one DataFrame plan.
+
+    Corpus side: centroid assignment (row-local, `nearest_centroid`) +
+    PQ encoding (Arrow kernel) in a single projection — at real scale
+    this frame IS the persisted index (bucket/partition it by cent_id
+    so probes prune partitions). Query side: the probe list and the
+    ADC LUTs are computed driver-side from the handful of probe
+    vectors and broadcast as one (query, cent_id) frame; the join on
+    cent_id replaces `pq_adc_topk`'s cross join, so only probed
+    buckets are ever scored. Scores for surviving pairs are IDENTICAL
+    to the full-scan `pq_adc_topk` (same codes, same LUTs — pinned in
+    tests)."""
+    from .similarity import _resolve_centroids, nearest_centroid
+
+    rows = _resolve_centroids(emb, codebook, n_centroids, id_col, vec_col)
+    enc = _encode_kernel(books, dim)
+    corpus = emb.select(
+        F.col(id_col).alias("cand_id"),
+        nearest_centroid(F.col(vec_col).cast("array<double>"), rows).alias("cent_id"),
+        enc(F.col(vec_col).cast("array<double>")).alias("codes"),
+    )
+
+    cents = [(cid, np.asarray(vec, dtype=np.float64)) for cid, vec in sorted(rows)]
+    q_rows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    lut_rows = []
+    for qr in q_rows:
+        qv = np.asarray(qr["v"], dtype=np.float64)
+        qn = float(np.sqrt(np.dot(qv, qv)))
+        # nprobe nearest coarse centroids by cosine, ties to lower cid —
+        # the same ordering contract as ivf_topk's row-local probe sort
+        ranked = sorted(
+            cents,
+            key=lambda c: (
+                -float(np.dot(qv, c[1]))
+                / (qn * float(np.sqrt(np.dot(c[1], c[1]))) or 1.0),
+                c[0],
+            ),
+        )
+        q_norm, dot_lut = _query_lut(qr["v"], books, dim)
+        for cid, _ in ranked[:nprobe]:
+            lut_rows.append((qr[id_col], int(cid), q_norm, dot_lut))
+    q_lut = emb.sparkSession.createDataFrame(
+        lut_rows,
+        "query_id LONG, cent_id INT, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
+    )
+
+    scored = (
+        corpus.join(F.broadcast(q_lut), "cent_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _adc_score(books).alias("score"))
+    )
+    return _rank_topk(scored, k)

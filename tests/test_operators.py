@@ -638,3 +638,34 @@ def test_pq_adc_quality(spark):
     for q in exact10:
         assert n_res[q] == 3
         assert hits[q] >= 2, (q, dict(hits))
+
+
+def test_ivfpq_scores_match_full_scan(spark):
+    """IVF-PQ is pure pruning on top of PQ: every (query, cand) pair it
+    returns carries the IDENTICAL ADC score as the full-scan
+    pq_adc_topk, and each probe yields exactly k ranked results."""
+    from real_time_trip_processing_spark.functions.pq import (
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    books = pq_train(emb, m=8, k=16, iters=1)
+    full = {
+        (r["query_id"], r["cand_id"]): r["score"]
+        for r in pq_adc_topk(
+            pq_encode(emb, books), queries, books, k=100
+        ).collect()
+    }
+    ivf = ivfpq_topk(emb, queries, books, k=3, n_centroids=8, nprobe=4).collect()
+    per_q = {}
+    for r in ivf:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert full[(r["query_id"], r["cand_id"])] == r["score"]
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == [1, 2, 3]
+    assert len(per_q) == 3
