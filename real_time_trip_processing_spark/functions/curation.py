@@ -27,6 +27,8 @@ from .text import shingles
 __all__ = [
     "ngram_decontaminate", "pack_sequences", "quality_gate",
     "top_token_stats", "source_mix_weights", "ALL_MARKER_WORDS",
+    "redact_terms", "pii_scrub", "length_bucket",
+    "PII_PATTERNS", "LENGTH_BUCKETS",
 ]
 
 
@@ -187,6 +189,92 @@ def top_token_stats(
             (F.col("top.n") / F.col("n_tokens") > 0.1).alias("repetitive"),
         )
     )
+
+
+def redact_terms(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    placeholder: str = "<REDACTED>",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocklist redaction: replace every word-boundary occurrence of a
+    blocklisted term with ``placeholder`` and report the per-document hit
+    count, redacted length, and a sha256 content digest of the redacted
+    text (so downstream exact-dedup keys stay comparable).
+
+    The blocklist compiles into ONE alternation regex evaluated map-side
+    inside the scan stage — no joins, no shuffles, no per-term passes.
+    The pattern sticks to the RE2-compatible subset (no backrefs or
+    lookarounds) so the same regex runs in Spark (java.util.regex), RE2
+    engines, and the DuckDB oracle byte-identically.
+    """
+    pat = r"\b(?:" + "|".join(terms) + r")\b"
+    t = F.col(text_col)
+    red = F.regexp_replace(t, pat, placeholder)
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias("n_redacted"),
+        F.length(red).alias("redacted_len"),
+        F.sha2(red, 256).alias("redacted_sha"),
+    )
+
+
+#: PII patterns in the RE2-compatible regex subset (no backreferences,
+#: no lookaround) so the identical pattern string runs in Spark's
+#: java.util.regex AND the DuckDB oracle's RE2.  Order matters: emails
+#: are scrubbed before phones (digits inside an email must not be
+#: re-matched), phones before bare IPs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"(?:\+?[0-9]{1,2}[-. ]?)?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing: chained regexp_replace of emails → phone numbers →
+    IPv4 addresses with typed placeholders, plus per-document counts of
+    each PII class (counted on the pre-scrub text).
+
+    Pure map-side expression work — at corpus scale this fuses into the
+    scan stage like every other row-local curation rule.  The pattern
+    set is deliberately the high-precision core (formats that are
+    near-unambiguous); recall-heavy patterns (names, addresses) need an
+    NER pass, which belongs in the `multimodal`-style Arrow-UDF tier,
+    not here.
+    """
+    t = F.col(text_col)
+    scrubbed = t
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select(
+        F.col(id_col),
+        *counts,
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.sha2(scrubbed, 256).alias("scrubbed_sha"),
+    )
+
+
+#: fixed power-of-two token-count boundaries for batch-shape bucketing.
+#: Integer CASE comparisons, not log2 floats — the bucket edge must not
+#: depend on the engine's last-ulp rounding of log2(2^k).
+LENGTH_BUCKETS: tuple[int, ...] = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def length_bucket(n_tokens: Column) -> Column:
+    """Smallest power-of-two boundary ≥ ``n_tokens`` (capped at the top
+    bucket), as the bucket label for sequence-length batching."""
+    out = F.lit(LENGTH_BUCKETS[-1])
+    for b in reversed(LENGTH_BUCKETS):
+        out = F.when(n_tokens <= b, F.lit(b)).otherwise(out)
+    return out
 
 
 def source_mix_weights(

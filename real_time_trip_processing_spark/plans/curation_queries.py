@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import curation as C
-from ..functions.text import BPE_ISH_PATTERN
+from ..functions.text import BPE_ISH_PATTERN, token_count
 from ..sources import table
 from .registry import declare
 
@@ -69,6 +69,147 @@ def pack_sequences_q(spark, sf_dir):
     return C.pack_sequences(
         table(spark, sf_dir, "documents"), budget=_PACK_BUDGET, part_col="lang"
     ).select("doc_id", "lang", "n_tokens", "tok_offset", "seq_id")
+
+
+_BLOCKLIST = ("customer", "spark", "vector")
+_BLOCK_PAT = r"\b(?:" + "|".join(_BLOCKLIST) + r")\b"
+
+
+@declare(
+    "redact_blocklist",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BLOCK_PAT}')) AS INT) AS n_redacted,
+           CAST(length(regexp_replace(text, '{_BLOCK_PAT}', '<REDACTED>', 'g')) AS INT)
+             AS redacted_len,
+           sha256(regexp_replace(text, '{_BLOCK_PAT}', '<REDACTED>', 'g'))
+             AS redacted_sha
+    FROM documents
+    """,
+)
+def redact_blocklist(spark, sf_dir):
+    """Blocklist redaction: one alternation regex replaces every
+    word-boundary blocklist hit with a placeholder, map-side; per-doc
+    hit count plus a sha256 digest of the redacted text proves the
+    rewrite content, not just its shape."""
+    return C.redact_terms(table(spark, sf_dir, "documents"), _BLOCKLIST)
+
+
+_PII_SCRUB_SQL = "text"
+for _, _pat, _tok in C.PII_PATTERNS:
+    _PII_SCRUB_SQL = f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_tok}', 'g')"
+_PII_COUNTS_SQL = ",\n           ".join(
+    f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{n}"
+    for n, p, _ in C.PII_PATTERNS
+)
+
+
+@declare(
+    "pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           {_PII_COUNTS_SQL},
+           CAST(length({_PII_SCRUB_SQL}) AS INT) AS scrubbed_len,
+           sha256({_PII_SCRUB_SQL}) AS scrubbed_sha
+    FROM documents
+    """,
+)
+def pii_scrub_q(spark, sf_dir):
+    """PII scrubbing: chained email → phone → IPv4 redaction with typed
+    placeholders and per-class counts. The synthetic corpus contains no
+    PII (counts legitimately 0 here — value-level behavior is pinned by
+    `tests/test_curation.py` micro-cases); the digest column still
+    proves the full rewrite chain byte-for-byte on every row."""
+    return C.pii_scrub(table(spark, sf_dir, "documents"))
+
+
+_BUCKET_CASE = "CASE " + " ".join(
+    f"WHEN n_tokens <= {b} THEN {b}" for b in C.LENGTH_BUCKETS[:-1]
+) + f" ELSE {C.LENGTH_BUCKETS[-1]} END"
+
+
+@declare(
+    "doc_length_buckets",
+    oracle=rf"""
+    WITH t AS (SELECT lang,
+                      CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+                        AS n_tokens
+               FROM documents)
+    SELECT lang, CAST({_BUCKET_CASE} AS INT) AS bucket,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+    FROM t GROUP BY lang, bucket
+    """,
+)
+def doc_length_buckets(spark, sf_dir):
+    """Sequence-length batching profile: docs binned to the smallest
+    power-of-two token boundary, per language — the shape a training
+    loader needs to plan padding-efficient batches. Integer CASE edges
+    (not log2 floats) so the bucket boundary can't drift with an
+    engine's last-ulp log rounding."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return d.groupBy(
+        "lang", C.length_bucket(F.col("n_tokens")).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tot_tokens"),
+    )
+
+
+@declare(
+    "weighted_sample",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+                        AS n_tokens,
+                      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 1000 AS bucket
+               FROM documents),
+    per AS (SELECT source, SUM(n_tokens) AS src_tokens FROM d GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n_src, SUM(src_tokens) AS total_tokens FROM per)
+    SELECT d.source, COUNT(*) AS sampled_docs,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS sampled_tokens
+    FROM d JOIN per USING (source) CROSS JOIN tot
+    WHERE d.bucket * 3 * n_src * src_tokens < 1000 * total_tokens
+    GROUP BY d.source
+    """,
+)
+def weighted_sample(spark, sf_dir):
+    """Domain-mix weighted sampling: each doc kept with probability
+    proportional to its source's uniform-target mix weight (the
+    `source_mix_weights` policy normalized by its cap), membership
+    decided by an md5 bucket of the doc key — deterministic under
+    reprocessing. The keep predicate is pure BIGINT arithmetic
+    (`bucket·3·S·src_tokens < 1000·T`), never a float threshold, so
+    engines can't disagree on a boundary bucket. Weights are a
+    broadcast ~#sources-row aggregate; the filter is map-side."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 1000
+        ).alias("bucket"),
+    )
+    per = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = per.agg(
+        F.count(F.lit(1)).alias("n_src"), F.sum("src_tokens").alias("total_tokens")
+    )
+    return (
+        d.join(F.broadcast(per), "source")
+        .join(F.broadcast(tot))
+        .filter(
+            F.col("bucket") * 3 * F.col("n_src") * F.col("src_tokens")
+            < 1000 * F.col("total_tokens")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("sampled_docs"),
+            F.sum("n_tokens").alias("sampled_tokens"),
+        )
+    )
 
 
 _MARKERS_SQL = ", ".join(f"'{w}'" for w in C.ALL_MARKER_WORDS)

@@ -87,3 +87,58 @@ def test_source_mix_weights_cap_and_share(spark):
     assert abs(out["A"]["token_share"] - 0.9) < 1e-9
     assert abs(out["A"]["mix_weight"] - 0.5 / 0.9) < 1e-6
     assert out["B"]["mix_weight"] == 3.0
+
+
+def test_redact_terms_counts_and_content(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the customer met a customer near spark", "en", "s"),
+            (2, "customers use sparkling vectors", "en", "s"),  # no word-boundary hits
+            (3, "plain text", "en", "s"),
+        ],
+        DOCS_SCHEMA,
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in C.redact_terms(df, ("customer", "spark", "vector")).collect()
+    }
+    assert out[1]["n_redacted"] == 3
+    # "the <REDACTED> met a <REDACTED> near <REDACTED>"
+    assert out[1]["redacted_len"] == len("the <REDACTED> met a <REDACTED> near <REDACTED>")
+    assert out[2]["n_redacted"] == 0  # substrings must not match
+    assert out[3]["n_redacted"] == 0
+    # unredacted docs keep their original digest
+    import hashlib
+    assert out[3]["redacted_sha"] == hashlib.sha256(b"plain text").hexdigest()
+
+
+def test_pii_scrub_classes_and_chain(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now", "en", "s"),
+            (2, "call +1 (555) 123-4567 or 555-987-6543", "en", "s"),
+            (3, "host 192.168.0.1 and 10.0.0.255", "en", "s"),
+            (4, "a@b.io from 8.8.8.8 at 555-111-2222", "en", "s"),
+            (5, "clean", "en", "s"),
+        ],
+        DOCS_SCHEMA,
+    )
+    out = {r["doc_id"]: r.asDict() for r in C.pii_scrub(df).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 0, 0)
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 2, 0)
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 2)
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (1, 1, 1)
+    import hashlib
+    assert out[1]["scrubbed_sha"] == hashlib.sha256(b"mail <EMAIL> now").hexdigest()
+    assert out[5]["scrubbed_sha"] == hashlib.sha256(b"clean").hexdigest()
+
+
+def test_length_bucket_edges(spark):
+    df = spark.createDataFrame(
+        [(0,), (1,), (16,), (17,), (512,), (513,), (99999,)], "n long"
+    )
+    got = {
+        r["n"]: r["b"]
+        for r in df.select("n", C.length_bucket(F.col("n")).alias("b")).collect()
+    }
+    assert got == {0: 16, 1: 16, 16: 16, 17: 32, 512: 512, 513: 1024, 99999: 1024}
