@@ -448,6 +448,38 @@ def kpi_15min(spark, sf_dir):
 
 
 @declare(
+    "kpi_hopping_1h",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) - k.k * INTERVAL '15 minutes'
+             AS window_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+    FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def kpi_hopping_1h(spark, sf_dir):
+    """Hopping (sliding) rollup: 1-hour windows advancing every 15
+    minutes via ``window(ts, '1 hour', '15 minutes')`` — each event
+    lands in exactly 4 overlapping windows. Spark expands the
+    assignment row-locally inside the scan stage (a 4-way generate,
+    no self-join), then one partial+final aggregate; the same
+    expression drives the streaming flavor with a watermark. The
+    oracle replays the epoch-aligned window algebra: the 4 member
+    windows of an event are its 15-min bucket minus k·15min, k∈0..3."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@declare(
     "rollup_cascade",
     oracle="""
     WITH m15 AS (

@@ -298,3 +298,31 @@ def test_srp_plan_builds_without_spark_job(spark):
     after = tracker.getJobIdsForGroup(None) or []
     assert len(after) == len(before), "plan construction ran a Spark job"
     assert df.columns == ["a", "b", "score"]
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A date-partitioned fact joined to a selectively-filtered dim
+    prunes fact partitions at RUNTIME via dynamic partition pruning:
+    the dim filter's values are broadcast into the fact scan's
+    partition filters, so at 100 TB the scan touches only the matching
+    date directories — static pushdown can't do this because the dates
+    come from the other side of the join."""
+    from real_time_trip_processing_spark.sources import table
+
+    fact = table(spark, SF_DIR, "events").withColumn(
+        "d", F.date_trunc("day", "ts").cast("string")
+    )
+    fact.write.partitionBy("d").mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim = (
+        fact.select("d").distinct().limit(2)
+        .withColumn("tag", F.lit("keep"))
+    )
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dm = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("tag") == "keep")
+    joined = f.join(dm, "d").groupBy("d").count()
+    plan = joined._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "dynamicpruning" in plan.lower(), plan
