@@ -526,14 +526,16 @@ def rollup_cascade(spark, sf_dir):
     oracle="""
     WITH nrev AS (
       SELECT n.n_name AS nation,
-             SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
       FROM lineitem l
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
       GROUP BY n.n_name)
-    SELECT nation, ROUND(revenue, 6) AS revenue,
-           ROUND(100.0 * revenue / SUM(revenue) OVER (), 6) AS pct_of_total
+    SELECT nation, CAST(rev AS DOUBLE) AS revenue,
+           100.0 * CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE)
+             AS pct_of_total
     FROM nrev
     """,
 )
@@ -542,25 +544,36 @@ def revenue_share_by_nation(spark, sf_dir):
     empty-frame window (SUM OVER ()) runs on the 25-row aggregate, not
     the fact table — the only cost that scales is the one groupBy
     shuffle; the single-partition window is constant-sized by
-    construction."""
+    construction.
+
+    Money sums run in DECIMAL (prices/discounts are exact 2-decimal
+    values): a double sum over millions of rows carries summation-order
+    noise in the low ulps, which can cross a ROUND boundary and flip
+    the 6th decimal between engines/partitionings; the decimal sum is
+    exact and order-independent, so the final double conversion and the
+    share division are bit-identical everywhere."""
     l = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev_term = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
     nrev = (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(F.sum(rev_term).alias("rev"))
     )
     w = Window.partitionBy()
+    tot = F.sum("rev").over(w)  # decimal sum: exact, order-independent
     return nrev.select(
         "nation",
-        F.round("revenue", 6).alias("revenue"),
-        F.round(100.0 * F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+        F.col("rev").cast("double").alias("revenue"),
+        (F.lit(100.0) * F.col("rev").cast("double") / tot.cast("double")).alias(
             "pct_of_total"
         ),
     )

@@ -40,7 +40,7 @@ from .registry import declare
                                 ORDER BY o.min_unit, o.l_suppkey) AS rn
       FROM offers o)
     SELECT p.p_partkey, p.p_brand, s.s_suppkey AS cheapest_supp,
-           s.n_name AS nation, ROUND(r.min_unit, 6) AS min_unit_price
+           s.n_name AS nation, r.min_unit AS min_unit_price
     FROM ranked r
     JOIN part p ON p.p_partkey = r.l_partkey AND p.p_size < 25
     JOIN eu_supp s ON s.s_suppkey = r.l_suppkey
@@ -58,7 +58,10 @@ def min_cost_supplier(spark, sf_dir):
     so the only shuffles are the (part, supp) aggregate and the
     per-part window — both partitioned by l_partkey. MIN of an exact
     division keeps every compared value order-independent, so ranking
-    is engine-stable."""
+    is engine-stable. The winning quotient is emitted RAW: the IEEE
+    division is bit-identical across engines, while decimal-rounding a
+    double is not (engines disagree on ties at the rounding boundary —
+    observed once at sf0.1), so rounding is what would break parity."""
     s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -87,7 +90,7 @@ def min_cost_supplier(spark, sf_dir):
             "p_partkey", "p_brand",
             F.col("s_suppkey").alias("cheapest_supp"),
             F.col("n_name").alias("nation"),
-            F.round("min_unit", 6).alias("min_unit_price"),
+            F.col("min_unit").alias("min_unit_price"),
         )
     )
 
