@@ -70,4 +70,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
     # testdata parquet stores TIMESTAMP(NANOS); Spark reads it as long
     # (sources/tables.py converts to micros, matching DuckDB's truncation)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # parquet TIMESTAMP without isAdjustedToUTC otherwise infers as
+    # TIMESTAMP_NTZ (Spark 4 default); read it as session-time (UTC
+    # pinned above) so event-time functions see plain TIMESTAMP and the
+    # wall-clock values match DuckDB's naive timestamps bit-for-bit.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark

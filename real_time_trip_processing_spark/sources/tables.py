@@ -31,6 +31,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         field = df.schema[c]
         if isinstance(field.dataType, T.LongType):
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    # Belt-and-braces for sessions where inferTimestampNTZ was read
+    # before tune_session ran: NTZ → session-time (UTC) is a pure type
+    # retag at identical wall-clock values.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
