@@ -71,18 +71,21 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("q_norm", norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
+    ).withColumn("c_norm", norm(F.col("c_vec")))
+    # Norms are computed ONCE per side (identical doubles to the inline
+    # cosine: same sequential fold, just hoisted out of the pair loop) —
+    # the per-pair work drops from three dim-length folds to one.
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("score"),
         )
     )
     top = topk_per_group(
@@ -235,12 +238,12 @@ def ivf_topk(
     )
     assigned = assigned.withColumn(
         "cent_id", nearest_centroid(F.col("c_vec"), rows)
-    )
+    ).withColumn("c_norm", norm(F.col("c_vec")))
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    )
+    ).withColumn("q_norm", norm(F.col("q_vec")))
     probe_pairs = F.zip_with(
         F.transform(vec_arr, lambda c: cosine(F.col("q_vec"), c)),
         cid_arr,
@@ -249,8 +252,9 @@ def ivf_topk(
     probes = q.select(
         "query_id",
         "q_vec",
+        "q_norm",
         F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
-    ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
+    ).select("query_id", "q_vec", "q_norm", F.col("p.cid").alias("cent_id"))
 
     scored = (
         assigned.join(F.broadcast(probes), "cent_id")
@@ -258,7 +262,7 @@ def ivf_topk(
         .select(
             "query_id",
             "cand_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("score"),
+            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("score"),
         )
     )
     top = topk_per_group(scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k)
@@ -425,7 +429,10 @@ def srp_near_dup(
     bytes look small (the verify compute after vector-attach is the
     real cost it can't see).
     """
-    bucketed = srp_buckets(emb, num_bits, bands, dim, id_col, vec_col, impl=impl)
+    # persist: the bucket frame feeds BOTH sides of the candidate
+    # self-join — without it Spark recomputes the signature kernel twice
+    # (same discipline as the MinHash signature frame, minhash.py).
+    bucketed = srp_buckets(emb, num_bits, bands, dim, id_col, vec_col, impl=impl).persist()
     spread = emb.sparkSession.sparkContext.defaultParallelism
     candidates = (
         bucketed.alias("l")
