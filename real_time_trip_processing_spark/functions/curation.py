@@ -29,6 +29,7 @@ __all__ = [
     "top_token_stats", "source_mix_weights", "ALL_MARKER_WORDS",
     "redact_terms", "pii_scrub", "length_bucket",
     "PII_PATTERNS", "LENGTH_BUCKETS",
+    "hex_prefix_int", "shard_manifest",
 ]
 
 
@@ -303,4 +304,53 @@ def source_mix_weights(
         "tot_tokens",
         F.round(share, 8).alias("token_share"),
         F.round(F.least(target / share, F.lit(cap)), 8).alias("mix_weight"),
+    )
+
+
+def hex_prefix_int(hex_col: str, n_nibbles: int = 8) -> Column:
+    """First ``n_nibbles`` hex chars of a hex-string column as a BIGINT,
+    via locate() arithmetic — portable to any engine with strpos, so an
+    oracle can replay the value without a hex-cast builtin. 8 nibbles
+    keeps the value < 2^32 (BIGINT-safe products with shard counts)."""
+    terms = " + ".join(
+        f"(CAST(locate(substr({hex_col}, {i + 1}, 1), '0123456789abcdef') AS BIGINT) - 1)"
+        f" * {16 ** (n_nibbles - 1 - i)}"
+        for i in range(n_nibbles)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    salt: str = "shuffle:v1",
+) -> DataFrame:
+    """Deterministic training-order manifest: every document gets a
+    pseudo-random (but replayable) shard and position, the op every
+    training run needs between "corpus is curated" and "corpus is read
+    in shuffled order".
+
+    Scale shape — NO global sort: shard_id is parsed map-side from the
+    md5 shuffle key (hash-uniform over ``n_shards``), and pos_in_shard
+    is a row_number per shard — ONE hash-partition shuffle on shard_id
+    and a per-shard local sort, exactly how a 1000-executor writer lays
+    out shard files. A window ordered over the whole corpus (the naive
+    form) would funnel 100 TB through a single range exchange.
+
+    Re-keying on ``salt`` reshuffles every epoch without touching data:
+    the manifest is (id, key, shard, pos) — the document bodies never
+    move.
+    """
+    keyed = docs.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))).alias(
+            "shuffle_key"
+        ),
+    ).withColumn(
+        "shard_id", (hex_prefix_int("shuffle_key", 8) % n_shards).cast("int")
+    )
+    w = W.partitionBy("shard_id").orderBy("shuffle_key", id_col)
+    return keyed.withColumn(
+        "pos_in_shard", (F.row_number().over(w) - 1).cast("long")
     )

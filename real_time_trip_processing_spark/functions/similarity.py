@@ -509,3 +509,52 @@ def jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "inter", "sz_a", "sz_b", F.round("jaccard", 8).alias("jaccard"))
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    dim_out: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style dimensionality reduction with ±1
+    (Achlioptas) planes — the cheap PCA substitute a pipeline runs
+    before clustering / LSH when the raw embedding width is overkill.
+
+    Deterministic across engines and partitionings: the input is
+    integer-quantized (same ``SRP_QUANT`` contract as the SRP path), so
+    each projection is an exact int64 dot against md5-parity ±1 planes —
+    no float summation order anywhere. ``proj`` is the raw integer
+    coordinate; ``y`` rescales by 1/(QUANT·√dim_out) per the JL lemma.
+
+    Scale shape: entirely row-local (plane matrix rides in as one
+    literal); the only data movement is the corpus scan itself. Output
+    is exploded to (id, dim, value) rows — a layout that stays
+    canonicalizable and lets downstream ops pivot as needed.
+    """
+    planes = _int_matrix_literal(srp_signs(dim_out, dim))
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * SRP_QUANT).cast("long"),
+    )
+    projs = F.transform(
+        planes,
+        lambda p: F.aggregate(
+            F.zip_with(qv, p, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return emb.select(
+        F.col(id_col), F.posexplode(projs).alias("dim", "proj")
+    ).select(
+        id_col,
+        F.col("dim").cast("int").alias("dim"),
+        "proj",
+        F.round(
+            F.col("proj")
+            / (F.lit(float(SRP_QUANT)) * F.sqrt(F.lit(float(dim_out)))),
+            8,
+        ).alias("y"),
+    )

@@ -140,3 +140,22 @@ def lang_id(text: Column) -> Column:
             (scores[lang] > 0) & (scores[lang] == best), F.lit(lang)
         ).otherwise(pred)
     return pred
+
+
+def bigram_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc, w1, w2) word-bigram rows — the base relation for n-gram LM
+    statistics. Row-local expansion (slice + zip), so the only movement
+    is whatever aggregate the caller runs on top; a doc with < 2 tokens
+    contributes nothing."""
+    w = tokens(F.col(text_col))
+    n_pairs = F.greatest(F.size(w) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(w, 1, n_pairs),
+        F.slice(w, 2, n_pairs),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(pairs).alias("bg")
+    ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))

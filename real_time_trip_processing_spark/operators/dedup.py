@@ -78,3 +78,39 @@ def dedup_priority(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def dedup_incremental(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_out: str = "text_hash",
+) -> DataFrame:
+    """X1, incremental flavor: dedup a NEW batch against an already-
+    ingested corpus — the shape every continuously-fed training pipeline
+    runs per ingest cycle. Survivors are incoming docs whose normalized-
+    content hash (a) wins within the batch (lowest id) and (b) does not
+    already exist in the corpus. ``n_batch_dups`` reports how many batch
+    rows shared the hash (lineage for the drop report).
+
+    Scale shape: both sides hash map-side, so the within-batch window
+    and the anti-join each shuffle 32-byte keys, never document bodies;
+    at 100 TB the corpus side is the persisted hash index of prior
+    ingests (bucketed on the hash), making the anti-join co-located and
+    incremental cost proportional to the BATCH, not the corpus.
+    """
+    hashed = incoming.withColumn(
+        hash_out, F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    )
+    w = Window.partitionBy(hash_out)
+    batch_best = (
+        hashed.withColumn("__rn", F.row_number().over(w.orderBy(id_col)))
+        .withColumn("n_batch_dups", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    corpus_hashes = corpus.select(
+        F.sha2(F.lower(F.trim(F.col(text_col))), 256).alias(hash_out)
+    )
+    return batch_best.join(corpus_hashes, hash_out, "left_anti")

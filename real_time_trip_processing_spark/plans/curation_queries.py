@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import curation as C
+from ..operators.dedup import dedup_incremental
 from ..functions.text import BPE_ISH_PATTERN, token_count
 from ..sources import table
 from .registry import declare
@@ -294,3 +295,68 @@ def source_mix_weights_q(spark, sf_dir):
     sampling weight toward a uniform source mix — one tiny aggregate
     then empty-frame window arithmetic."""
     return C.source_mix_weights(table(spark, sf_dir, "documents"))
+
+
+_SHARD_POWS = ", ".join(
+    f"(strpos('0123456789abcdef', substr(shuffle_key, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@declare(
+    "shard_manifest",
+    oracle=f"""
+    WITH h AS (SELECT doc_id,
+                      md5('shuffle:v1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+               FROM documents),
+    n AS (SELECT doc_id, shuffle_key,
+                 CAST(({_SHARD_POWS.replace(', (', ' + (')}) AS BIGINT) AS hv
+          FROM h)
+    SELECT doc_id, shuffle_key,
+           CAST(hv % 16 AS INT) AS shard_id,
+           CAST(row_number() OVER (PARTITION BY hv % 16
+                                   ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+             AS pos_in_shard
+    FROM n
+    """,
+)
+def shard_manifest_q(spark, sf_dir):
+    """Deterministic training-order manifest: pseudo-random (salted-md5)
+    but fully replayable shard + position per document. Map-side shard
+    assignment (hex-prefix of the shuffle key, parsed with locate
+    arithmetic so the oracle replays it) and ONE hash-partition shuffle
+    for per-shard positions — no global sort anywhere."""
+    return C.shard_manifest(
+        table(spark, sf_dir, "documents"), n_shards=16, salt="shuffle:v1"
+    )
+
+
+@declare(
+    "dedup_incremental",
+    oracle="""
+    WITH h AS (SELECT doc_id, sha256(lower(trim(text))) AS text_hash
+               FROM documents),
+    inc AS (SELECT doc_id, text_hash,
+                   row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY text_hash) AS n_batch_dups
+            FROM h WHERE doc_id % 7 = 0),
+    cor AS (SELECT DISTINCT text_hash FROM h WHERE doc_id % 7 <> 0)
+    SELECT doc_id, text_hash, CAST(n_batch_dups AS BIGINT) AS n_batch_dups
+    FROM inc
+    WHERE rn = 1 AND text_hash NOT IN (SELECT text_hash FROM cor)
+    """,
+)
+def dedup_incremental_q(spark, sf_dir):
+    """Incremental ingest dedup: the doc_id % 7 == 0 slice stands in for
+    a newly-arrived batch, the rest for the already-ingested corpus.
+    Batch rows survive if they win within the batch (lowest id per
+    content hash) AND their hash is absent from the corpus — both checks
+    shuffle 32-byte hashes, never document bodies."""
+    docs = table(spark, sf_dir, "documents")
+    out = dedup_incremental(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+    )
+    return out.select(
+        "doc_id", "text_hash", F.col("n_batch_dups").cast("long").alias("n_batch_dups")
+    )

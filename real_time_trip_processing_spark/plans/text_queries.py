@@ -617,3 +617,50 @@ def near_dup_rate(spark, sf_dir):
             "near_dup_rate"
         ),
     )
+
+
+@declare(
+    "bigram_next_word",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents),
+    bg AS (SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+           FROM toks),
+    c AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+                 COUNT(*) AS cnt
+          FROM bg GROUP BY 1, 2),
+    tot AS (SELECT w1, SUM(cnt) AS w1_total FROM c GROUP BY w1),
+    r AS (SELECT c.w1, c.w2, c.cnt, tot.w1_total,
+                 row_number() OVER (PARTITION BY c.w1
+                                    ORDER BY c.cnt DESC, c.w2) AS rank
+          FROM c JOIN tot ON c.w1 = tot.w1)
+    SELECT w1, w2, CAST(cnt AS BIGINT) AS cnt,
+           CAST(w1_total AS BIGINT) AS w1_total,
+           ROUND(cnt / w1_total, 8) AS p,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3 AND w1_total >= 20
+    """,
+)
+def bigram_next_word(spark, sf_dir):
+    """Word-bigram conditional statistics — the vocab/LM-prior pass of a
+    corpus pipeline: for each head word seen ≥ 20 times, its top-3 next
+    words with conditional frequency. Classic wordcount shuffle shape:
+    map-side partial agg on (w1, w2); the head-word totals reuse the
+    same rows; skewed heads (stopwords) are exactly what AQE skew
+    handling + partial aggregation absorb at corpus scale."""
+    from ..operators.sorts import topk_per_group
+
+    bg = X.bigram_rows(table(spark, sf_dir, "documents"))
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnt.groupBy("w1").agg(F.sum("cnt").alias("w1_total"))
+    ranked = topk_per_group(cnt, ["w1"], [F.desc("cnt"), F.col("w2")], 3)
+    return (
+        ranked.join(tot, "w1")
+        .filter(F.col("w1_total") >= 20)
+        .select(
+            "w1", "w2", "cnt",
+            F.col("w1_total").cast("long").alias("w1_total"),
+            F.round(F.col("cnt") / F.col("w1_total"), 8).alias("p"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -18,6 +18,7 @@ from ..functions.similarity import (
     SRP_QUANT,
     cosine_topk,
     ivf_topk,
+    random_projection,
     srp_buckets,
     srp_near_dup,
     srp_signs,
@@ -513,4 +514,36 @@ def multimodal_frame_sample(spark, sf_dir):
         "frame_idx",
         F.hex("frame").alias("frame_hex"),
         "frame_len",
+    )
+
+
+def _rp_planes_values(dim_out: int = 8, dim: int = 64) -> str:
+    signs = srp_signs(dim_out, dim)
+    return ",".join(
+        f"({i},{j + 1},{s})" for i, row in enumerate(signs) for j, s in enumerate(row)
+    )
+
+
+@declare(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    q AS (SELECT vec_id, list_transform(vec,
+                 x -> CAST(round(x * {SRP_QUANT}.0) AS BIGINT)) AS qv FROM v),
+    ex AS (SELECT vec_id, unnest(qv) AS x, unnest(range(1, len(qv)+1)) AS j FROM q),
+    planes(bit, j, s) AS (VALUES {_rp_planes_values(8, 64)}),
+    dots AS (SELECT e.vec_id, p.bit, SUM(e.x * p.s) AS d
+             FROM ex e JOIN planes p ON p.j = e.j GROUP BY e.vec_id, p.bit)
+    SELECT vec_id, CAST(bit AS INT) AS dim, CAST(d AS BIGINT) AS proj,
+           ROUND(d / ({SRP_QUANT}.0 * sqrt(8.0)), 8) AS y
+    FROM dots
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """JL-style ±1 random projection 64 → 8 dims over integer-quantized
+    vectors — entirely row-local (plane matrix is one literal), integer
+    dots so the reduction is order-independent and the oracle replays it
+    bit-for-bit; `y` is the JL-rescaled coordinate."""
+    return random_projection(
+        table(spark, sf_dir, "embeddings"), dim_out=8, dim=64
     )

@@ -142,3 +142,55 @@ def test_length_bucket_edges(spark):
         for r in df.select("n", C.length_bucket(F.col("n")).alias("b")).collect()
     }
     assert got == {0: 16, 1: 16, 16: 16, 17: 32, 512: 512, 513: 1024, 99999: 1024}
+
+
+def test_shard_manifest_partitions_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}", "en", "s") for i in range(200)], DOCS_SCHEMA
+    )
+    out = C.shard_manifest(df, n_shards=8).collect()
+    assert len(out) == 200
+    assert {r["doc_id"] for r in out} == set(range(200))
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard_id"] < 8
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    # positions are contiguous 0..n-1 per shard, ordered by shuffle_key
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r["pos_in_shard"])
+        assert [r["pos_in_shard"] for r in rows] == list(range(len(rows)))
+        keys = [(r["shuffle_key"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+    # same salt → identical manifest; different salt → different order
+    again = {r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+             for r in C.shard_manifest(df, n_shards=8).collect()}
+    assert again == {r["doc_id"]: (r["shard_id"], r["pos_in_shard"]) for r in out}
+    other = {r["doc_id"]: (r["shard_id"], r["pos_in_shard"])
+             for r in C.shard_manifest(df, n_shards=8, salt="shuffle:v2").collect()}
+    assert other != again
+
+
+def test_hex_prefix_int_matches_python(spark):
+    df = spark.createDataFrame([("deadbeef01",), ("00000001ff",)], "hk string")
+    got = [r[0] for r in df.select(C.hex_prefix_int("hk", 8)).collect()]
+    assert got == [0xDEADBEEF, 0x00000001]
+
+
+def test_dedup_incremental_batch_vs_corpus(spark):
+    from real_time_trip_processing_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "Known Doc", "en", "s"), (2, "other", "en", "s")], DOCS_SCHEMA
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "known doc", "en", "s"),    # dup of corpus (normalized) → dropped
+            (11, "fresh one", "en", "s"),    # survives
+            (12, "Fresh One ", "en", "s"),   # batch dup of 11 → dropped, counted
+            (13, "brand new", "en", "s"),    # survives
+        ],
+        DOCS_SCHEMA,
+    )
+    out = {r["doc_id"]: r["n_batch_dups"]
+           for r in dedup_incremental(incoming, corpus).collect()}
+    assert out == {11: 2, 13: 1}

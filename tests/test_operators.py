@@ -669,3 +669,39 @@ def test_ivfpq_scores_match_full_scan(spark):
     for q, ranks in per_q.items():
         assert sorted(ranks) == [1, 2, 3]
     assert len(per_q) == 3
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from real_time_trip_processing_spark.functions.similarity import (
+        SRP_QUANT,
+        random_projection,
+        srp_signs,
+    )
+
+    rng = [[(i * 7 + j * 3) % 11 / 10.0 - 0.5 for j in range(16)] for i in range(6)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id long, embedding array<double>"
+    )
+    out = random_projection(df, dim_out=4, dim=16)
+    got = {(r["vec_id"], r["dim"]): r["proj"] for r in out.collect()}
+    planes = np.array(srp_signs(4, 16), dtype=np.int64)
+    m = np.array(rng) * SRP_QUANT
+    q = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype(np.int64)
+    want = q @ planes.T
+    assert len(got) == 6 * 4
+    for i in range(6):
+        for d in range(4):
+            assert got[(i, d)] == want[i, d]
+
+
+def test_bigram_rows_window_edges(spark):
+    from real_time_trip_processing_spark.functions.text import bigram_rows
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "solo"), (3, "  x   y  ")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc"], r["w1"], r["w2"]) for r in bigram_rows(df).collect()}
+    assert got == {(1, "a", "b"), (1, "b", "c"), (3, "x", "y")}
