@@ -326,3 +326,35 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         joined._jdf.queryExecution(), "formatted"
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_shard_manifest_no_global_sort(spark):
+    """The training-order manifest must NOT range-sort the corpus: shard
+    assignment is map-side and positions are per-shard windows, so the
+    only exchange is the hash partition on shard_id. A Sort node may
+    exist only inside the window (per-partition), never a range
+    exchange."""
+    plan = plan_of(spark, "shard_manifest")
+    assert "rangepartitioning" not in plan.lower(), plan
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_dedup_incremental_hash_only_shuffles(spark):
+    """Both sides hash map-side: every exchange key is the 32-byte
+    text_hash, and no exchange row carries the document body."""
+    plan = plan_of(spark, "dedup_incremental")
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text_hash" in m.group(1), m.group(0)
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_random_projection_row_local(spark):
+    """Dimensionality reduction is a pure projection over the scan —
+    zero exchanges, zero joins; the plane matrix is one folded literal."""
+    plan = plan_of(spark, "embedding_random_projection")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
