@@ -22,14 +22,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .text import LANG_MARKERS, text_stats, token_count, tokens
-from .text import shingles
+from .text import shingle_rows, shingles
 
 __all__ = [
     "ngram_decontaminate", "pack_sequences", "quality_gate",
     "top_token_stats", "source_mix_weights", "ALL_MARKER_WORDS",
     "redact_terms", "pii_scrub", "length_bucket",
     "PII_PATTERNS", "LENGTH_BUCKETS",
-    "hex_prefix_int", "shard_manifest",
+    "hex_prefix_int", "shard_manifest", "repeated_ngrams",
 ]
 
 
@@ -353,4 +353,35 @@ def shard_manifest(
     w = W.partitionBy("shard_id").orderBy("shuffle_key", id_col)
     return keyed.withColumn(
         "pos_in_shard", (F.row_number().over(w) - 1).cast("long")
+    )
+
+
+def repeated_ngrams(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-corpus repeated-substring mining: word ``n``-gram windows
+    that recur across ≥ ``min_docs`` distinct documents — the signal
+    behind boilerplate/template removal and substring-level dedup
+    (headers, footers, license blocks repeat verbatim across pages).
+
+    Scale shape: windows come from ``shingle_rows`` (posexplode + lead —
+    all codegen'd), then ONE partial-aggregated shuffle on the gram.
+    The gram key is the shuffled payload; at very long ``n`` hash the
+    gram first (xxhash64) to shrink the shuffle, at the cost of losing
+    the literal gram in the report."""
+    sh = shingle_rows(docs, n, id_col, text_col)
+    return (
+        sh.groupBy("sh")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc").alias("first_doc"),
+            F.max("doc").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .withColumnRenamed("sh", "gram")
     )

@@ -360,3 +360,27 @@ def dedup_incremental_q(spark, sf_dir):
     return out.select(
         "doc_id", "text_hash", F.col("n_batch_dups").cast("long").alias("n_batch_dups")
     )
+
+
+@declare(
+    "repeated_substrings",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id AS doc, unnest(
+             [array_to_string(toks[i:i+7], ' ')
+              FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS sh
+           FROM t)
+    SELECT sh AS gram, COUNT(DISTINCT doc) AS n_docs,
+           COUNT(*) AS n_occ,
+           MIN(doc) AS first_doc, MAX(doc) AS last_doc
+    FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc) >= 2
+    """,
+)
+def repeated_substrings(spark, sf_dir):
+    """Intra-corpus repeated-substring mining: word 8-gram windows that
+    recur across ≥ 2 distinct documents — the boilerplate/template
+    signal substring-level dedup is built on (headers, footers, license
+    blocks repeat verbatim). One partial-aggregated shuffle on the gram;
+    windows are built with the codegen'd posexplode+lead path."""
+    return C.repeated_ngrams(table(spark, sf_dir, "documents"), n=8, min_docs=2)

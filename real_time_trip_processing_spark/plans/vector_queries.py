@@ -547,3 +547,65 @@ def embedding_random_projection(spark, sf_dir):
     return random_projection(
         table(spark, sf_dir, "embeddings"), dim_out=8, dim=64
     )
+
+
+@declare(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 50),
+         c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings),
+         s AS (SELECT query_id, cand_id, {_COS} AS score
+               FROM q CROSS JOIN c WHERE cand_id <> query_id),
+         r AS (SELECT query_id, cand_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, cand_id) AS rank
+               FROM s),
+         nb AS (SELECT r.query_id, e.label
+                FROM r JOIN embeddings e ON e.vec_id = r.cand_id
+                WHERE r.rank <= 5),
+         v AS (SELECT query_id, label, COUNT(*) AS votes
+               FROM nb GROUP BY query_id, label),
+         p AS (SELECT query_id, label, votes,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY votes DESC, label) AS rn
+               FROM v)
+    SELECT p.query_id, p.label AS pred_label, CAST(p.votes AS BIGINT) AS votes,
+           e.label AS true_label, p.label = e.label AS correct
+    FROM p JOIN embeddings e ON e.vec_id = p.query_id
+    WHERE p.rn = 1
+    """,
+)
+def knn_label_vote(spark, sf_dir):
+    """kNN classification by neighbor vote — the end-use an ANN index
+    serves: each probe's top-5 cosine neighbors vote with their
+    ``label``; majority wins (ties toward the smaller label, then
+    compared against the probe's own label). Neighbor search is the
+    broadcast-probe brute-force path; label attach and voting shuffle
+    only (query, label, count) rows."""
+    from ..operators.sorts import topk_per_group
+
+    emb = table(spark, sf_dir, "embeddings")
+    top = cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
+    votes = (
+        top.join(emb.select(F.col("vec_id").alias("cand_id"), "label"), "cand_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pred = topk_per_group(
+        votes, ["query_id"], [F.desc("votes"), F.col("label")], 1
+    ).drop("rank")
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+            "true_label",
+            (F.col("label") == F.col("true_label")).alias("correct"),
+        )
+    )

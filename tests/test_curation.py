@@ -194,3 +194,22 @@ def test_dedup_incremental_batch_vs_corpus(spark):
     out = {r["doc_id"]: r["n_batch_dups"]
            for r in dedup_incremental(incoming, corpus).collect()}
     assert out == {11: 2, 13: 1}
+
+
+def test_repeated_ngrams_planted_boilerplate(spark):
+    footer = "this page is generated by the acme site builder v two"
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha content one " + footer, "en", "a"),
+            (2, "unique beta content two " + footer, "en", "b"),
+            (3, "totally unrelated text with no overlap at all here", "en", "c"),
+        ],
+        DOCS_SCHEMA,
+    )
+    out = C.repeated_ngrams(df, n=11, min_docs=2).collect()
+    grams = {r["gram"]: (r["n_docs"], r["n_occ"], r["first_doc"], r["last_doc"])
+             for r in out}
+    assert footer in grams
+    assert grams[footer] == (2, 2, 1, 2)
+    # nothing from doc 3 repeats
+    assert all("unrelated" not in g for g in grams)
