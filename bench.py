@@ -41,6 +41,8 @@ HEADLINE = [
     "asof_join",
     "range_join_1h",
     "corpus_prep",
+    "repeated_substrings",
+    "shard_manifest",
     "top_unshipped_orders",
     "customer_order_dist",
     "embedding_centroids",

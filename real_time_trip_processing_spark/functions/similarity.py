@@ -429,10 +429,12 @@ def srp_near_dup(
     bytes look small (the verify compute after vector-attach is the
     real cost it can't see).
     """
-    # persist: the bucket frame feeds BOTH sides of the candidate
-    # self-join — without it Spark recomputes the signature kernel twice
-    # (same discipline as the MinHash signature frame, minhash.py).
-    bucketed = srp_buckets(emb, num_bits, bands, dim, id_col, vec_col, impl=impl).persist()
+    # No persist: the signature kernel is one Arrow matmul per batch —
+    # recomputing it on both sides of the self-join is cheaper than the
+    # cache materialization barrier (measured 4s penalty per cache miss
+    # at sf0.1 vs zero steady-state win; fresh UDF instances make
+    # logical-plan cache hits unreliable across query rebuilds).
+    bucketed = srp_buckets(emb, num_bits, bands, dim, id_col, vec_col, impl=impl)
     spread = emb.sparkSession.sparkContext.defaultParallelism
     candidates = (
         bucketed.alias("l")
