@@ -156,3 +156,35 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(name)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    salt: str = "shuffle:v1",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the training layout: documents written to
+    ``out_dir/shard_id=K/`` in deterministic pseudo-random order
+    (``functions/curation.shard_manifest`` semantics) — the artifact a
+    trainer streams sequentially per worker.
+
+    Scale shape: the manifest join is on ``id_col`` (ids + manifest
+    columns move, bodies move once into their shard), then ONE
+    repartition on shard_id with a per-shard sort on position. With
+    n_shards ≈ trainer world size, each output directory is one
+    worker's epoch stream; re-salting re-deals the epoch without
+    rewriting bodies anywhere else.
+    """
+    from ..functions.curation import shard_manifest
+
+    manifest = shard_manifest(docs, n_shards=n_shards, salt=salt, id_col=id_col)
+    (
+        docs.join(manifest, id_col)
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "pos_in_shard")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(out_dir)
+    )

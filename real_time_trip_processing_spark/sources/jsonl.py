@@ -1,0 +1,48 @@
+"""JSONL corpus source — the de-facto interchange format for training
+corpora (one JSON document per line, usually gzip parts).
+
+Replaces hand-rolled line loops with Spark's JSON source: explicit
+schema (no sampling pass over 100 TB), PERMISSIVE parsing with corrupt
+lines captured instead of killing the job, and the same partitioned,
+predicate-pushed scan the parquet tables get. Gzip parts are
+line-splittable only per file — at scale keep parts ≤ a few hundred MB
+so file-level parallelism stands in for split-level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F, types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def scan_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """Schema-first JSONL scan; malformed lines land in
+    ``_corrupt_record`` (every declared column null) rather than
+    failing the read — the corpus-scale contract where a 100 TB crawl
+    always contains some garbage lines."""
+    if CORRUPT_COL not in schema.fieldNames():
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+        )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantine): parsed rows without the corrupt column, and
+    the full dead-letter rows (raw line in ``_corrupt_record``, declared
+    columns null). The quarantine side deliberately keeps every column:
+    Spark rejects JSON-scan plans whose referenced set prunes down to
+    the internal corrupt column alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    — and a dead-letter sink wants the whole row anyway."""
+    clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return clean, bad

@@ -66,3 +66,66 @@ def test_bucketed_join_no_shuffle(spark, tmp_path_factory):
         )
         spark.sql("DROP TABLE IF EXISTS ev_a_bkt")
         spark.sql("DROP TABLE IF EXISTS ev_b_bkt")
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    from real_time_trip_processing_spark.operators.maintenance import (
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i}", "en", "s") for i in range(300)],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    # every shard directory exists and positions are dense 0..n-1
+    import collections
+
+    rows = back.select("shard_id", "pos_in_shard", "doc_id").collect()
+    by_shard = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r["shard_id"]].append(r["pos_in_shard"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(len(positions)))
+    # determinism: a second write is byte-identical row-wise
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=4)
+    a = {(r["doc_id"], r["shard_id"], r["pos_in_shard"]) for r in rows}
+    b = {(r["doc_id"], r["shard_id"], r["pos_in_shard"])
+         for r in spark.read.parquet(out2).select("shard_id", "pos_in_shard", "doc_id").collect()}
+    assert a == b
+
+
+def test_scan_jsonl_corrupt_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from real_time_trip_processing_spark.sources.jsonl import (
+        scan_jsonl,
+        split_corrupt,
+    )
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        'THIS IS NOT JSON\n'
+        '{"doc_id": 2, "text": "second doc"}\n'
+        '{"doc_id": 3, "text": 12345}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    df = scan_jsonl(spark, str(p), schema)
+    clean, bad = split_corrupt(df)
+    got = {(r["doc_id"], r["text"]) for r in clean.collect()}
+    # "text": 12345 coerces to string under PERMISSIVE — parsed, not corrupt
+    assert got == {(1, "hello world"), (2, "second doc"), (3, "12345")}
+    bad_rows = bad.collect()
+    assert [r["_corrupt_record"] for r in bad_rows] == ["THIS IS NOT JSON"]
+    assert bad_rows[0]["doc_id"] is None
