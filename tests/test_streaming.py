@@ -727,3 +727,45 @@ def test_streaming_rollup_upsert_matches_batch_cascade(spark, tmp_path):
     for k, (n, tv) in daily_from_raw.items():
         assert daily_from_lake[k][0] == n
         assert math.isclose(daily_from_lake[k][1], tv, rel_tol=1e-9)
+
+
+def test_stream_dedup_incremental_vs_corpus(spark, tmp_path):
+    """Streaming twin of dedup_incremental: within-stream duplicate
+    state carries ACROSS micro-batches, and the stream-static anti-join
+    drops anything already in the corpus index."""
+    from real_time_trip_processing_spark.streaming.dedup import (
+        stream_dedup_incremental,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    # batch 1 and batch 2 arrive as separate files (separate micro-batches
+    # under availableNow file listing is not guaranteed — but duplicate
+    # state must hold regardless of batch boundaries)
+    (src / "b1.jsonl").write_text(
+        '{"doc_id": 10, "text": "known doc"}\n'
+        '{"doc_id": 11, "text": "fresh one"}\n'
+    )
+    (src / "b2.jsonl").write_text(
+        '{"doc_id": 12, "text": "Fresh One "}\n'
+        '{"doc_id": 13, "text": "brand new"}\n'
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(str(src))
+    )
+    corpus = spark.createDataFrame([(1, "Known Doc")], "doc_id long, text string")
+    out = stream_dedup_incremental(stream, corpus)
+    got = _run_stream(spark, out, "dedup_incr_stream")
+    ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    # 10 dies to the corpus; exactly one of {11, 12} survives (they are
+    # content-equal after normalization — which one wins depends on
+    # micro-batch arrival order, so assert the set property, not the id)
+    assert 13 in ids and 10 not in ids
+    survivors_11_12 = [i for i in ids if i in (11, 12)]
+    assert len(survivors_11_12) == 1
+    assert len(ids) == 2
