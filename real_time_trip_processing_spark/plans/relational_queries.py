@@ -290,3 +290,45 @@ def running_daily_total(spark, sf_dir):
     )
     w = W.orderBy("pickup_date").rowsBetween(W.unboundedPreceding, 0)
     return daily.withColumn("running_total", F.sum("total_fare").over(w))
+
+
+@declare(
+    "snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+                 FROM orders WHERE o_orderkey % 5 <> 0),
+    new AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CASE WHEN o_orderkey % 11 = 0 THEN 'X-UPDATED'
+                        ELSE o_orderpriority END AS o_orderpriority
+            FROM orders WHERE o_orderkey % 7 <> 0),
+    j AS (SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                      WHEN n.o_orderkey IS NULL THEN 'removed'
+                      WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                        OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                        OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                      THEN 'changed' ELSE 'same' END AS status
+          FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT o_orderkey, status FROM j WHERE status <> 'same'
+    """,
+)
+def snapshot_diff(spark, sf_dir):
+    """Snapshot diff (ingest-cycle CDC): two deterministic versions of
+    ``orders`` (old drops key%5==0; new drops key%7==0 and updates the
+    priority of key%11==0) compared with one full-outer join on the key
+    and null-safe column equality — no row hashing, so the comparison
+    is exact in any engine. With bucketed snapshots the join is
+    co-located (zero shuffle)."""
+    from ..operators.sets import table_diff
+
+    orders = table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X-UPDATED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    return table_diff(
+        old, new, "o_orderkey", ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    )

@@ -705,3 +705,19 @@ def test_bigram_rows_window_edges(spark):
     )
     got = {(r["doc"], r["w1"], r["w2"]) for r in bigram_rows(df).collect()}
     assert got == {(1, "a", "b"), (1, "b", "c"), (3, "x", "y")}
+
+
+def test_table_diff_statuses(spark):
+    from real_time_trip_processing_spark.operators.sets import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, v string, n long",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "CHANGED", 30), (4, None, 40), (5, "e", 50)],
+        "k long, v string, n long",
+    )
+    got = {r["k"]: r["status"] for r in table_diff(old, new, "k", ["v", "n"]).collect()}
+    # 1 removed, 3 changed, 5 added; 2 same; 4 same (null-safe equality)
+    assert got == {1: "removed", 3: "changed", 5: "added"}
