@@ -560,3 +560,50 @@ def random_projection(
             8,
         ).alias("y"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors whose cosine to
+    ANY eval-set vector reaches ``threshold`` — the semantic analogue of
+    ``curation.ngram_decontaminate`` (catches paraphrased benchmark
+    leakage that no n-gram overlap sees).
+
+    Scale shape is the same asymmetry: eval sets are thousands of
+    vectors while the corpus is billions, so the eval side is broadcast
+    and scoring is a map-side loop inside the corpus scan — the corpus
+    never shuffles; the only exchange is the per-candidate top-1
+    window on (id, eval_id, score) rows. Reports each flagged vector's
+    closest eval item (ties toward the lower eval id) for the audit
+    trail.
+    """
+    from ..operators.sorts import topk_per_group
+
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("c_norm", norm(F.col("c_vec")))
+    e = eval_set.select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).cast("array<double>").alias("e_vec"),
+    ).withColumn("e_norm", norm(F.col("e_vec")))
+    scored = c.crossJoin(F.broadcast(e)).select(
+        "cand_id",
+        "eval_id",
+        (dot(F.col("c_vec"), F.col("e_vec")) / (F.col("c_norm") * F.col("e_norm"))).alias(
+            "score"
+        ),
+    )
+    best = topk_per_group(
+        scored, ["cand_id"], [F.desc("score"), F.col("eval_id")], 1
+    ).drop("rank")
+    return best.filter(F.col("score") >= threshold).select(
+        "cand_id",
+        F.col("eval_id").alias("best_eval_id"),
+        F.round("score", 8).alias("score"),
+    )

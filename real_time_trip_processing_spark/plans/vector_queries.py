@@ -19,6 +19,7 @@ from ..functions.similarity import (
     cosine_topk,
     ivf_topk,
     random_projection,
+    semantic_decontaminate,
     srp_buckets,
     srp_near_dup,
     srp_signs,
@@ -608,4 +609,34 @@ def knn_label_vote(spark, sf_dir):
             "true_label",
             (F.col("label") == F.col("true_label")).alias("correct"),
         )
+    )
+
+
+@declare(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id % 97 = 0),
+         c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id % 97 <> 0),
+         s AS (SELECT cand_id, eval_id, {_COS} AS score FROM c CROSS JOIN e),
+         r AS (SELECT cand_id, eval_id, score,
+                      row_number() OVER (PARTITION BY cand_id
+                                         ORDER BY score DESC, eval_id) AS rn
+               FROM s)
+    SELECT cand_id, eval_id AS best_eval_id, ROUND(score, 8) AS score
+    FROM r WHERE rn = 1 AND score >= 0.4
+    """,
+)
+def decontaminate_semantic(spark, sf_dir):
+    """Semantic (embedding-space) benchmark decontamination: corpus
+    vectors within cosine 0.4 of any eval vector (vec_id % 97 == 0
+    stands in for the eval set), each with its closest eval item. The
+    eval side broadcasts; the corpus is scored map-side and never
+    shuffles — only (id, eval_id, score) rows reach the top-1 window."""
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") % 97 != 0),
+        emb.filter(F.col("vec_id") % 97 == 0),
+        threshold=0.4,
     )
