@@ -453,3 +453,55 @@ def approx_fare_percentiles(spark, sf_dir):
         )
         out_cols.append(ok.alias(f"p{int(p * 100)}_ok"))
     return chk.select(*out_cols)
+
+
+@declare(
+    "winsorized_stats",
+    oracle="""
+    WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    p AS (SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM e GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(p.lo, 8) AS lo, ROUND(p.hi, 8) AS hi,
+           ROUND(AVG(LEAST(GREATEST(e.value, p.lo), p.hi)), 6) AS robust_mean,
+           ROUND(AVG(e.value), 6) AS raw_mean,
+           CAST(SUM(CASE WHEN e.value < p.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN e.value > p.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           COUNT(*) AS n
+    FROM e JOIN p USING (event_type)
+    GROUP BY e.event_type, p.lo, p.hi
+    """,
+)
+def winsorized_stats(spark, sf_dir):
+    """Winsorized (outlier-robust) aggregation: per event_type, values
+    clipped to the exact [p05, p95] band before averaging, with the
+    clip counts as the audit columns — the robust-metrics pass a
+    monitoring pipeline runs over noisy data.
+
+    Two passes over the group: the percentile aggregate collapses to
+    ~|event_type| rows and joins back by BROADCAST, so the clip is
+    map-side and the only event-grain shuffle is the final partial-
+    aggregated groupBy. (At extreme cardinality swap the exact
+    percentile for percentile_approx; declared exact so the oracle can
+    adjudicate values, not just shapes.)"""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(pct), "event_type").withColumn(
+        "cv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clipped.groupBy("event_type", "lo", "hi").agg(
+        F.round(F.avg("cv"), 6).alias("robust_mean"),
+        F.round(F.avg("value"), 6).alias("raw_mean"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias("n_low"),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias("n_high"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "event_type",
+        F.round("lo", 8).alias("lo"), F.round("hi", 8).alias("hi"),
+        "robust_mean", "raw_mean", "n_low", "n_high", "n",
+    )
