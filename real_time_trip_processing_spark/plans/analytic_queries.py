@@ -658,3 +658,78 @@ def user_day_bookends(spark, sf_dir):
         )
         .distinct()
     )
+
+
+@declare(
+    "cohort_retention",
+    oracle="""
+    WITH d AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+    c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id),
+    m AS (SELECT DISTINCT d.user_id, c.cohort_day,
+                 CAST(date_diff('day', c.cohort_day, d.day) AS BIGINT) AS day_offset
+          FROM d JOIN c ON d.user_id = c.user_id)
+    SELECT cohort_day, day_offset,
+           COUNT(*) AS n_users
+    FROM m GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-active day, then
+    distinct active users per (cohort, day-offset) — the standard
+    retention triangle. Shape: the per-user MIN collapses to one row
+    per user and joins back on user_id (same partitioning as the
+    activity dedup — one user-keyed shuffle chain, then a tiny matrix
+    aggregate)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@declare(
+    "event_transitions",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type, ts, event_id,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_type
+               FROM events)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+           ROUND(COUNT(*) / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 8)
+             AS p_transition
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix with conditional
+    probabilities — first-order Markov statistics over behavioral
+    sequences (the event-stream cousin of bigram_next_word). One
+    user-keyed window for lag, then a tiny (types × types) aggregate;
+    the probability normalization is window arithmetic over that tiny
+    matrix."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = (
+        table(spark, sf_dir, "events")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    cnt = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("prev_type")
+    return cnt.select(
+        "prev_type", "next_type", "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 8).alias("p_transition"),
+    )
