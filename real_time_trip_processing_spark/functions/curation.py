@@ -29,7 +29,7 @@ __all__ = [
     "top_token_stats", "source_mix_weights", "ALL_MARKER_WORDS",
     "redact_terms", "pii_scrub", "length_bucket",
     "PII_PATTERNS", "LENGTH_BUCKETS",
-    "hex_prefix_int", "shard_manifest", "repeated_ngrams",
+    "hex_prefix_int", "shard_manifest", "repeated_ngrams", "chunk_documents",
 ]
 
 
@@ -384,4 +384,43 @@ def repeated_ngrams(
         )
         .filter(F.col("n_docs") >= min_docs)
         .withColumnRenamed("sh", "gram")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the RAG / context-window
+    splitter (pack_sequences concatenates docs into training rows; this
+    splits one doc into retrieval units). Chunks start every
+    ``chunk_tokens - overlap`` tokens; the last chunk may be short.
+
+    Entirely row-local (token array slices inside the row, then one
+    explode) — no shuffle at any scale; the sha256 digest pins chunk
+    CONTENT for downstream exact-dedup of chunks with the same 32-byte
+    shuffle-key discipline as document dedup.
+    """
+    step = chunk_tokens - overlap
+    assert step > 0
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start_tok"),
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk"),
+        ),
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.start_tok").cast("long").alias("start_tok"),
+        F.size(F.split(F.col("c.chunk"), " ")).cast("long").alias("n_tok"),
+        F.sha2(F.col("c.chunk"), 256).alias("chunk_sha"),
     )

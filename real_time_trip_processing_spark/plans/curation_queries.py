@@ -384,3 +384,32 @@ def repeated_substrings(spark, sf_dir):
     blocks repeat verbatim). One partial-aggregated shuffle on the gram;
     windows are built with the codegen'd posexplode+lead path."""
     return C.repeated_ngrams(table(spark, sf_dir, "documents"), n=8, min_docs=2)
+
+
+@declare(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    c AS (SELECT doc_id,
+                 unnest([struct_pack(start_tok := s,
+                                     chunk := array_to_string(toks[s:s+63], ' '))
+                         FOR s IN range(1, greatest(len(toks), 1) + 1, 48)]) AS c,
+                 generate_subscripts([s FOR s IN
+                         range(1, greatest(len(toks), 1) + 1, 48)], 1) AS ord
+          FROM t)
+    SELECT doc_id, CAST(ord - 1 AS BIGINT) AS chunk_id,
+           CAST(c.start_tok AS BIGINT) AS start_tok,
+           CAST(len(string_split(c.chunk, ' ')) AS BIGINT) AS n_tok,
+           sha256(c.chunk) AS chunk_sha
+    FROM c
+    """,
+)
+def chunk_documents_q(spark, sf_dir):
+    """RAG-style chunking: 64-token chunks starting every 48 tokens
+    (16-token overlap), row-local slicing with a sha256 content digest
+    per chunk — zero shuffle; downstream chunk-level dedup reuses the
+    32-byte-hash discipline."""
+    return C.chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )

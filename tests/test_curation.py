@@ -213,3 +213,20 @@ def test_repeated_ngrams_planted_boilerplate(spark):
     assert grams[footer] == (2, 2, 1, 2)
     # nothing from doc 3 repeats
     assert all("unrelated" not in g for g in grams)
+
+
+def test_chunk_documents_overlap_arithmetic(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)), "en", "s"),
+         (2, "tiny", "en", "s")],
+        DOCS_SCHEMA,
+    )
+    out = C.chunk_documents(df, chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["start_tok"], r["n_tok"])
+            for r in out.collect()}
+    # doc 1: 10 tokens, chunks start at 1,3,5,7,9 (step 2), size 4 capped
+    assert rows == {
+        (1, 0): (1, 4), (1, 1): (3, 4), (1, 2): (5, 4),
+        (1, 3): (7, 4), (1, 4): (9, 2),
+        (2, 0): (1, 1),
+    }
