@@ -134,3 +134,59 @@ def minhash_lsh_pairs(
         F.col("inter").cast("long").alias("inter"),
         F.round("jaccard", 8).alias("jaccard"),
     )
+
+
+def minhash_band_stats(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-band LSH tuning diagnostics for the deterministic MinHash
+    flavor: docs bucketed, distinct buckets, candidate pairs per band —
+    the band-level cost/recall dial (twin of the SRP view in
+    plans/vector_queries.dedup_near_embedding_lsh). Rebuilds the same
+    md5-60-bit signatures as ``minhash_lsh_pairs(det=True)`` so the two
+    views describe the same index."""
+    assert num_perm % bands == 0
+    rpb = num_perm // bands
+    h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    sh_rows = (
+        shingle_rows(docs, n, id_col, text_col)
+        .dropDuplicates(["doc", "sh"])
+        .select("doc", h.alias("h"))
+        .withColumn("h31", F.col("h") % F.lit(2147483648))
+    )
+    sig = sh_rows.groupBy("doc").agg(*minhash_signature_agg(num_perm))
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"sig_{b * rpb + r}").cast("string") for r in range(rpb)],
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    bucketed = sig.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    per_band = bucketed.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("bh").alias("n_buckets"),
+    )
+    pairs = (
+        bucketed.alias("l")
+        .join(bucketed.alias("r"), ["band", "bh"])
+        .filter(F.col("l.doc") < F.col("r.doc"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return per_band.join(pairs, "band", "left").select(
+        "band",
+        "n_docs",
+        "n_buckets",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+    )

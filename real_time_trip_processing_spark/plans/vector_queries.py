@@ -640,3 +640,58 @@ def decontaminate_semantic(spark, sf_dir):
         emb.filter(F.col("vec_id") % 97 == 0),
         threshold=0.4,
     )
+
+
+def _minhash_band_oracle(n: int = 3, num_perm: int = 32, bands: int = 8) -> str:
+    rpb = num_perm // bands
+    consts = _perm_constants(num_perm)
+    sig_aggs = ",\n            ".join(
+        f"MIN({a} * h31 + {b}) AS s{i}" for i, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc, {b} AS band, {key} AS bh FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"CAST(s{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sh0 AS (
+      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+{n - 1}], ' ')
+                FOR i IN range(1, greatest(len(toks) - {n - 1}, 1) + 1)] AS sh_list
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t0) t1),
+    hd AS (SELECT DISTINCT doc,
+                  CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+           FROM sh0),
+    sig AS (SELECT doc, {sig_aggs}
+            FROM (SELECT doc, h % 2147483648 AS h31 FROM hd) GROUP BY doc),
+    bnd AS ({band_selects}),
+    per_band AS (SELECT band, COUNT(*) AS n_docs, COUNT(DISTINCT bh) AS n_buckets
+                 FROM bnd GROUP BY band),
+    pairs AS (SELECT l.band, COUNT(*) AS n_pairs
+              FROM bnd l JOIN bnd r ON l.band = r.band AND l.bh = r.bh
+                                   AND l.doc < r.doc
+              GROUP BY l.band)
+    SELECT pb.band, pb.n_docs, pb.n_buckets,
+           COALESCE(p.n_pairs, 0) AS n_pairs
+    FROM per_band pb LEFT JOIN pairs p ON p.band = pb.band
+    """
+
+
+@declare("dedup_near_minhash_lsh", oracle=_minhash_band_oracle(3, 32, 8))
+def dedup_near_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH band diagnostics (twin of the SRP view): per band,
+    docs bucketed, distinct buckets, candidate pairs — the tuning view
+    for the bands/num_perm dial, oracle-replayed end-to-end from the
+    same md5-deterministic signatures as dedup_near_minhash."""
+    from ..functions.minhash import minhash_band_stats
+
+    return minhash_band_stats(
+        table(spark, sf_dir, "documents"), n=3, num_perm=32, bands=8
+    )

@@ -302,3 +302,21 @@ def test_decontaminate_model(spark, texts, n):
         ).collect()
     }
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    hexes=st.lists(
+        st.text(alphabet="0123456789abcdef", min_size=8, max_size=16),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_hex_prefix_int_model(spark, hexes):
+    """hex_prefix_int == int(hex[:8], 16) for any hex string — the
+    shard-assignment primitive matches the Python model exactly."""
+    from real_time_trip_processing_spark.functions.curation import hex_prefix_int
+
+    df = spark.createDataFrame([(h,) for h in hexes], "hk string")
+    got = [r[0] for r in df.select(hex_prefix_int("hk", 8)).collect()]
+    assert got == [int(h[:8], 16) for h in hexes]
