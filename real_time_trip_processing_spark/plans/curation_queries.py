@@ -413,3 +413,96 @@ def chunk_documents_q(spark, sf_dir):
     return C.chunk_documents(
         table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
     )
+
+
+@declare(
+    "quality_by_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_sym,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS ltoks
+      FROM documents),
+    r AS (SELECT source,
+                 CASE WHEN len(toks) >= 10 AND len(toks) <= 2000 THEN 1 ELSE 0 END AS ok_len,
+                 CASE WHEN n_nonspace / len(toks) >= 2.0 AND n_nonspace / len(toks) <= 12.0 THEN 1 ELSE 0 END AS ok_mwl,
+                 CASE WHEN len(list_distinct(toks)) / len(toks) >= 0.2 THEN 1 ELSE 0 END AS ok_ttr,
+                 CASE WHEN n_sym / greatest(n_chars, 1) <= 0.1 THEN 1 ELSE 0 END AS ok_sym,
+                 CASE WHEN len(list_intersect(ltoks, [{_MARKERS_SQL}])) > 0 THEN 1 ELSE 0 END AS ok_stop
+          FROM t)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(ok_len) AS BIGINT) AS n_ok_len,
+           CAST(SUM(ok_mwl) AS BIGINT) AS n_ok_mwl,
+           CAST(SUM(ok_ttr) AS BIGINT) AS n_ok_ttr,
+           CAST(SUM(ok_sym) AS BIGINT) AS n_ok_sym,
+           CAST(SUM(ok_stop) AS BIGINT) AS n_ok_stop,
+           CAST(SUM(ok_len * ok_mwl * ok_ttr * ok_sym * ok_stop) AS BIGINT) AS n_keep,
+           ROUND(SUM(ok_len * ok_mwl * ok_ttr * ok_sym * ok_stop) / COUNT(*), 8)
+             AS keep_rate
+    FROM r GROUP BY source
+    """,
+)
+def quality_by_source(spark, sf_dir):
+    """Curation monitoring dashboard: per source, how many docs pass
+    each quality rule and the overall keep rate — the view that decides
+    which feeds to fix or drop. The rules run map-side (same exprs as
+    quality_gate); the aggregate collapses to ~|sources| rows."""
+    qg = C.quality_gate(table(spark, sf_dir, "documents"))
+    rules = ["ok_len", "ok_mwl", "ok_ttr", "ok_sym", "ok_stop"]
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum(F.col(r).cast("long")).alias(f"n_{r}") for r in rules
+    ] + [F.sum(F.col("keep").cast("long")).alias("n_keep")]
+    return (
+        qg.groupBy("source")
+        .agg(*aggs)
+        .withColumn("keep_rate", F.round(F.col("n_keep") / F.col("n_docs"), 8))
+    )
+
+
+@declare(
+    "doc_novelty",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS doc, sh FROM (
+             SELECT doc_id, unnest(
+               [array_to_string(toks[i:i+7], ' ')
+                FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS sh
+             FROM t)),
+    df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+    SELECT doc AS doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(1.0 - SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) / COUNT(*), 8)
+             AS novelty
+    FROM sh JOIN df USING (sh)
+    GROUP BY doc
+    """,
+)
+def doc_novelty(spark, sf_dir):
+    """Per-document novelty score: the fraction of a doc's distinct word
+    8-grams that appear in NO other document — the data-valuation /
+    memorization-risk signal that prioritizes what dedup should keep.
+    Gram document-frequency is one partial-aggregated shuffle; the
+    (gram, df) join back is gram-keyed (same partitioning — no second
+    shuffle of the gram stream)."""
+    from ..functions.text import shingle_rows
+
+    sh = shingle_rows(
+        table(spark, sf_dir, "documents"), 8
+    ).dropDuplicates(["doc", "sh"])
+    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        sh.join(df_tbl, "sh")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.cast("long").alias("n_shared"),
+            F.round(
+                F.lit(1.0) - shared / F.count(F.lit(1)), 8
+            ).alias("novelty"),
+        )
+    )

@@ -695,3 +695,39 @@ def dedup_near_minhash_lsh(spark, sf_dir):
     return minhash_band_stats(
         table(spark, sf_dir, "documents"), n=3, num_perm=32, bands=8
     )
+
+
+@declare(
+    "embedding_norm_stats",
+    oracle="""
+    WITH v AS (SELECT label,
+                      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(embedding AS DOUBLE[]))) AS nrm
+               FROM embeddings)
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(nrm), 6) AS mean_norm,
+           ROUND(MIN(nrm), 8) AS min_norm,
+           ROUND(MAX(nrm), 8) AS max_norm,
+           ROUND(quantile_cont(nrm, 0.5), 8) AS median_norm
+    FROM v GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Embedding hygiene: per-label L2-norm distribution (count, mean,
+    min/max, median) — the sanity dashboard that catches un-normalized
+    or degenerate vectors before they poison cosine search. Norms are
+    the same sequential fold as every similarity query; one map-side
+    projection plus a tiny per-label aggregate."""
+    from ..functions.similarity import norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "label", norm(F.col("embedding").cast("array<double>")).alias("nrm")
+    )
+    return v.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.min("nrm"), 8).alias("min_norm"),
+        F.round(F.max("nrm"), 8).alias("max_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 8).alias("median_norm"),
+    )
