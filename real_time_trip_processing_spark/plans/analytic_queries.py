@@ -733,3 +733,38 @@ def event_transitions(spark, sf_dir):
         "prev_type", "next_type", "n",
         F.round(F.col("n") / F.sum("n").over(tot), 8).alias("p_transition"),
     )
+
+
+@declare(
+    "hot_keys",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    t AS (SELECT SUM(n) AS total FROM c),
+    r AS (SELECT user_id, n, row_number() OVER (ORDER BY n DESC, user_id) AS rnk
+          FROM c)
+    SELECT r.user_id, r.n, CAST(r.rnk AS BIGINT) AS rnk,
+           ROUND(r.n / t.total, 8) AS share
+    FROM r, t WHERE r.rnk <= 10
+    """,
+)
+def hot_keys(spark, sf_dir):
+    """Skew diagnostics: the ten hottest join/agg keys (events.user_id)
+    with their traffic share — the view that tells you whether a key
+    needs salting or AQE skew handling BEFORE the job falls over. One
+    partial-aggregated shuffle to ~|users| rows; the top-10 and the
+    total ride that tiny aggregate."""
+    from pyspark.sql import Window as W
+
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    all_w = W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    r = c.withColumn(
+        "rnk",
+        F.row_number().over(W.partitionBy().orderBy(F.desc("n"), "user_id")),
+    ).withColumn("share", F.round(F.col("n") / F.sum("n").over(all_w), 8))
+    return r.filter(F.col("rnk") <= 10).select(
+        "user_id", "n", F.col("rnk").cast("long").alias("rnk"), "share"
+    )
