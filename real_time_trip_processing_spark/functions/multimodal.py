@@ -163,3 +163,58 @@ def resize_media(assets: DataFrame, factor: int = 4) -> DataFrame:
             yield out
 
     return assets.mapInPandas(batches, schema=assets.schema)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id bigint, win_idx bigint, n_samples bigint, "
+    "rms double, zero_crossings bigint, peak bigint"
+)
+
+
+def audio_window_energy(
+    assets: DataFrame, window_samples: int = 8, hop: int = 8
+) -> DataFrame:
+    """Windowed audio features over opaque payloads: the payload is
+    interpreted as little-endian int16 PCM and each ``hop``-strided
+    window of ``window_samples`` samples yields RMS energy, zero
+    crossings and peak amplitude — the deterministic stand-in for a
+    torchaudio spectrogram stage (which would replace only the numpy
+    body; the Arrow plumbing, schema and fan-out stay).
+
+    Same scale shape as ``sample_frames``: windows fan out INSIDE the
+    Arrow batch (no explode shuffle), the blob is decoded once per row,
+    and everything downstream sees narrow numeric rows.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, widx, ns, rms, zc, peak = [], [], [], [], [], []
+            for doc_id, payload, mtype in zip(
+                pdf["doc_id"], pdf["media"], pdf["media_type"]
+            ):
+                buf = decode_media(bytes(payload), mtype)
+                pcm = np.frombuffer(buf[: len(buf) - (len(buf) % 2)], dtype="<i2")
+                for w, start in enumerate(range(0, len(pcm), hop)):
+                    win = pcm[start : start + window_samples]
+                    if len(win) == 0:
+                        continue
+                    f = win.astype("float64")
+                    ids.append(doc_id)
+                    widx.append(w)
+                    ns.append(len(win))
+                    rms.append(float(np.sqrt(np.mean(f * f))))
+                    zc.append(int(np.sum(np.signbit(f[1:]) != np.signbit(f[:-1]))))
+                    peak.append(int(np.max(np.abs(f))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(widx, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "zero_crossings": pd.Series(zc, dtype="int64"),
+                    "peak": pd.Series(peak, dtype="int64"),
+                }
+            )
+
+    return assets.mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA)

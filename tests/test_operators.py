@@ -721,3 +721,31 @@ def test_table_diff_statuses(spark):
     got = {r["k"]: r["status"] for r in table_diff(old, new, "k", ["v", "n"]).collect()}
     # 1 removed, 3 changed, 5 added; 2 same; 4 same (null-safe equality)
     assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_audio_window_energy_numpy_model(spark):
+    """X6 audio: windowed RMS/zero-crossing/peak over int16 PCM matches
+    the numpy model; odd trailing byte is dropped; windows fan out
+    inside the Arrow batch."""
+    import numpy as np
+
+    from real_time_trip_processing_spark.functions.multimodal import (
+        audio_window_energy,
+    )
+
+    pcm = np.array([100, -100, 200, -200, 300, 0, -50, 7, 9], dtype="<i2")
+    payload = pcm.tobytes() + b"\x01"  # odd trailing byte must be ignored
+    assets = spark.createDataFrame(
+        [(1, bytearray(payload), "application/x-fake")],
+        "doc_id long, media binary, media_type string",
+    )
+    rows = {r["win_idx"]: r for r in audio_window_energy(assets, 4, 4).collect()}
+    w0 = pcm[:4].astype("float64")
+    assert rows[0]["n_samples"] == 4
+    assert abs(rows[0]["rms"] - float(np.sqrt((w0 * w0).mean()))) < 1e-12
+    assert rows[0]["zero_crossings"] == 3
+    assert rows[0]["peak"] == 200
+    w1 = pcm[4:8].astype("float64")
+    assert rows[1]["peak"] == 300
+    assert abs(rows[1]["rms"] - float(np.sqrt((w1 * w1).mean()))) < 1e-12
+    assert rows[2]["n_samples"] == 1 and rows[2]["peak"] == 9
