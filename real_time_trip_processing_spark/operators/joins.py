@@ -99,3 +99,35 @@ def assemble_kpis(kpi_frames: Sequence[DataFrame], on: str = "pickup_date") -> D
     for kf in kpi_frames[1:]:
         out = out.join(kf, on=on, how="left")
     return out
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks up the
+    dimension version whose [valid_from, valid_to) interval contains its
+    timestamp (open tail = NULL valid_to) — the feature-store
+    correctness primitive that prevents training-serving skew from
+    future leakage.
+
+    Plan shape: an equi-join on ``key`` with the interval containment as
+    a post-join filter — Spark plans the equi part as a hash/SMJ on the
+    key, so the non-equi range never degenerates to a cross product;
+    SCD2 intervals are non-overlapping per key, so cardinality is
+    exactly |facts| with an interval to land in.
+    """
+    d = dim.select(
+        F.col(key), F.col(valid_from), F.col(valid_to),
+        *[c for c in dim.columns if c not in (key, valid_from, valid_to)],
+    )
+    cond = (
+        (facts[key] == d[key])
+        & (facts[ts] >= d[valid_from])
+        & (d[valid_to].isNull() | (facts[ts] < d[valid_to]))
+    )
+    return facts.join(d, cond).drop(d[key])

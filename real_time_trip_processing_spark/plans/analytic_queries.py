@@ -768,3 +768,70 @@ def hot_keys(spark, sf_dir):
     return r.filter(F.col("rnk") <= 10).select(
         "user_id", "n", F.col("rnk").cast("long").alias("rnk"), "share"
     )
+
+
+@declare(
+    "point_in_time_state",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_id
+      FROM events),
+    transitions AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM changes
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    dim AS (
+      SELECT user_id, state, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, event_id) AS valid_to
+      FROM transitions),
+    facts AS (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts, f.value,
+           d.state AS state_at_event, d.valid_from
+    FROM facts f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def point_in_time_state(spark, sf_dir):
+    """Point-in-time enrichment (feature-store correctness): every
+    purchase event joined to the SCD2 state version valid AT ITS OWN
+    timestamp — never a later one (no future leakage into training
+    features). The dimension is the event_state_history interval table;
+    the join is equi on user_id with interval containment as the
+    residual predicate, so it plans as a keyed join, not a cross
+    product."""
+    from ..operators.joins import point_in_time_join
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = table(spark, sf_dir, "events")
+    changes = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    transitions = changes.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        "event_id",
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    dim = transitions.select(
+        "user_id", "state", "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = point_in_time_join(facts, dim, "user_id")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("state").alias("state_at_event"), "valid_from",
+    )

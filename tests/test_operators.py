@@ -749,3 +749,37 @@ def test_audio_window_energy_numpy_model(spark):
     assert rows[1]["peak"] == 300
     assert abs(rows[1]["rms"] - float(np.sqrt((w1 * w1).mean()))) < 1e-12
     assert rows[2]["n_samples"] == 1 and rows[2]["peak"] == 9
+
+
+def test_point_in_time_join_no_future_leakage(spark):
+    from real_time_trip_processing_spark.operators.joins import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", 0, 10),
+            (1, "gold", 10, None),
+            (2, "silver", 5, None),
+        ],
+        "user_id long, state string, valid_from long, valid_to long",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 3), (101, 1, 10), (102, 1, 99), (103, 2, 7)],
+        "event_id long, user_id long, ts long",
+    )
+    got = {r["event_id"]: r["state"]
+           for r in point_in_time_join(facts, dim, "user_id").collect()}
+    # ts=3 → bronze; ts=10 lands in the NEW interval (half-open); ts=99
+    # → open tail; user 2 before valid_from=5 would not match (none here)
+    assert got == {100: "bronze", 101: "gold", 102: "gold", 103: "silver"}
+
+
+def test_point_in_time_join_excludes_pre_history(spark):
+    from real_time_trip_processing_spark.operators.joins import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10, None)], "user_id long, state string, valid_from long, valid_to long"
+    )
+    facts = spark.createDataFrame(
+        [(1, 1, 5)], "event_id long, user_id long, ts long"
+    )
+    assert point_in_time_join(facts, dim, "user_id").count() == 0
