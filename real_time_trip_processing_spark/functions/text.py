@@ -159,3 +159,51 @@ def bigram_rows(
     return df.select(
         F.col(id_col).alias("doc"), F.explode(pairs).alias("bg")
     ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    prefix_len: int = 32,
+    max_dist: int = 5,
+    block_prefix: int = 4,
+    length_bucket: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Record-linkage fuzzy matching: candidate pairs from cheap
+    blocking (normalized-text prefix + length bucket), verified by
+    exact Levenshtein distance on the ``prefix_len``-char head — the
+    standard blocked edit-distance shape for short-string dedup
+    (titles, names, near-identical boilerplate heads).
+
+    Scale shape mirrors every LSH path here: blocking keys are computed
+    map-side, candidates come from a per-block self-join (never
+    all-pairs), and the quadratic-cost verify (levenshtein is O(n·m)
+    per pair) runs only inside blocks. Recall is bounded by the
+    blocking choice — same-prefix, similar-length — which is the
+    documented dial, exactly like bands/bits in MinHash/SRP.
+    """
+    t = df.select(
+        F.col(id_col).alias("doc"),
+        F.lower(F.trim(F.col(text_col))).alias("nt"),
+    ).withColumn(
+        "blk",
+        F.concat_ws(
+            "|",
+            F.substring("nt", 1, block_prefix),
+            F.floor(F.length("nt") / F.lit(length_bucket)).cast("int").cast("string"),
+        ),
+    ).withColumn("head", F.substring("nt", 1, prefix_len))
+    a = t.select(F.col("doc").alias("a"), F.col("blk"), F.col("head").alias("ha"),
+                 F.length("nt").alias("len_a"))
+    b = t.select(F.col("doc").alias("b"), F.col("blk"), F.col("head").alias("hb"),
+                 F.length("nt").alias("len_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("ha", "hb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("a", "b", F.col("dist").cast("long").alias("dist"),
+                F.col("len_a").cast("long").alias("len_a"),
+                F.col("len_b").cast("long").alias("len_b"))
+    )

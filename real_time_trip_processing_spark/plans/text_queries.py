@@ -664,3 +664,27 @@ def bigram_next_word(spark, sf_dir):
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@declare(
+    "fuzzy_match_docs",
+    oracle="""
+    WITH t AS (SELECT doc_id AS doc, lower(trim(text)) AS nt FROM documents),
+    k AS (SELECT doc, nt,
+                 substr(nt, 1, 4) || '|' || CAST(length(nt) // 8 AS VARCHAR) AS blk,
+                 substr(nt, 1, 32) AS head, length(nt) AS len
+          FROM t)
+    SELECT l.doc AS a, r.doc AS b,
+           CAST(levenshtein(l.head, r.head) AS BIGINT) AS dist,
+           CAST(l.len AS BIGINT) AS len_a, CAST(r.len AS BIGINT) AS len_b
+    FROM k l JOIN k r ON l.blk = r.blk AND l.doc < r.doc
+    WHERE levenshtein(l.head, r.head) <= 5
+    """,
+)
+def fuzzy_match_docs(spark, sf_dir):
+    """Blocked edit-distance fuzzy matching (record linkage): pairs
+    sharing a (4-char prefix, length-bucket) block whose 32-char heads
+    are within Levenshtein 5 — both engines share the exact edit
+    distance, so the whole pipeline is hash-adjudicated. The quadratic
+    verify runs only inside blocks."""
+    return X.fuzzy_pairs(table(spark, sf_dir, "documents"))

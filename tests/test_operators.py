@@ -783,3 +783,19 @@ def test_point_in_time_join_excludes_pre_history(spark):
         [(1, 1, 5)], "event_id long, user_id long, ts long"
     )
     assert point_in_time_join(facts, dim, "user_id").count() == 0
+
+
+def test_fuzzy_pairs_blocking_and_verify(spark):
+    from real_time_trip_processing_spark.functions.text import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world one"),
+            (2, "hello world onX"),      # same block, dist 1 → pair
+            (3, "hello world completely different tail making it longer"),  # other length bucket
+            (4, "goodbye world one"),    # different prefix block
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r["dist"] for r in fuzzy_pairs(df, max_dist=5).collect()}
+    assert got == {(1, 2): 1}
