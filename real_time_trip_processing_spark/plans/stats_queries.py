@@ -505,3 +505,48 @@ def winsorized_stats(spark, sf_dir):
         F.round("lo", 8).alias("lo"), F.round("hi", 8).alias("hi"),
         "robust_mean", "raw_mean", "n_low", "n_high", "n",
     )
+
+
+@declare(
+    "profile_events",
+    oracle="""
+    WITH s AS (SELECT COUNT(*) AS n_rows,
+                      COUNT(event_id) AS nn_event_id, COUNT(DISTINCT event_id) AS nd_event_id,
+                      COUNT(user_id) AS nn_user_id, COUNT(DISTINCT user_id) AS nd_user_id,
+                      COUNT(event_type) AS nn_event_type, COUNT(DISTINCT event_type) AS nd_event_type,
+                      COUNT(value) AS nn_value, COUNT(DISTINCT value) AS nd_value
+               FROM events)
+    SELECT col, n_rows, n_nonnull, n_rows - n_nonnull AS n_null, n_distinct
+    FROM (
+      SELECT 'event_id' AS col, n_rows, nn_event_id AS n_nonnull, nd_event_id AS n_distinct FROM s
+      UNION ALL SELECT 'user_id', n_rows, nn_user_id, nd_user_id FROM s
+      UNION ALL SELECT 'event_type', n_rows, nn_event_type, nd_event_type FROM s
+      UNION ALL SELECT 'value', n_rows, nn_value, nd_value FROM s)
+    """,
+)
+def profile_events(spark, sf_dir):
+    """Ingest-validation column profile: per column, non-null / null /
+    exact-distinct counts in ONE aggregate pass (Catalyst plans the
+    multi-distinct via a single Expand — one scan, not one job per
+    column), unpivoted to long form. The audit every pipeline runs
+    before trusting a new drop of data."""
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"nd_{c}"))
+    s = ev.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"nn_{c}").alias("n_nonnull"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return s.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col", "r.n_rows", "r.n_nonnull", "r.n_null", "r.n_distinct"
+    )
