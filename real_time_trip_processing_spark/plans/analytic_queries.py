@@ -835,3 +835,56 @@ def point_in_time_state(spark, sf_dir):
         "event_id", "user_id", "ts", "value",
         F.col("state").alias("state_at_event"), "valid_from",
     )
+
+
+@declare(
+    "kpi_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts))
+                  AS BIGINT) AS day_num,
+             ROUND(SUM(value), 6) AS day_value
+      FROM events GROUP BY 1)
+    SELECT day_num, day_value,
+           ROUND(AVG(day_value) OVER w, 6) AS baseline_mean,
+           ROUND(stddev_samp(day_value) OVER w, 6) AS baseline_std,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_prior,
+           COUNT(*) OVER w >= 3
+             AND COALESCE(stddev_samp(day_value) OVER w, 0) > 0
+             AND abs(day_value - AVG(day_value) OVER w)
+                 > 3 * stddev_samp(day_value) OVER w AS is_anomaly
+    FROM daily
+    WINDOW w AS (ORDER BY day_num RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def kpi_anomaly_days(spark, sf_dir):
+    """KPI anomaly screen: each day's total against the mean ± 3σ of the
+    PRECEDING seven calendar days (current day excluded — the baseline
+    can't contain the point it judges). The daily pre-aggregate
+    collapses the event stream first; the trailing window then runs
+    over ~|days| rows, so the single-partition ordering is over a tiny
+    frame, not the raw data."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(
+            F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("day_num")
+    ).agg(F.round(F.sum("value"), 6).alias("day_value"))
+    w = (
+        Window.orderBy("day_num").rangeBetween(-7, -1)
+    )
+    mean = F.avg("day_value").over(w)
+    std = F.stddev_samp("day_value").over(w)
+    n_prior = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "day_num",
+        "day_value",
+        F.round(mean, 6).alias("baseline_mean"),
+        F.round(std, 6).alias("baseline_std"),
+        n_prior.cast("long").alias("n_prior"),
+        (
+            (n_prior >= 3)
+            & (F.coalesce(std, F.lit(0.0)) > 0)
+            & (F.abs(F.col("day_value") - mean) > 3 * std)
+        ).alias("is_anomaly"),
+    )
