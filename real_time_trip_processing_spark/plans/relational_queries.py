@@ -332,3 +332,56 @@ def snapshot_diff(spark, sf_dir):
     return table_diff(
         old, new, "o_orderkey", ["o_custkey", "o_orderstatus", "o_orderpriority"]
     )
+
+
+@declare(
+    "referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def referential_integrity(spark, sf_dir):
+    """Inter-table data-quality audit: orphaned foreign keys per
+    relation edge (child rows whose key misses the parent), the
+    companion to the intra-table column profile. Each edge is a
+    left-anti join that only carries the key column; parents small
+    enough broadcast (nation, customer at this SF), the lineitem edge
+    shuffles 8-byte keys."""
+    def edge(name, child, ckey, parent, pkey):
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(pkey)
+        orphans = c.select(F.col(ckey).alias(pkey)).join(p, pkey, "left_anti")
+        return (
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(name).alias("relation"),
+                F.col("n_child"),
+                F.col("n_orphans"),
+            )
+        )
+
+    from functools import reduce
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    return reduce(lambda a, b: a.unionAll(b), edges)
