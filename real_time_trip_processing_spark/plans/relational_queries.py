@@ -385,3 +385,105 @@ def referential_integrity(spark, sf_dir):
         edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
     ]
     return reduce(lambda a, b: a.unionAll(b), edges)
+
+
+@declare(
+    "session_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, ts, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM (SELECT event_id, user_id, ts, event_type,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                               > 1800000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events) t),
+    per AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM s GROUP BY user_id, session_id),
+    fl AS (
+      SELECT CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END AS viewed,
+             CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                  THEN 1 ELSE 0 END AS clicked_after_view,
+             CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                       AND first_purchase > first_click
+                  THEN 1 ELSE 0 END AS purchased_after_click
+      FROM per)
+    SELECT COUNT(*) AS n_sessions,
+           CAST(SUM(viewed) AS BIGINT) AS n_viewed,
+           CAST(SUM(clicked_after_view) AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(purchased_after_click) AS BIGINT) AS n_purchased_after_click,
+           ROUND(SUM(clicked_after_view) / greatest(SUM(viewed), 1), 8)
+             AS view_to_click,
+           ROUND(SUM(purchased_after_click) / greatest(SUM(clicked_after_view), 1), 8)
+             AS click_to_purchase
+    FROM fl
+    """,
+)
+def session_funnel(spark, sf_dir):
+    """Ordered session funnel: within each 30-min-gap session, did the
+    user view, then click AFTER the view, then purchase AFTER the click
+    — step order enforced by first-occurrence timestamps (NULL
+    comparisons are false, so missing steps drop out naturally).
+    Conversion rates per step at the end. Same session ids as the
+    declared `sessionize`; everything after the session window is
+    per-session aggregate arithmetic on a collapsed frame."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    s = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "event_type")
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+        )
+    )
+
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per = s.groupBy("user_id", "session_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"),
+    )
+    viewed = F.when(F.col("first_view").isNotNull(), 1).otherwise(0)
+    clicked = F.when(
+        F.col("first_view").isNotNull() & (F.col("first_click") > F.col("first_view")),
+        1,
+    ).otherwise(0)
+    purchased = F.when(
+        F.col("first_view").isNotNull()
+        & (F.col("first_click") > F.col("first_view"))
+        & (F.col("first_purchase") > F.col("first_click")),
+        1,
+    ).otherwise(0)
+    fl = per.select(
+        viewed.alias("viewed"),
+        clicked.alias("clicked_after_view"),
+        purchased.alias("purchased_after_click"),
+    )
+    return fl.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("viewed").cast("long").alias("n_viewed"),
+        F.sum("clicked_after_view").cast("long").alias("n_clicked_after_view"),
+        F.sum("purchased_after_click").cast("long").alias("n_purchased_after_click"),
+        F.round(
+            F.sum("clicked_after_view") / F.greatest(F.sum("viewed"), F.lit(1)), 8
+        ).alias("view_to_click"),
+        F.round(
+            F.sum("purchased_after_click")
+            / F.greatest(F.sum("clicked_after_view"), F.lit(1)),
+            8,
+        ).alias("click_to_purchase"),
+    )
