@@ -769,3 +769,45 @@ def test_stream_dedup_incremental_vs_corpus(spark, tmp_path):
     survivors_11_12 = [i for i in ids if i in (11, 12)]
     assert len(survivors_11_12) == 1
     assert len(ids) == 2
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once across RESTARTS: a file-source stream writing
+    through foreachBatch-upsert is stopped after consuming the first
+    file, restarted on the same checkpoint after a second file lands —
+    the sink ends complete and duplicate-free, and the restarted query
+    does not reprocess file 1."""
+    from pyspark.sql import types as T
+
+    from real_time_trip_processing_spark.streaming.sinks import (
+        keyed_upsert_foreach_batch,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    (src / "f1.jsonl").write_text('{"k": 1, "v": "a"}\n{"k": 2, "v": "b"}\n')
+
+    def start():
+        return (
+            spark.readStream.schema(schema).json(str(src))
+            .writeStream.foreachBatch(keyed_upsert_foreach_batch(out, ["k"]))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    q.awaitTermination(300)
+    # second file lands while the query is DOWN (k=2 updated, k=3 new)
+    (src / "f2.jsonl").write_text('{"k": 2, "v": "B2"}\n{"k": 3, "v": "c"}\n')
+    q2 = start()
+    q2.awaitTermination(300)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
+    # the restart consumed only the new file: progress shows 2 input rows
+    assert q2.lastProgress is None or q2.lastProgress["numInputRows"] <= 2
