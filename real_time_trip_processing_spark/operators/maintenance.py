@@ -188,3 +188,57 @@ def write_training_shards(
         .partitionBy("shard_id")
         .parquet(out_dir)
     )
+
+
+def delete_keys_from_lake(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: list,
+    partition_cols: list[str],
+) -> int:
+    """Targeted deletion (right-to-be-forgotten / retention purge) from
+    a Hive-partitioned parquet lake: rewrite ONLY the partitions that
+    contain the doomed keys, leave every other partition's files
+    untouched. Returns the number of affected partitions.
+
+    Scale shape: discovery scans just (key, partition) columns with the
+    key predicate pushed down; the rewrite reads back only the affected
+    partitions (partition-pruned scan) and overwrites them via dynamic
+    partition overwrite — at 100 TB a single user's erasure touches the
+    handful of date partitions they appear in, not the lake.
+    """
+    from pyspark.sql import functions as F
+
+    # Partition values must round-trip EXACTLY (day=01 inferred as int 1
+    # would rewrite into a NEW day=1 directory, orphaning the old one) —
+    # read them as strings for the duration of the rewrite.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path)
+        hit = F.col(key_col).isin(keys)
+        affected = df.filter(hit).select(*partition_cols).distinct().collect()
+        if not affected:
+            return 0
+        part_pred = None
+        for r in affected:
+            p = None
+            for c in partition_cols:
+                e = F.col(c) == r[c]
+                p = e if p is None else (p & e)
+            part_pred = p if part_pred is None else (part_pred | p)
+        # Materialize survivors BEFORE the overwrite — the rewrite reads
+        # the same files it replaces; the checkpoint is proportional to
+        # the affected partitions only, which is the whole point.
+        survivors = df.filter(part_pred).filter(~hit).localCheckpoint(eager=True)
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+        return len(affected)
+    finally:
+        spark.conf.set(infer_key, old_infer)

@@ -129,3 +129,36 @@ def test_scan_jsonl_corrupt_quarantine(spark, tmp_path):
     bad_rows = bad.collect()
     assert [r["_corrupt_record"] for r in bad_rows] == ["THIS IS NOT JSON"]
     assert bad_rows[0]["doc_id"] is None
+
+
+def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    import os
+
+    from real_time_trip_processing_spark.operators.maintenance import (
+        delete_keys_from_lake,
+    )
+
+    out = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(u, d, f"r{u}{d}") for u in (1, 2, 3) for d in ("01", "02", "03")],
+        "user_id long, day string, payload string",
+    )
+    df.write.partitionBy("day").parquet(out)
+
+    def files_of(day):
+        p = f"{out}/day={day}"
+        return {f: os.path.getmtime(f"{p}/{f}") for f in os.listdir(p)
+                if f.endswith(".parquet")}
+
+    # user 2 only appears in every day; delete user 2 from days 01+02 by
+    # first removing its day=03 rows to make day 03 unaffected
+    delete_keys_from_lake(spark, out, "user_id", [2], ["day"])
+    back = spark.read.parquet(out)
+    assert back.filter("user_id = 2").count() == 0
+    assert back.count() == 6  # users 1 and 3 intact everywhere
+    before_03 = files_of("03")
+
+    # deleting a now-absent key touches nothing
+    n = delete_keys_from_lake(spark, out, "user_id", [2], ["day"])
+    assert n == 0
+    assert files_of("03") == before_03
