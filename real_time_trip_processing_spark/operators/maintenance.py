@@ -242,3 +242,28 @@ def delete_keys_from_lake(
         return len(affected)
     finally:
         spark.conf.set(infer_key, old_infer)
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_values: list[str],
+) -> int:
+    """Retention purge: DROP whole partitions whose value is not in
+    ``keep_values`` — directory deletes via the Hadoop FileSystem API,
+    no data rewrite at all (the cheap half of lake lifecycle; targeted
+    in-partition erasure is `delete_keys_from_lake`). Returns the
+    number of partitions dropped. Works on any supported scheme
+    (file://, hdfs://, s3a://)."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    keep = {f"{partition_col}={v}" for v in keep_values}
+    dropped = 0
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(f"{partition_col}=") and name not in keep:
+            fs.delete(status.getPath(), True)
+            dropped += 1
+    return dropped

@@ -162,3 +162,21 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
     n = delete_keys_from_lake(spark, out, "user_id", [2], ["day"])
     assert n == 0
     assert files_of("03") == before_03
+
+
+def test_expire_partitions_drops_only_old(spark, tmp_path):
+    from real_time_trip_processing_spark.operators.maintenance import (
+        expire_partitions,
+    )
+
+    out = str(tmp_path / "lake2")
+    df = spark.createDataFrame(
+        [(i, d) for i in range(4) for d in ("d1", "d2", "d3")],
+        "k long, day string",
+    )
+    df.write.partitionBy("day").parquet(out)
+    n = expire_partitions(spark, out, "day", keep_values=["d2", "d3"])
+    assert n == 1
+    back = spark.read.parquet(out)
+    assert {r["day"] for r in back.select("day").distinct().collect()} == {"d2", "d3"}
+    assert back.count() == 8
