@@ -888,3 +888,70 @@ def kpi_anomaly_days(spark, sf_dir):
             & (F.abs(F.col("day_value") - mean) > 3 * std)
         ).alias("is_anomaly"),
     )
+
+
+@declare(
+    "topk_with_ties",
+    oracle="""
+    SELECT event_type, event_id, value, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT event_type, event_id, value,
+                 rank() OVER (PARTITION BY event_type
+                              ORDER BY value DESC, event_id) AS rnk
+          FROM events WHERE value IS NOT NULL) t
+    WHERE rnk <= 3
+    """,
+)
+def topk_with_ties(spark, sf_dir):
+    """Top-k WITH ties (rank, not row_number): equal values share a rank
+    and the next rank skips — the WITH TIES semantics of a SQL FETCH
+    FIRST. Same single-exchange window shape as topk_per_group; the
+    event_id tiebreak keeps the ordering total so the result is
+    hash-stable."""
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@declare(
+    "inter_event_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events)
+    SELECT event_type, COUNT(gap_us) AS n_gaps,
+           ROUND(AVG(gap_us / 1000000.0), 6) AS mean_gap_s,
+           ROUND(quantile_cont(gap_us / 1000000.0, 0.5), 8) AS median_gap_s,
+           ROUND(quantile_cont(gap_us / 1000000.0, 0.95), 8) AS p95_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def inter_event_gaps(spark, sf_dir):
+    """Inter-arrival time distribution: per event type, the mean /
+    median / p95 gap (seconds) between a user's consecutive events —
+    the cadence profile behind session-gap and watermark tuning. The
+    lag window shares the user partitioning with every other per-user
+    window; gaps are exact integer micros before the one float division."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+        .withColumn("gap_s", F.col("gap_us") / 1000000.0)
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 8).alias("median_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.95)"), 8).alias("p95_gap_s"),
+    )

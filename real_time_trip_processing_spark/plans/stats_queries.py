@@ -550,3 +550,39 @@ def profile_events(spark, sf_dir):
     return s.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.col", "r.n_rows", "r.n_nonnull", "r.n_null", "r.n_distinct"
     )
+
+
+@declare(
+    "value_mad",
+    oracle="""
+    WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+               FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(m.med, 8) AS median_value,
+           ROUND(quantile_cont(abs(e.value - m.med), 0.5), 8) AS mad
+    FROM events e JOIN m USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, m.med
+    """,
+)
+def value_mad(spark, sf_dir):
+    """Median absolute deviation — the robust spread estimate (50%
+    breakdown point vs stddev's 0%). Two exact-percentile passes: the
+    per-group median collapses to ~|event_type| rows and broadcasts
+    back, so the deviation pass is map-side and the only event-grain
+    shuffle is the final aggregate (same discipline as
+    winsorized_stats)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    j = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    return j.groupBy("event_type", "med").agg(
+        F.round(F.expr("percentile(dev, 0.5)"), 8).alias("mad"),
+    ).select(
+        "event_type",
+        F.round("med", 8).alias("median_value"),
+        "mad",
+    )
