@@ -955,3 +955,103 @@ def inter_event_gaps(spark, sf_dir):
         F.round(F.expr("percentile(gap_s, 0.5)"), 8).alias("median_gap_s"),
         F.round(F.expr("percentile(gap_s, 0.95)"), 8).alias("p95_gap_s"),
     )
+
+
+@declare(
+    "signup_to_purchase_latency",
+    oracle="""
+    WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+          GROUP BY e.user_id),
+    lat AS (SELECT (epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts)) / 1000000.0
+                     AS latency_s
+            FROM s JOIN p ON s.user_id = p.user_id)
+    SELECT (SELECT COUNT(*) FROM s) AS n_signups,
+           COUNT(*) AS n_converted,
+           ROUND(COUNT(*) / greatest((SELECT COUNT(*) FROM s), 1), 8)
+             AS conversion_rate,
+           ROUND(quantile_cont(latency_s, 0.5), 8) AS median_latency_s,
+           ROUND(quantile_cont(latency_s, 0.9), 8) AS p90_latency_s
+    FROM lat
+    """,
+)
+def signup_to_purchase_latency(spark, sf_dir):
+    """Conversion latency: per signed-up user, the time from first
+    signup to the first purchase AT OR AFTER it (order enforced — a
+    purchase before signup does not count), summarized as conversion
+    rate and median/p90 latency. Both per-user firsts collapse on the
+    same user_id partitioning; the latency frame is ~|converted users|
+    rows before the final scalar summary."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    lat = s.join(p, "user_id").select(
+        (
+            (F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts"))
+            / 1000000.0
+        ).alias("latency_s")
+    )
+    # the signup total is a 1-row aggregate joined in — NO driver-side
+    # action at plan-build time (both scalars meet in a 1×1 cross join)
+    sig_total = s.agg(F.count(F.lit(1)).alias("n_signups"))
+    summary = lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 8).alias("median_latency_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 8).alias("p90_latency_s"),
+    )
+    return summary.crossJoin(sig_total).select(
+        "n_signups",
+        "n_converted",
+        F.round(
+            F.col("n_converted") / F.greatest(F.col("n_signups"), F.lit(1)), 8
+        ).alias("conversion_rate"),
+        "median_latency_s",
+        "p90_latency_s",
+    )
+
+
+@declare(
+    "activity_heatmap",
+    oracle="""
+    SELECT CAST((date_diff('day', TIMESTAMP '1970-01-01', date_trunc('day', ts)) + 4) % 7
+                AS BIGINT) AS dow,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def activity_heatmap(spark, sf_dir):
+    """Day-of-week × hour activity heatmap. The weekday index is pure
+    epoch-day arithmetic ((day + 4) % 7, 0 = Sunday) instead of each
+    engine's dayofweek builtin — those disagree on week origin, the
+    arithmetic cannot. One partial-aggregated shuffle to ≤ 168 cells."""
+    e = table(spark, sf_dir, "events")
+    day_num = F.datediff(
+        F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    return (
+        e.select(
+            ((day_num + 4) % 7).alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
