@@ -586,3 +586,34 @@ def value_mad(spark, sf_dir):
         F.round("med", 8).alias("median_value"),
         "mad",
     )
+
+
+_CDF_PROBES = (10.0, 100.0, 500.0)
+
+
+@declare(
+    "value_cdf_probes",
+    oracle=f"""
+    SELECT event_type, COUNT(value) AS n,
+           {", ".join(
+               f"ROUND(SUM(CASE WHEN value <= {p} THEN 1 ELSE 0 END) / COUNT(value), 8)"
+               f" AS cdf_le_{int(p)}" for p in _CDF_PROBES)}
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+)
+def value_cdf_probes(spark, sf_dir):
+    """Empirical CDF at fixed probe points — the calibration view for
+    choosing thresholds/buckets before a pipeline hard-codes them
+    (inverse of the percentile queries: fixed VALUE, measured mass).
+    Pure integer count ratios, one partial-aggregated shuffle."""
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    aggs = [F.count("value").alias("n")]
+    for p in _CDF_PROBES:
+        aggs.append(
+            F.round(
+                F.sum(F.when(F.col("value") <= p, 1).otherwise(0))
+                / F.count("value"),
+                8,
+            ).alias(f"cdf_le_{int(p)}")
+        )
+    return ev.groupBy("event_type").agg(*aggs)

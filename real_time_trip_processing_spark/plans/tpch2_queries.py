@@ -387,3 +387,46 @@ def waiting_orders(spark, sf_dir):
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@declare(
+    "order_fulfillment_latency",
+    oracle="""
+    WITH last_ship AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey),
+    lat AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, ls.last_ship) AS days
+      FROM orders o JOIN last_ship ls ON ls.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           ROUND(AVG(days), 6) AS avg_days,
+           ROUND(quantile_cont(days, 0.5), 8) AS median_days,
+           ROUND(quantile_cont(days, 0.95), 8) AS p95_days
+    FROM lat GROUP BY o_orderpriority
+    """,
+)
+def order_fulfillment_latency(spark, sf_dir):
+    """Order lifecycle latency: days from order date to the LAST line
+    shipment (the order is done when its slowest item ships), profiled
+    per priority. The per-order max collapses lineitem on l_orderkey
+    and meets orders on the same key — one shuffle chain — before the
+    tiny per-priority summary. Latencies are integer day counts, so
+    only the summary statistics touch floats."""
+    from ..sources import table
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    last_ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("last_ship"))
+    lat = o.join(
+        last_ship, o["o_orderkey"] == last_ship["l_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("last_ship"), F.col("o_orderdate")).alias("days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("days"), 6).alias("avg_days"),
+        F.round(F.expr("percentile(days, 0.5)"), 8).alias("median_days"),
+        F.round(F.expr("percentile(days, 0.95)"), 8).alias("p95_days"),
+    )
