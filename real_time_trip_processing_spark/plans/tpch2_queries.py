@@ -430,3 +430,84 @@ def order_fulfillment_latency(spark, sf_dir):
         F.round(F.expr("percentile(days, 0.5)"), 8).alias("median_days"),
         F.round(F.expr("percentile(days, 0.95)"), 8).alias("p95_days"),
     )
+
+
+@declare(
+    "promo_share_trend",
+    oracle="""
+    SELECT date_trunc('month', l.l_shipdate) AS month,
+           ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+               / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY date_trunc('month', l.l_shipdate)
+    """,
+)
+def promo_share_trend(spark, sf_dir):
+    """Q14 as a monthly trend: promo revenue share per ship month —
+    same broadcast-part shape as promo_revenue_share, with the
+    conditional/total sums folding per month in one partial-aggregated
+    pass (~|months| output rows)."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("month"))
+        .agg(
+            F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 6).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@declare(
+    "supplier_hhi",
+    oracle="""
+    WITH sup_rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS rev
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey),
+    tot AS (SELECT s_nationkey, SUM(rev) AS nation_rev, COUNT(*) AS n_suppliers
+            FROM sup_rev GROUP BY s_nationkey)
+    SELECT n.n_name AS nation, t.n_suppliers,
+           ROUND(SUM((sr.rev / t.nation_rev) * (sr.rev / t.nation_rev)), 6) AS hhi
+    FROM sup_rev sr
+    JOIN tot t ON t.s_nationkey = sr.s_nationkey
+    JOIN nation n ON n.n_nationkey = sr.s_nationkey
+    GROUP BY n.n_name, t.n_suppliers
+    """,
+)
+def supplier_hhi(spark, sf_dir):
+    """Supply-concentration index per nation (Herfindahl–Hirschman:
+    Σ share² over suppliers — 1/n when even, →1 when monopolized). The
+    heavy shuffle is the (nation, supplier) revenue aggregate; the
+    nation totals collapse from it and everything after runs on
+    ~|suppliers| rows with nation broadcast for names."""
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sup_rev = (
+        l.join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.round(F.sum(rev), 6).alias("rev"))
+    )
+    tot = sup_rev.groupBy("s_nationkey").agg(
+        F.sum("rev").alias("nation_rev"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("rev") / F.col("nation_rev")
+    return (
+        sup_rev.join(tot, "s_nationkey")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
+    )
