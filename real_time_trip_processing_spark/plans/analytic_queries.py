@@ -1055,3 +1055,34 @@ def activity_heatmap(spark, sf_dir):
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+@declare(
+    "rank_metrics",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND(percent_rank() OVER w, 8) AS pct_rank,
+           ROUND(cume_dist() OVER w, 8) AS cume,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    """,
+)
+def rank_metrics(spark, sf_dir):
+    """Relative-rank analytics: percent_rank, cume_dist and decile over
+    each event type's value ordering — the remaining ANSI analytic
+    functions (rank/dense_rank/row_number/ntile(4) live in
+    window_showcase and ntile_quartiles). All share ONE window over one
+    exchange; the event_id tiebreak keeps the total order hash-stable."""
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 8).alias("cume"),
+            F.ntile(10).over(w).cast("long").alias("decile"),
+        )
+    )
