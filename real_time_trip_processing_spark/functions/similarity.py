@@ -53,41 +53,177 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# ---------------------------------------------------------------------------
+# Quantized-integer cosine: the bit-exact fast path
+#
+# Every *declared* similarity score is computed over SRP_QUANT-quantized
+# vectors (round(x·1e6), half away from zero — the same contract as the
+# SRP signatures).  Quantized dots and squared norms are exact integers,
+# and for dim·max(q)² < 2^53 every intermediate of the float64 math is an
+# exactly-representable integer — so accumulation ORDER cannot change a
+# single bit.  numpy BLAS matmul, the interpreted JVM fold, and DuckDB's
+# list_dot_product all produce identical doubles, which is what lets the
+# hot paths run as Arrow kernels while the oracles stay hash-green.
+# Resolution cost: |Δcosine| ≤ ~2·dim·1e-6/|v| — invisible at ROUND(,8)
+# scale for unit-ish embeddings, and *identical* on both engines either
+# way.
+# ---------------------------------------------------------------------------
+
+#: float64 stays exact for integers below this bound (2^53).
+_EXACT_F64 = float(2**53)
+
+
+def quant_vec(col: Column) -> Column:
+    """array<double> → array<long>: the shared SRP_QUANT quantization
+    (Spark round() is half away from zero, same as DuckDB/numpy's
+    sign·floor(|x|+0.5))."""
+    return F.transform(
+        col.cast("array<double>"), lambda x: F.round(x * SRP_QUANT).cast("long")
+    )
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Exact integer dot product over two quantized (long) arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def qnorm(qa: Column) -> Column:
+    """sqrt of the exact integer squared norm of a quantized array."""
+    return F.sqrt(qdot(qa, qa).cast("double"))
+
+
+def qcos(a: Column, b: Column) -> Column:
+    """Quantized cosine, JVM-fold flavor — interpreted (not codegen'd),
+    kept as the Python-free fallback and the bit-parity cross-check for
+    the Arrow kernels (equality is exact, not approximate)."""
+    qa, qb = quant_vec(a), quant_vec(b)
+    return qdot(qa, qb).cast("double") / (qnorm(qa) * qnorm(qb))
+
+
+def _quant_np(vecs) -> np.ndarray:
+    """Stack an iterable of array<double> rows and quantize to float64
+    values that are exact integers. Raises if the exactness bound
+    (dim·max(q)² < 2^53) could be violated — at that point lower
+    SRP_QUANT rather than silently losing bit-parity."""
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs]) * SRP_QUANT
+    q = np.sign(m) * np.floor(np.abs(m) + 0.5)
+    if q.size and q.shape[1] * float(np.abs(q).max()) ** 2 >= _EXACT_F64:
+        raise ValueError(
+            "quantized dot may exceed 2^53 — lower SRP_QUANT for this corpus"
+        )
+    return q
+
+
+def qcos_pair_kernel():
+    """Arrow pair-scoring kernel: quantized cosine over (va, vb) rows —
+    one vectorized einsum per batch instead of three interpreted
+    dim-length folds per pair (the ~100× constant-factor gap measured in
+    `_srp_sig_arrow`'s docstring). Bit-identical to `qcos` by integer
+    exactness."""
+
+    @F.pandas_udf("double")
+    def score(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A, B = _quant_np(va), _quant_np(vb)
+        d = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(d / (na * nb))
+
+    return score
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
-    """X3: brute-force exact top-k cosine per query vector.
+    """X3: brute-force top-k cosine per query vector, scored over
+    quantized vectors (bit-exact across engines; see module note).
 
-    ``queries`` (small) is broadcast; corpus partitions score locally and
-    the ranking window keeps k per query. Arrays are cast to double so
-    the fold matches the oracle's double arithmetic exactly.
+    ``impl="arrow"`` (default, the 100 TB shape): the probe set is
+    collected driver-side — bounded by design, probes are ≤ thousands of
+    k×dim scalars, the same discipline as the IVF codebook collect — and
+    scoring is ONE float64 BLAS matmul per corpus Arrow batch inside
+    ``mapInPandas``. Each batch emits only its local top-k per query
+    (safe: under the strict total order (score DESC, cand_id ASC) every
+    global top-k row ranks ≤ k inside its own batch), so the final
+    ranking window sees n_batches·k rows per query, never the corpus —
+    and the corpus is scanned exactly once, never duplicated per query
+    (the crossJoin flavor ships n_queries copies of every vector
+    through the join).
+
+    ``impl="builtin"``: JVM-only fold flavor (interpreted HOFs, no
+    driver collect, no Python) — the cross-check and fallback; identical
+    output bit-for-bit.
     """
     from ..operators.sorts import topk_per_group
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("q_norm", norm(F.col("q_vec")))
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("c_norm", norm(F.col("c_vec")))
-    # Norms are computed ONCE per side (identical doubles to the inline
-    # cosine: same sequential fold, just hoisted out of the pair loop) —
-    # the per-pair work drops from three dim-length folds to one.
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("score"),
+    if impl == "arrow":
+        id_type = dict(corpus.dtypes)[id_col]
+        q_rows = sorted(
+            (r[0], list(r[1]))
+            for r in queries.select(
+                id_col, F.col(vec_col).cast("array<double>")
+            ).collect()
         )
-    )
+        qt = _quant_np([v for _, v in q_rows]).T  # dim × nq
+        qn = np.sqrt((qt * qt).sum(axis=0))
+        qids = [i for i, _ in q_rows]
+        schema = f"query_id {id_type}, cand_id {id_type}, score double"
+
+        def scan(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                c = _quant_np(pdf[vec_col])
+                s = c @ qt  # exact: every intermediate is an integer < 2^53
+                cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+                scores = s / (cn[:, None] * qn[None, :])
+                cids = pdf[id_col].to_numpy()
+                out_q, out_c, out_s = [], [], []
+                for j, qid in enumerate(qids):
+                    mask = cids != qid
+                    cand, sc = cids[mask], scores[mask, j]
+                    take = np.lexsort((cand, -sc))[:k]
+                    out_q.extend([qid] * len(take))
+                    out_c.extend(cand[take])
+                    out_s.extend(sc[take])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "cand_id": out_c, "score": out_s}
+                )
+
+        scored = corpus.select(id_col, vec_col).mapInPandas(scan, schema)
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            quant_vec(F.col(vec_col)).alias("q_vec"),
+        ).withColumn("q_norm", qnorm(F.col("q_vec")))
+        c = corpus.select(
+            F.col(id_col).alias("cand_id"),
+            quant_vec(F.col(vec_col)).alias("c_vec"),
+        ).withColumn("c_norm", qnorm(F.col("c_vec")))
+        # Norms hoisted ONCE per side; per-pair work is one integer fold.
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    qdot(F.col("q_vec"), F.col("c_vec")).cast("double")
+                    / (F.col("q_norm") * F.col("c_norm"))
+                ).alias("score"),
+            )
+        )
     top = topk_per_group(
         scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k
     )
@@ -104,15 +240,16 @@ def embedding_near_dup(
 
     Exact all-pairs flavor — the correctness/recall reference that the
     SRP-LSH scale path (`srp_near_dup`) is verified against in tests.
-    O(n²): NOT a declared query shape at corpus scale — keep it on
-    samples and test fixtures.
+    Scores use the same quantized-cosine contract as the declared
+    queries so subset tests compare bit-for-bit. O(n²): NOT a declared
+    query shape at corpus scale — keep it on samples and test fixtures.
     """
     a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"))
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("score"))
+        .select("a", "b", qcos(F.col("va"), F.col("vb")).alias("score"))
         .filter(F.col("score") >= threshold)
         .select("a", "b", F.round("score", 8).alias("score"))
     )
@@ -410,30 +547,142 @@ def srp_near_dup(
     vec_col: str = "embedding",
     dim: int = 64,
     impl: str = "arrow",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup, LSH-bucketed: sign-random-projection banding
-    prunes the pair space, exact cosine verifies candidates — output is
-    a no-false-positive subset of ``embedding_near_dup``; recall is
+    prunes the pair space, quantized cosine (bit-exact across engines —
+    see module note) verifies candidates — output is a
+    no-false-positive subset of ``embedding_near_dup``; recall is
     tuned by bands/bits (collision prob per bit = 1 − θ/π).
 
-    Scale shape: signatures are computed row-locally (Arrow int64
-    matmul — zero shuffle, no plan-time Spark job); candidate
-    generation is a per-(band, bits) bucket self-join like MinHash
-    banding (functions/minhash.py); only candidate pairs are
-    exact-verified. Verify-stage hygiene: per-vector norms are computed
-    ONCE on the 2×N vector sides (not once per pair — identical
-    doubles, 3× less fold work), and the deduped pair list is
-    explicitly spread across the cluster before vectors are attached —
-    the repartition moves only (a, b) id rows, and stops AQE from
-    coalescing the pair partitions to one core because the PRE-join
-    bytes look small (the verify compute after vector-attach is the
-    real cost it can't see).
+    ``impl="arrow"`` (default) FUSES candidate generation and
+    verification: bucket rows are hash-partitioned and sorted on
+    (band, bh), and a ``mapInPandas`` kernel scores every bucket in
+    its partition with vectorized gathered einsums, emitting only the
+    pairs clearing ``threshold`` — the B² candidate pairs are never
+    materialized as Spark rows at all. The whole plan is scan →
+    signature kernel → ONE shuffle of (vid, quantized-float32 vec,
+    band, bh) rows → block kernel → distinct over survivors. Compare
+    the pair-join flavor (``impl="builtin"``, kept as the Python-free
+    fallback/cross-check): bucket self-join, a distinct over every
+    candidate pair, two vector-attach joins, and per-pair transfer of
+    both vectors — at a low threshold the candidate mass is a large
+    multiple of the corpus and that flavor moves |pairs|·2·dim doubles
+    where this one moves |corpus|·bands quantized float32s.
+
+    The shuffle DOES carry the quantized vector (4 bytes/coord —
+    float32 holds integers ≤ 2^24 exactly, checked in-kernel): that is
+    the deliberate trade. At 100 TB it is bands·4·dim bytes per vector
+    once, versus a candidate-pair stream that is quadratic per bucket.
+    The repartition carries no explicit N, so AQE sizes the bucket
+    partitions by bytes — sane here because in-kernel work per row is
+    bounded by the bucket width; ``bucket_cap`` is the
+    degenerate-bucket guard for production skew (a bucket with m
+    members costs m² work; capped buckets are dropped — LOUDLY
+    deterministic, both engines replay the cap). The declared query
+    leaves it off.
+
+    A pair colliding in several bands is scored in each — identical
+    bits every time (integer-exact math), so the final ``distinct``
+    collapses duplicates without a groupBy. Buckets are vid-sorted by
+    the partition sort, so upper-triangle emission yields a < b; a
+    bucket split across Arrow batches is stitched by the kernel's
+    carry buffer (the sort makes groups contiguous).
     """
-    # No persist: the signature kernel is one Arrow matmul per batch —
-    # recomputing it on both sides of the self-join is cheaper than the
-    # cache materialization barrier (measured 4s penalty per cache miss
-    # at sf0.1 vs zero steady-state win; fresh UDF instances make
-    # logical-plan cache hits unreliable across query rebuilds).
+    if impl == "arrow":
+        id_type = dict(emb.dtypes)[id_col]
+        rows_per_band = num_bits // bands
+        assert num_bits % bands == 0
+        sig = _srp_sig_arrow(num_bits, dim)
+        qv32 = F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * SRP_QUANT).cast("float"),
+        )
+        s = emb.select(
+            F.col(id_col).alias("vid"),
+            qv32.alias("qv"),
+            sig(F.col(vec_col).cast("array<double>")).alias("sig"),
+        )
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("sig", b * rows_per_band + 1, rows_per_band).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+        rows = s.select(
+            "vid", "qv", F.explode(F.array(*band_cols)).alias("bk")
+        ).select("vid", "qv", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+        part = rows.repartition("band", "bh").sortWithinPartitions(
+            "band", "bh", "vid"
+        )
+
+        thr = float(threshold)
+        cap = bucket_cap
+        schema = f"a {id_type}, b {id_type}, score double"
+
+        def _flush(pdf):
+            """Score every complete bucket in ``pdf`` (rows sorted by
+            (band, bh, vid)) with one gathered einsum."""
+            if pdf is None or len(pdf) == 0:
+                return None
+            codes = pd.factorize(pdf["band"].astype(str) + "|" + pdf["bh"])[0]
+            bounds = np.flatnonzero(np.diff(codes)) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [len(pdf)]))
+            vids = pdf["vid"].to_numpy()
+            q = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qv"]])
+            if (
+                np.abs(q).max() >= float(2**24)
+                or q.shape[1] * float(np.abs(q).max()) ** 2 >= _EXACT_F64
+            ):
+                raise ValueError(
+                    "quantized coords exceed the float32/float64 exactness "
+                    "bound — lower SRP_QUANT for this corpus"
+                )
+            ia_l, ib_l = [], []
+            for s0, e0 in zip(starts, ends):
+                m = e0 - s0
+                if m < 2 or (cap is not None and m > cap):
+                    continue
+                iu, ju = np.triu_indices(m, 1)
+                ia_l.append(iu + s0)
+                ib_l.append(ju + s0)
+            if not ia_l:
+                return None
+            ia = np.concatenate(ia_l)
+            ib = np.concatenate(ib_l)
+            n2 = np.einsum("ij,ij->i", q, q)
+            d = np.einsum("ij,ij->i", q[ia], q[ib])
+            sc = d / (np.sqrt(n2[ia]) * np.sqrt(n2[ib]))
+            keep = sc >= thr
+            if not keep.any():
+                return None
+            return pd.DataFrame(
+                {"a": vids[ia[keep]], "b": vids[ib[keep]], "score": sc[keep]}
+            )
+
+        def scan(batches):
+            carry = None
+            for pdf in batches:
+                if carry is not None and len(carry):
+                    pdf = pd.concat([carry, pdf], ignore_index=True)
+                last_band = pdf["band"].iloc[-1]
+                last_bh = pdf["bh"].iloc[-1]
+                tail = (pdf["band"] == last_band) & (pdf["bh"] == last_bh)
+                carry = pdf[tail].reset_index(drop=True)
+                out = _flush(pdf[~tail].reset_index(drop=True))
+                if out is not None:
+                    yield out
+            out = _flush(carry)
+            if out is not None:
+                yield out
+
+        pairs = part.mapInPandas(scan, schema)
+        return pairs.distinct().select(
+            "a", "b", F.round("score", 8).alias("score")
+        )
+
     bucketed = srp_buckets(emb, num_bits, bands, dim, id_col, vec_col, impl=impl)
     spread = emb.sparkSession.sparkContext.defaultParallelism
     candidates = (
@@ -446,19 +695,22 @@ def srp_near_dup(
     )
     va = emb.select(
         F.col(id_col).alias("a"),
-        F.col(vec_col).cast("array<double>").alias("va"),
-    ).withColumn("na", norm(F.col("va")))
+        quant_vec(F.col(vec_col)).alias("va"),
+    ).withColumn("na", qnorm(F.col("va")))
     vb = emb.select(
         F.col(id_col).alias("b"),
-        F.col(vec_col).cast("array<double>").alias("vb"),
-    ).withColumn("nb", norm(F.col("vb")))
+        quant_vec(F.col(vec_col)).alias("vb"),
+    ).withColumn("nb", qnorm(F.col("vb")))
     return (
         candidates.join(va, "a")
         .join(vb, "b")
         .select(
             "a",
             "b",
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("score"),
+            (
+                qdot(F.col("va"), F.col("vb")).cast("double")
+                / (F.col("na") * F.col("nb"))
+            ).alias("score"),
         )
         .filter(F.col("score") >= threshold)
         .select("a", "b", F.round("score", 8).alias("score"))
@@ -568,36 +820,82 @@ def semantic_decontaminate(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-space decontamination: corpus vectors whose cosine to
     ANY eval-set vector reaches ``threshold`` — the semantic analogue of
     ``curation.ngram_decontaminate`` (catches paraphrased benchmark
-    leakage that no n-gram overlap sees).
+    leakage that no n-gram overlap sees). Scores use the quantized
+    contract (bit-exact across engines; see module note).
 
-    Scale shape is the same asymmetry: eval sets are thousands of
-    vectors while the corpus is billions, so the eval side is broadcast
-    and scoring is a map-side loop inside the corpus scan — the corpus
-    never shuffles; the only exchange is the per-candidate top-1
-    window on (id, eval_id, score) rows. Reports each flagged vector's
-    closest eval item (ties toward the lower eval id) for the audit
-    trail.
+    Scale shape exploits the asymmetry: eval sets are thousands of
+    vectors while the corpus is billions. ``impl="arrow"`` (default)
+    collects the eval set driver-side (bounded by design — the same
+    k×dim-scalars discipline as the IVF codebook) and scores each
+    corpus Arrow batch with ONE float64 BLAS matmul; the per-candidate
+    best eval item is an in-batch argmax (each candidate lives in
+    exactly one batch), so the plan is a pure scan→kernel projection —
+    ZERO exchanges, the corpus never shuffles and no top-1 window
+    exists at all. ``impl="builtin"`` keeps the JVM crossJoin(broadcast)
+    + top-1-window flavor as the Python-free fallback/cross-check.
+    Ties go to the lower eval id in both flavors (argmax returns the
+    first maximum over eval-id-ascending columns).
     """
+    if impl == "arrow":
+        id_type = dict(corpus.dtypes)[id_col]
+        e_rows = sorted(
+            (r[0], list(r[1]))
+            for r in eval_set.select(
+                id_col, F.col(vec_col).cast("array<double>")
+            ).collect()
+        )
+        et = _quant_np([v for _, v in e_rows]).T  # dim × n_eval
+        en = np.sqrt((et * et).sum(axis=0))
+        eids = np.array([i for i, _ in e_rows])
+        thr = float(threshold)
+        schema = f"cand_id {id_type}, best_eval_id {id_type}, score double"
+
+        def scan(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                c = _quant_np(pdf[vec_col])
+                s = c @ et  # exact integer math in float64
+                cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+                scores = s / (cn[:, None] * en[None, :])
+                j = np.argmax(scores, axis=1)  # first max → lowest eval_id
+                best = scores[np.arange(len(j)), j]
+                keep = best >= thr
+                yield pd.DataFrame(
+                    {
+                        "cand_id": pdf[id_col].to_numpy()[keep],
+                        "best_eval_id": eids[j[keep]],
+                        "score": best[keep],
+                    }
+                )
+
+        flagged = corpus.select(id_col, vec_col).mapInPandas(scan, schema)
+        return flagged.select(
+            "cand_id", "best_eval_id", F.round("score", 8).alias("score")
+        )
+
     from ..operators.sorts import topk_per_group
 
     c = corpus.select(
         F.col(id_col).alias("cand_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("c_norm", norm(F.col("c_vec")))
+        quant_vec(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("c_norm", qnorm(F.col("c_vec")))
     e = eval_set.select(
         F.col(id_col).alias("eval_id"),
-        F.col(vec_col).cast("array<double>").alias("e_vec"),
-    ).withColumn("e_norm", norm(F.col("e_vec")))
+        quant_vec(F.col(vec_col)).alias("e_vec"),
+    ).withColumn("e_norm", qnorm(F.col("e_vec")))
     scored = c.crossJoin(F.broadcast(e)).select(
         "cand_id",
         "eval_id",
-        (dot(F.col("c_vec"), F.col("e_vec")) / (F.col("c_norm") * F.col("e_norm"))).alias(
-            "score"
-        ),
+        (
+            qdot(F.col("c_vec"), F.col("e_vec")).cast("double")
+            / (F.col("c_norm") * F.col("e_norm"))
+        ).alias("score"),
     )
     best = topk_per_group(
         scored, ["cand_id"], [F.desc("score"), F.col("eval_id")], 1

@@ -32,13 +32,22 @@ _COS = (
     "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
 )
 
+#: SRP_QUANT integer quantization of the embedding column — scores over
+#: these lists are exact integer ratios (every float64 intermediate is an
+#: integer < 2^53), so DuckDB's list_dot_product, Spark's JVM fold and
+#: numpy's BLAS matmul agree bit-for-bit regardless of summation order.
+_QV = (
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    f"x -> round(x * {SRP_QUANT}.0))"
+)
+
 
 @declare(
     "sim_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    WITH q AS (SELECT vec_id AS query_id, {_QV} AS qv
                FROM embeddings WHERE vec_id < 5),
-         c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+         c AS (SELECT vec_id AS cand_id, {_QV} AS cv
                FROM embeddings),
          s AS (SELECT query_id, cand_id, {_COS} AS score
                FROM q CROSS JOIN c WHERE cand_id <> query_id),
@@ -51,9 +60,11 @@ _COS = (
     """,
 )
 def sim_topk(spark, sf_dir):
-    """X3: exact brute-force top-k cosine for 5 probe vectors — the
-    correctness baseline for ANN. Probes broadcast; corpus scored
-    map-side; ranking window keeps k per probe."""
+    """X3: brute-force top-k cosine for 5 probe vectors — the
+    correctness baseline for ANN, scored over SRP_QUANT-quantized
+    vectors (bit-exact across engines). Probes ride driver-side into an
+    Arrow kernel; each corpus batch is ONE BLAS matmul emitting its
+    local top-k; the final window ranks n_batches·k rows per probe."""
     emb = table(spark, sf_dir, "embeddings")
     top = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
     return top.withColumn("rank", F.col("rank").cast("long"))
@@ -167,19 +178,22 @@ def _srp_sql_ctes(num_bits: int = 16, bands: int = 8, dim: int = 64) -> str:
              FROM bks l JOIN bks r
                ON l.band = r.band AND l.bh = r.bh AND l.vec_id < r.vec_id),
     s AS (SELECT a, b,
-                 list_dot_product(x.vec, y.vec) /
-                 (sqrt(list_dot_product(x.vec, x.vec)) *
-                  sqrt(list_dot_product(y.vec, y.vec))) AS score
-          FROM cand JOIN v x ON x.vec_id = a JOIN v y ON y.vec_id = b)
+                 list_dot_product(x.qv, y.qv) /
+                 (sqrt(list_dot_product(x.qv, x.qv)) *
+                  sqrt(list_dot_product(y.qv, y.qv))) AS score
+          FROM cand JOIN q x ON x.vec_id = a JOIN q y ON y.vec_id = b)
     SELECT a, b, ROUND(score, 8) AS score FROM s WHERE score >= 0.4
     """,
 )
 def dedup_near_embedding(spark, sf_dir):
     """Embedding near-dup — the SCALE path is the declared query:
-    sign-random-projection banding prunes the pair space, exact cosine
-    verifies candidates. No cross join anywhere; signatures are
-    row-local integer arithmetic, so the oracle replays the whole
-    pipeline (planes included) and hash-matches.
+    sign-random-projection banding prunes the pair space, and candidate
+    generation + quantized-cosine verification are FUSED into one
+    per-bucket matmul kernel (applyInPandas) — the candidate pairs are
+    never materialized as Spark rows; only surviving pairs leave the
+    kernel. No join anywhere in the plan; signatures and verification
+    are integer arithmetic (bit-exact across engines), so the oracle
+    replays the whole pipeline (planes included) and hash-matches.
 
     The exact all-pairs form (functions/similarity.embedding_near_dup)
     stays in tests as the recall/no-false-positive reference
@@ -553,9 +567,9 @@ def embedding_random_projection(spark, sf_dir):
 @declare(
     "knn_label_vote",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    WITH q AS (SELECT vec_id AS query_id, {_QV} AS qv
                FROM embeddings WHERE vec_id < 50),
-         c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+         c AS (SELECT vec_id AS cand_id, {_QV} AS cv
                FROM embeddings),
          s AS (SELECT query_id, cand_id, {_COS} AS score
                FROM q CROSS JOIN c WHERE cand_id <> query_id),
@@ -583,8 +597,8 @@ def knn_label_vote(spark, sf_dir):
     serves: each probe's top-5 cosine neighbors vote with their
     ``label``; majority wins (ties toward the smaller label, then
     compared against the probe's own label). Neighbor search is the
-    broadcast-probe brute-force path; label attach and voting shuffle
-    only (query, label, count) rows."""
+    Arrow-kernel brute-force path (one matmul per corpus batch); label
+    attach and voting shuffle only (query, label, count) rows."""
     from ..operators.sorts import topk_per_group
 
     emb = table(spark, sf_dir, "embeddings")
@@ -615,9 +629,9 @@ def knn_label_vote(spark, sf_dir):
 @declare(
     "decontaminate_semantic",
     oracle=f"""
-    WITH e AS (SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS qv
+    WITH e AS (SELECT vec_id AS eval_id, {_QV} AS qv
                FROM embeddings WHERE vec_id % 97 = 0),
-         c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS cv
+         c AS (SELECT vec_id AS cand_id, {_QV} AS cv
                FROM embeddings WHERE vec_id % 97 <> 0),
          s AS (SELECT cand_id, eval_id, {_COS} AS score FROM c CROSS JOIN e),
          r AS (SELECT cand_id, eval_id, score,
@@ -632,8 +646,9 @@ def decontaminate_semantic(spark, sf_dir):
     """Semantic (embedding-space) benchmark decontamination: corpus
     vectors within cosine 0.4 of any eval vector (vec_id % 97 == 0
     stands in for the eval set), each with its closest eval item. The
-    eval side broadcasts; the corpus is scored map-side and never
-    shuffles — only (id, eval_id, score) rows reach the top-1 window."""
+    eval set rides driver-side into an Arrow kernel (bounded, codebook
+    discipline); the corpus is scored one BLAS matmul per batch with an
+    in-batch argmax — a pure scan→kernel projection, ZERO exchanges."""
     emb = table(spark, sf_dir, "embeddings")
     return semantic_decontaminate(
         emb.filter(F.col("vec_id") % 97 != 0),

@@ -215,15 +215,22 @@ def test_ivf_no_exchange_carries_vectors(spark):
         assert "c_vec" not in cols and "q_vec" not in cols, plan
 
 
-def test_srp_no_exchange_carries_vectors(spark):
-    """dedup_near_embedding: signatures are row-local, the bucket
-    self-join shuffles (vid, band, bh) rows, the pair repartition moves
-    only ids, and vectors reach the verify join by broadcast — no
-    shuffle exchange may ever carry an embedding column."""
+def test_srp_fused_bucket_verify_shape(spark):
+    """dedup_near_embedding: candidate generation and verification are
+    fused into the per-bucket kernel — the plan has NO join of any kind
+    (the pair-join flavor's bucket self-join, candidate distinct and
+    two vector-attach joins are gone) and at most two shuffles: the
+    bucket groupBy (which deliberately carries the 4-byte quantized
+    vector — corpus·bands rows, never the quadratic pair stream) and
+    the survivor distinct. No shuffle may carry the RAW embedding
+    column."""
     plan = plan_of(spark, "dedup_near_embedding")
-    for m in re.finditer(r"\n\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan):
-        cols = m.group(1)
-        assert "va" not in cols and "vb" not in cols and "embedding" not in cols, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    exchanges = re.findall(r"\n\(\d+\) Exchange\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert len(exchanges) <= 2, plan
+    for cols in exchanges:
+        assert "embedding" not in cols and "va" not in cols and "vb" not in cols, plan
+    assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan, plan
 
 
 def test_decontaminate_bench_grams_broadcast(spark):
@@ -371,14 +378,15 @@ def test_winsorized_clip_broadcasts_percentiles(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_semantic_decontaminate_eval_broadcast(spark):
-    """The eval side broadcasts; the corpus side reaches the scoring
-    loop without any exchange (the only shuffle is the per-candidate
-    top-1 window)."""
+def test_semantic_decontaminate_zero_exchange(spark):
+    """The eval set rides driver-side into the Arrow kernel and the
+    per-candidate best-eval argmax happens in-batch — the plan is a
+    pure scan→kernel projection: no join of any kind and ZERO
+    exchanges (the corpus never shuffles; there is no top-1 window)."""
     plan = plan_of(spark, "decontaminate_semantic")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "MapInPandas" in plan or "EvalPython" in plan, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
     import re as _re
 
-    # exactly one hash exchange: the top-1 window partitioning
     hash_ex = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
-    assert len(hash_ex) == 1 and "cand_id" in hash_ex[0], plan
+    assert hash_ex == [], plan
