@@ -407,12 +407,17 @@ def chunk_documents(
     step = chunk_tokens - overlap
     assert step > 0
     toks = tokens(F.col(text_col))
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step))
+    # n_tok counts NON-EMPTY tokens in the slice (an empty/whitespace-only
+    # document tokenizes to [''] — re-splitting the joined chunk would
+    # report n_tok=1 for a zero-token chunk).
     chunks = F.transform(
-        starts,
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(step)),
         lambda s: F.struct(
             s.alias("start_tok"),
             F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk"),
+            F.size(
+                F.filter(F.slice(toks, s, chunk_tokens), lambda t: t != F.lit(""))
+            ).alias("n_tok"),
         ),
     )
     return docs.select(
@@ -421,6 +426,6 @@ def chunk_documents(
         id_col,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.col("c.start_tok").cast("long").alias("start_tok"),
-        F.size(F.split(F.col("c.chunk"), " ")).cast("long").alias("n_tok"),
+        F.col("c.n_tok").cast("long").alias("n_tok"),
         F.sha2(F.col("c.chunk"), 256).alias("chunk_sha"),
     )

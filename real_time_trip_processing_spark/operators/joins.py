@@ -108,6 +108,7 @@ def point_in_time_join(
     ts: str = "ts",
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    how: str = "inner",
 ) -> DataFrame:
     """Point-in-time (temporal) join: each fact row picks up the
     dimension version whose [valid_from, valid_to) interval contains its
@@ -115,11 +116,18 @@ def point_in_time_join(
     correctness primitive that prevents training-serving skew from
     future leakage.
 
+    ``how="inner"`` (default) DROPS facts with no covering interval (a
+    fact before the key's first valid_from, or a key absent from the
+    dimension) — cardinality is ≤ |facts|, exactly |facts| only when
+    every fact has an interval to land in. Pass ``how="left"`` to keep
+    unmatched facts with NULL dimension state for audit flows that must
+    account for every input row.
+
     Plan shape: an equi-join on ``key`` with the interval containment as
     a post-join filter — Spark plans the equi part as a hash/SMJ on the
     key, so the non-equi range never degenerates to a cross product;
-    SCD2 intervals are non-overlapping per key, so cardinality is
-    exactly |facts| with an interval to land in.
+    SCD2 intervals are non-overlapping per key, so no fact matches more
+    than one version.
     """
     d = dim.select(
         F.col(key), F.col(valid_from), F.col(valid_to),
@@ -130,4 +138,4 @@ def point_in_time_join(
         & (facts[ts] >= d[valid_from])
         & (d[valid_to].isNull() | (facts[ts] < d[valid_to]))
     )
-    return facts.join(d, cond).drop(d[key])
+    return facts.join(d, cond, how).drop(d[key])

@@ -232,13 +232,40 @@ def delete_keys_from_lake(
         # Materialize survivors BEFORE the overwrite — the rewrite reads
         # the same files it replaces; the checkpoint is proportional to
         # the affected partitions only, which is the whole point.
-        survivors = df.filter(part_pred).filter(~hit).localCheckpoint(eager=True)
+        # NULL-key rows are not targets: isin() yields NULL for them and
+        # a bare ~hit filter would silently destroy them in the rewrite,
+        # so they are kept explicitly.
+        survivors = (
+            df.filter(part_pred)
+            .filter((~hit) | F.col(key_col).isNull())
+            .localCheckpoint(eager=True)
+        )
         (
             survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_cols)
             .parquet(path)
         )
+        # Dynamic partition overwrite only replaces partitions PRESENT in
+        # the written data: an affected partition whose rows ALL matched
+        # the doomed keys has zero survivors, is absent from the write,
+        # and its old files (holding exactly the keys being erased) would
+        # silently remain on disk. Drop those directories outright.
+        alive = {
+            tuple(str(r[c]) for c in partition_cols)
+            for r in survivors.select(*partition_cols).distinct().collect()
+        }
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        for r in affected:
+            if tuple(str(r[c]) for c in partition_cols) in alive:
+                continue
+            sub = "/".join(f"{c}={r[c]}" for c in partition_cols)
+            dead = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
+            if fs.exists(dead):
+                fs.delete(dead, True)
         return len(affected)
     finally:
         spark.conf.set(infer_key, old_infer)

@@ -42,10 +42,12 @@ def table_diff(
     o = old.select(key, *compare_cols).alias("o")
     n = new.select(key, *compare_cols).alias("n")
     joined = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
-    any_change = None
+    # Empty compare_cols degrades to a keys-only add/remove diff — a
+    # None predicate would otherwise blow up at plan build inside when().
+    any_change = F.lit(False)
     for c in compare_cols:
         ne = ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
-        any_change = ne if any_change is None else (any_change | ne)
+        any_change = any_change | ne
     status = (
         F.when(F.col(f"o.{key}").isNull(), F.lit("added"))
         .when(F.col(f"n.{key}").isNull(), F.lit("removed"))

@@ -393,14 +393,16 @@ def repeated_substrings(spark, sf_dir):
                FROM documents),
     c AS (SELECT doc_id,
                  unnest([struct_pack(start_tok := s,
-                                     chunk := array_to_string(toks[s:s+63], ' '))
+                                     chunk := array_to_string(toks[s:s+63], ' '),
+                                     n_tok := len(list_filter(toks[s:s+63],
+                                                              t -> t <> '')))
                          FOR s IN range(1, greatest(len(toks), 1) + 1, 48)]) AS c,
                  generate_subscripts([s FOR s IN
                          range(1, greatest(len(toks), 1) + 1, 48)], 1) AS ord
           FROM t)
     SELECT doc_id, CAST(ord - 1 AS BIGINT) AS chunk_id,
            CAST(c.start_tok AS BIGINT) AS start_tok,
-           CAST(len(string_split(c.chunk, ' ')) AS BIGINT) AS n_tok,
+           CAST(c.n_tok AS BIGINT) AS n_tok,
            sha256(c.chunk) AS chunk_sha
     FROM c
     """,

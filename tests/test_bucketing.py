@@ -164,6 +164,52 @@ def test_delete_keys_rewrites_only_affected_partitions(spark, tmp_path):
     assert files_of("03") == before_03
 
 
+def test_delete_keys_drops_fully_deleted_partition(spark, tmp_path):
+    """A partition whose rows ALL match the doomed keys has no survivors
+    to write, so dynamic overwrite alone would leave its old files (the
+    very data being erased) on disk — the op must drop the directory."""
+    import os
+
+    from real_time_trip_processing_spark.operators.maintenance import (
+        delete_keys_from_lake,
+    )
+
+    out = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(9, "01", "only-user-9"), (9, "02", "also-9"), (1, "02", "keep")],
+        "user_id long, day string, payload string",
+    )
+    df.write.partitionBy("day").parquet(out)
+
+    n = delete_keys_from_lake(spark, out, "user_id", [9], ["day"])
+    assert n == 2
+    assert not os.path.exists(f"{out}/day=01"), "erased partition left on disk"
+    back = spark.read.parquet(out)
+    assert back.filter("user_id = 9").count() == 0
+    # default partition inference reads day=02 back as int 2
+    assert {(r["user_id"], str(r["day"])) for r in back.collect()} == {(1, "2")}
+
+
+def test_delete_keys_preserves_null_key_rows(spark, tmp_path):
+    """isin() is NULL for NULL keys and ~NULL filters the row out — the
+    rewrite must keep null-key rows explicitly, not destroy them."""
+    from real_time_trip_processing_spark.operators.maintenance import (
+        delete_keys_from_lake,
+    )
+
+    out = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(2, "01", "doomed"), (None, "01", "anon"), (1, "01", "keep")],
+        "user_id long, day string, payload string",
+    )
+    df.write.partitionBy("day").parquet(out)
+
+    delete_keys_from_lake(spark, out, "user_id", [2], ["day"])
+    back = spark.read.parquet(out).collect()
+    got = {(r["user_id"], r["payload"]) for r in back}
+    assert got == {(None, "anon"), (1, "keep")}
+
+
 def test_expire_partitions_drops_only_old(spark, tmp_path):
     from real_time_trip_processing_spark.operators.maintenance import (
         expire_partitions,

@@ -230,3 +230,15 @@ def test_chunk_documents_overlap_arithmetic(spark):
         (1, 3): (7, 4), (1, 4): (9, 2),
         (2, 0): (1, 1),
     }
+
+
+def test_chunk_documents_empty_doc_zero_tokens(spark):
+    """An empty/whitespace-only document tokenizes to [''] — its single
+    chunk must report n_tok=0, not 1."""
+    df = spark.createDataFrame(
+        [(1, "", "en", "s"), (2, "   ", "en", "s"), (3, "one two", "en", "s")],
+        DOCS_SCHEMA,
+    )
+    out = {(r["doc_id"], r["chunk_id"]): r["n_tok"]
+           for r in C.chunk_documents(df, chunk_tokens=4, overlap=2).collect()}
+    assert out == {(1, 0): 0, (2, 0): 0, (3, 0): 2}

@@ -722,6 +722,11 @@ def test_table_diff_statuses(spark):
     # 1 removed, 3 changed, 5 added; 2 same; 4 same (null-safe equality)
     assert got == {1: "removed", 3: "changed", 5: "added"}
 
+    # empty compare_cols degrades to a keys-only add/remove diff
+    # instead of crashing at plan build
+    keys_only = {r["k"]: r["status"] for r in table_diff(old, new, "k", []).collect()}
+    assert keys_only == {1: "removed", 5: "added"}
+
 
 def test_audio_window_energy_numpy_model(spark):
     """X6 audio: windowed RMS/zero-crossing/peak over int16 PCM matches
@@ -783,6 +788,9 @@ def test_point_in_time_join_excludes_pre_history(spark):
         [(1, 1, 5)], "event_id long, user_id long, ts long"
     )
     assert point_in_time_join(facts, dim, "user_id").count() == 0
+    # left variant keeps the unmatched fact with NULL dimension state
+    left = point_in_time_join(facts, dim, "user_id", how="left").collect()
+    assert len(left) == 1 and left[0]["state"] is None
 
 
 def test_fuzzy_pairs_blocking_and_verify(spark):
