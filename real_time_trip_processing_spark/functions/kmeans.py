@@ -29,28 +29,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .similarity import CentroidRows, nearest_centroid
+from .similarity import CentroidRows, nearest_centroid, nearest_centroid_kernel
 
 
 def assign_clusters(
     vecs: DataFrame,
     centroids: CentroidRows | DataFrame,
     vec_col: str = "v",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Nearest-centroid assignment: a pure map-side projection — every
     centroid is scored inside the row, so no exchange ever carries the
     vector column (the k-fold candidate blow-up of a join-based
-    assignment is gone entirely). Accepts the codebook as driver rows
-    or as a k-row (cent_id, centroid) DataFrame (collected — k × dim
+    assignment is gone entirely). ``impl="arrow"`` (default) scores one
+    BLAS matmul per Arrow batch; ``impl="builtin"`` is the interpreted
+    JVM fold — bit-identical by the quantized-integer contract
+    (similarity module note). Accepts the codebook as driver rows or as
+    a k-row (cent_id, centroid) DataFrame (collected — k × dim
     scalars)."""
     if isinstance(centroids, DataFrame):
         centroids = [
             (int(r["cent_id"]), list(r["centroid"])) for r in centroids.collect()
         ]
+    if impl == "arrow":
+        cent = nearest_centroid_kernel(centroids)(F.col(vec_col))
+    else:
+        cent = nearest_centroid(F.col(vec_col), centroids)
     return vecs.select(
         "vid",
         F.col(vec_col).alias(vec_col),
-        nearest_centroid(F.col(vec_col), centroids).alias("cent_id"),
+        cent.alias("cent_id"),
     )
 
 

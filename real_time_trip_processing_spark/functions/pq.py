@@ -265,36 +265,44 @@ def ivfpq_topk(
     buckets are ever scored. Scores for surviving pairs are IDENTICAL
     to the full-scan `pq_adc_topk` (same codes, same LUTs — pinned in
     tests)."""
-    from .similarity import _resolve_centroids, nearest_centroid
+    from .similarity import (
+        _quant_codebook,
+        _quant_np,
+        _resolve_centroids,
+        nearest_centroid_kernel,
+    )
 
     rows = _resolve_centroids(emb, codebook, n_centroids, id_col, vec_col)
     enc = _encode_kernel(books, dim)
     corpus = emb.select(
         F.col(id_col).alias("cand_id"),
-        nearest_centroid(F.col(vec_col).cast("array<double>"), rows).alias("cent_id"),
+        nearest_centroid_kernel(rows)(
+            F.col(vec_col).cast("array<double>")
+        ).alias("cent_id"),
         enc(F.col(vec_col).cast("array<double>")).alias("codes"),
     )
 
-    cents = [(cid, np.asarray(vec, dtype=np.float64)) for cid, vec in sorted(rows)]
+    # probe ranking uses the same quantized metric as corpus assignment
+    # so a query's probed buckets are the buckets its neighbors were
+    # assigned to (mixing exact and quantized metrics could disagree on
+    # knife-edge centroid boundaries)
+    qcents = [
+        (cid, np.asarray(q, dtype=np.float64), n)
+        for cid, q, n in _quant_codebook(rows)
+    ]
     q_rows = queries.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
     lut_rows = []
     for qr in q_rows:
-        qv = np.asarray(qr["v"], dtype=np.float64)
+        qv = _quant_np([qr["v"]])[0]
         qn = float(np.sqrt(np.dot(qv, qv)))
-        # nprobe nearest coarse centroids by cosine, ties to lower cid —
-        # the same ordering contract as ivf_topk's row-local probe sort
         ranked = sorted(
-            cents,
-            key=lambda c: (
-                -float(np.dot(qv, c[1]))
-                / (qn * float(np.sqrt(np.dot(c[1], c[1]))) or 1.0),
-                c[0],
-            ),
+            qcents,
+            key=lambda c: (-(float(np.dot(qv, c[1])) / (qn * c[2] or 1.0)), c[0]),
         )
         q_norm, dot_lut = _query_lut(qr["v"], books, dim)
-        for cid, _ in ranked[:nprobe]:
+        for cid, _, _ in ranked[:nprobe]:
             lut_rows.append((qr[id_col], int(cid), q_norm, dot_lut))
     q_lut = emb.sparkSession.createDataFrame(
         lut_rows,

@@ -290,17 +290,88 @@ def _centroid_literals(rows: CentroidRows) -> tuple[Column, Column]:
     return vec_arr, cid_arr
 
 
+def _quant_codebook(rows: CentroidRows):
+    """Driver-side quantization of a codebook: cent_id-ascending lists
+    of (cid, quantized int coords, norm). The norm is sqrt of the exact
+    integer squared norm — Python's math.sqrt is the same
+    correctly-rounded IEEE sqrt as the JVM/numpy/DuckDB ones, so the
+    double is bit-identical everywhere."""
+    import math
+
+    out = []
+    for cid, vec in sorted(rows, key=lambda r: r[0]):
+        q = [
+            int(math.floor(abs(x) * SRP_QUANT + 0.5)) * (1 if x >= 0 else -1)
+            for x in vec
+        ]
+        out.append((int(cid), q, math.sqrt(float(sum(v * v for v in q)))))
+    return out
+
+
+def _qcent_literals(rows: CentroidRows) -> tuple[Column, Column, Column]:
+    """Quantized codebook as three literals: int coord matrix, cent_id
+    array, and the per-centroid norm array (norms precomputed driver
+    side — re-deriving them per ROW inside a lambda would re-run a
+    k×dim fold for every record)."""
+    qrows = _quant_codebook(rows)
+    qc_mat = _int_matrix_literal([q for _, q, _ in qrows])
+    cid_arr = F.expr("array(" + ",".join(str(c) for c, _, _ in qrows) + ")")
+    norm_arr = F.expr(
+        "array("
+        + ",".join(f"CAST('{n!r}' AS DOUBLE)" for _, _, n in qrows)
+        + ")"
+    )
+    return qc_mat, cid_arr, norm_arr
+
+
+def centroid_scores(qv: Column, qn: Column, rows: CentroidRows) -> Column:
+    """Array of quantized-cosine scores of (pre-quantized) vector ``qv``
+    (with hoisted norm ``qn``) against every centroid, cent_id
+    ascending — the shared JVM scoring expression for assignment and
+    probe selection."""
+    qc_mat, _, norm_arr = _qcent_literals(rows)
+    return F.zip_with(
+        qc_mat,
+        norm_arr,
+        lambda c, nc: qdot(qv, c).cast("double") / (qn * nc),
+    )
+
+
 def nearest_centroid(vec: Column, rows: CentroidRows) -> Column:
-    """cent_id of the nearest centroid by cosine, ties to the lower
-    cent_id — a single-row expression (no join, no shuffle). Scoring
-    uses the same sequential `cosine` fold as the exact queries, so
-    assignment agrees bit-for-bit with the SQL oracles' arithmetic."""
-    vec_arr, cid_arr = _centroid_literals(rows)
-    scores = F.transform(vec_arr, lambda c: cosine(vec, c))
+    """cent_id of the nearest centroid by quantized cosine, ties to the
+    lower cent_id — a single-row expression (no join, no shuffle).
+    Interpreted-fold flavor; `nearest_centroid_kernel` is the Arrow
+    fast path, bit-identical by integer exactness."""
+    _, cid_arr, _ = _qcent_literals(rows)
+    qv = quant_vec(vec)
+    scores = centroid_scores(qv, qnorm(qv), rows)
     # array_position returns the FIRST index of the max → lowest cent_id
     return F.element_at(
         cid_arr, F.array_position(scores, F.array_max(scores)).cast("int")
     )
+
+
+def nearest_centroid_kernel(rows: CentroidRows):
+    """Arrow assignment kernel: quantized-cosine argmax over the
+    codebook in one BLAS matmul per batch — ties to the lower cent_id
+    (argmax returns the first maximum over cent_id-ascending columns).
+    Bit-identical to `nearest_centroid` by integer exactness."""
+    qrows = _quant_codebook(rows)
+    cids = np.array([c for c, _, _ in qrows], dtype=np.int64)
+    ct = np.array([q for _, q, _ in qrows], dtype=np.float64).T  # dim × k
+    cn = np.array([n for _, _, n in qrows])
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        q = _quant_np(v)
+        s = (q @ ct) / (
+            np.sqrt(np.einsum("ij,ij->i", q, q))[:, None] * cn[None, :]
+        )
+        return pd.Series(cids[np.argmax(s, axis=1)].astype("int32"))
+
+    return assign
 
 
 def _resolve_centroids(
@@ -340,24 +411,30 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | CentroidRows | None = None,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """X3 scale path: IVF-style approximate top-k cosine.
+    """X3 scale path: IVF-style approximate top-k cosine, scored over
+    quantized vectors (bit-exact across engines; see module note).
 
     Coarse quantizer: the first ``n_centroids`` vectors stand in for
     k-means centroids by default; pass ``codebook`` (from
     ``kmeans.kmeans_fit``) to use a trained one (same plan, better
     buckets). Scale shape:
 
-    - corpus→centroid assignment scores every centroid INSIDE the row
-      (centroid array literal + transform/argmax): a pure map-side
-      projection — no join, no window, and no exchange whose rows carry
-      the embedding column (the k-fold vector-shuffle of a join-based
-      assignment is gone);
-    - each query picks its ``nprobe`` nearest buckets the same way
-      (row-local sort of (−score, cent_id) structs), then the tiny
-      (queries × nprobe) probe table is broadcast against the assigned
-      corpus — the corpus streams through a map-side hash join keyed on
-      cent_id, scoring only O(N · nprobe / n_centroids) candidates;
+    - corpus→centroid assignment scores every centroid INSIDE the row —
+      with ``impl="arrow"`` one BLAS matmul per Arrow batch
+      (`nearest_centroid_kernel`), with ``impl="builtin"`` the
+      interpreted JVM fold over the centroid literal — either way a
+      pure map-side projection: no join, no window, and no exchange
+      whose rows carry the embedding column (the k-fold vector-shuffle
+      of a join-based assignment can't exist);
+    - each query picks its ``nprobe`` nearest buckets row-locally
+      (quantized scores against the same centroid literals, sorted as
+      (−score, cent_id) structs), then the tiny (queries × nprobe)
+      probe table is broadcast against the assigned corpus — the corpus
+      streams through a map-side hash join keyed on cent_id, scoring
+      only O(N · nprobe / n_centroids) candidates;
+    - candidate scoring is the Arrow pair kernel (or the JVM fold);
     - the only shuffle in the plan is the final per-query top-k window
       over (query_id, cand_id, score) rows.
 
@@ -367,41 +444,53 @@ def ivf_topk(
     from ..operators.sorts import topk_per_group
 
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
-    vec_arr, cid_arr = _centroid_literals(rows)
+    _, cid_arr, _ = _qcent_literals(rows)
 
     assigned = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
-    assigned = assigned.withColumn(
-        "cent_id", nearest_centroid(F.col("c_vec"), rows)
-    ).withColumn("c_norm", norm(F.col("c_vec")))
+    if impl == "arrow":
+        assigned = assigned.withColumn(
+            "cent_id", nearest_centroid_kernel(rows)(F.col("c_vec"))
+        )
+    else:
+        assigned = assigned.withColumn(
+            "cent_id", nearest_centroid(F.col("c_vec"), rows)
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-    ).withColumn("q_norm", norm(F.col("q_vec")))
+        quant_vec(F.col(vec_col)).alias("q_qv"),
+    ).withColumn("q_qn", qnorm(F.col("q_qv")))
     probe_pairs = F.zip_with(
-        F.transform(vec_arr, lambda c: cosine(F.col("q_vec"), c)),
+        centroid_scores(F.col("q_qv"), F.col("q_qn"), rows),
         cid_arr,
         lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
     )
     probes = q.select(
         "query_id",
         "q_vec",
-        "q_norm",
         F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
-    ).select("query_id", "q_vec", "q_norm", F.col("p.cid").alias("cent_id"))
+    ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
 
-    scored = (
-        assigned.join(F.broadcast(probes), "cent_id")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select(
+    joined = assigned.join(F.broadcast(probes), "cent_id").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    if impl == "arrow":
+        pair_score = qcos_pair_kernel()
+        scored = joined.select(
             "query_id",
             "cand_id",
-            (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("score"),
+            pair_score(F.col("q_vec"), F.col("c_vec")).alias("score"),
         )
-    )
+    else:
+        scored = joined.select(
+            "query_id",
+            "cand_id",
+            qcos(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
     top = topk_per_group(scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k)
     return top.select(
         "query_id", "cand_id", F.round("score", 8).alias("score"),

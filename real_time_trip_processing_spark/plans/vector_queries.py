@@ -263,11 +263,12 @@ _IVF_COS = lambda x, y: (  # noqa: E731
 @declare(
     "sim_ivf_topk",
     oracle=f"""
-    WITH cent AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cv
-                  FROM embeddings WHERE vec_id < 16),
-         c AS (SELECT vec_id AS cand_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings),
-         q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_vec
-               FROM embeddings WHERE vec_id < 5),
+    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, qv AS cv
+                  FROM qn WHERE vec_id < 16),
+         c AS (SELECT vec_id AS cand_id, qv AS c_vec FROM qn),
+         q AS (SELECT vec_id AS query_id, qv AS q_vec
+               FROM qn WHERE vec_id < 5),
          asg AS (SELECT cand_id, c_vec, cent_id,
                         row_number() OVER (PARTITION BY cand_id
                                            ORDER BY {_IVF_COS("c_vec", "cv")} DESC, cent_id) AS rn
