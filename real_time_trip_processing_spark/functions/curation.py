@@ -362,6 +362,7 @@ def repeated_ngrams(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Intra-corpus repeated-substring mining: word ``n``-gram windows
     that recur across ≥ ``min_docs`` distinct documents — the signal
@@ -370,11 +371,19 @@ def repeated_ngrams(
 
     Scale shape: windows come from ``shingle_rows`` (posexplode + lead —
     all codegen'd), then ONE partial-aggregated shuffle on the gram.
-    The gram key is the shuffled payload; at very long ``n`` hash the
-    gram first (xxhash64) to shrink the shuffle, at the cost of losing
-    the literal gram in the report."""
+    With ``hash_grams=False`` the gram string itself is the shuffled
+    payload (≈ n words per row). ``hash_grams=True`` xxhash64s each
+    gram map-side BEFORE the exchange, so the shuffle key is a fixed
+    8-byte long regardless of ``n`` — the dial for long-gram mining at
+    100 TB, where the gram bytes dominate shuffle volume. Counts
+    (n_docs, n_occ, first/last doc) are identical modulo 64-bit hash
+    collisions (~N²/2⁶⁵ expected — negligible below ~10¹⁸ distinct
+    grams); the literal gram text is traded for its hash in the report
+    (``gram`` column: string vs signed-long decimal string)."""
     sh = shingle_rows(docs, n, id_col, text_col)
-    return (
+    if hash_grams:
+        sh = sh.select("doc", F.xxhash64("sh").alias("sh"))
+    out = (
         sh.groupBy("sh")
         .agg(
             F.countDistinct("doc").alias("n_docs"),
@@ -384,6 +393,46 @@ def repeated_ngrams(
         )
         .filter(F.col("n_docs") >= min_docs)
         .withColumnRenamed("sh", "gram")
+    )
+    if hash_grams:
+        out = out.withColumn("gram", F.col("gram").cast("string"))
+    return out
+
+
+def novelty_scores(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct word
+    ``n``-grams that appear in NO other document — the data-valuation /
+    memorization-risk signal that prioritizes what dedup should keep.
+
+    Gram document-frequency is one partial-aggregated shuffle; the
+    (gram, df) join back is gram-keyed (same partitioning — no second
+    shuffle of the gram stream). ``hash_grams=True`` applies the same
+    xxhash64 map-side shrink as :func:`repeated_ngrams` — here BOTH the
+    df aggregation and the join back move 8-byte keys instead of
+    n-word strings, and the output (novelty per doc) is bit-identical
+    modulo hash collisions because only df counts feed the score."""
+    sh = shingle_rows(docs, n, id_col, text_col)
+    if hash_grams:
+        # hash BEFORE the distinct so the (doc, gram) dedup shuffle —
+        # the first and largest exchange here — also moves 8-byte keys
+        sh = sh.select("doc", F.xxhash64("sh").alias("sh"))
+    sh = sh.dropDuplicates(["doc", "sh"])
+    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+    return (
+        sh.join(df_tbl, "sh")
+        .groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.cast("long").alias("n_shared"),
+            F.round(F.lit(1.0) - shared / F.count(F.lit(1)), 8).alias("novelty"),
+        )
     )
 
 

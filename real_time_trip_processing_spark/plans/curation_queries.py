@@ -490,21 +490,6 @@ def doc_novelty(spark, sf_dir):
     Gram document-frequency is one partial-aggregated shuffle; the
     (gram, df) join back is gram-keyed (same partitioning — no second
     shuffle of the gram stream)."""
-    from ..functions.text import shingle_rows
+    from ..functions.curation import novelty_scores
 
-    sh = shingle_rows(
-        table(spark, sf_dir, "documents"), 8
-    ).dropDuplicates(["doc", "sh"])
-    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
-    return (
-        sh.join(df_tbl, "sh")
-        .groupBy(F.col("doc").alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            shared.cast("long").alias("n_shared"),
-            F.round(
-                F.lit(1.0) - shared / F.count(F.lit(1)), 8
-            ).alias("novelty"),
-        )
-    )
+    return novelty_scores(table(spark, sf_dir, "documents"), 8)

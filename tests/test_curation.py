@@ -242,3 +242,57 @@ def test_chunk_documents_empty_doc_zero_tokens(spark):
     out = {(r["doc_id"], r["chunk_id"]): r["n_tok"]
            for r in C.chunk_documents(df, chunk_tokens=4, overlap=2).collect()}
     assert out == {(1, 0): 0, (2, 0): 0, (3, 0): 2}
+
+
+# ---- xxhash64-gram shuffle shrink (hash_grams) ----------------------
+
+_HG_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog", "en", "web"),
+    (2, "the quick brown fox jumps over a sleeping cat", "en", "web"),
+    (3, "a completely different sentence about nothing shared here", "en", "book"),
+    (4, "the quick brown fox jumps over the lazy dog again", "en", "web"),
+]
+
+
+def test_repeated_ngrams_hash_grams_counts_identical(spark):
+    """hash_grams=True must report the exact same (n_docs, n_occ,
+    first/last doc) per gram — only the gram key changes (string →
+    xxhash64 decimal string)."""
+    df = spark.createDataFrame(_HG_DOCS, DOCS_SCHEMA)
+    plain = C.repeated_ngrams(df, n=4, min_docs=2)
+    hashed = C.repeated_ngrams(df, n=4, min_docs=2, hash_grams=True)
+    keyed = plain.select(
+        F.xxhash64("gram").cast("string").alias("gram"),
+        "n_docs", "n_occ", "first_doc", "last_doc",
+    )
+    assert sorted(map(tuple, keyed.collect())) == sorted(
+        map(tuple, hashed.collect())
+    )
+    assert hashed.count() > 0
+
+
+def test_novelty_scores_hash_grams_identical(spark):
+    """Novelty depends only on gram document-frequencies, so the hashed
+    variant is bit-identical (modulo 64-bit collisions)."""
+    df = spark.createDataFrame(_HG_DOCS, DOCS_SCHEMA)
+    a = sorted(map(tuple, C.novelty_scores(df, 4).collect()))
+    b = sorted(map(tuple, C.novelty_scores(df, 4, hash_grams=True).collect()))
+    assert a == b
+    assert len(a) == 4
+
+
+def test_hash_grams_shrinks_the_shuffle_key(spark):
+    """The gram exchange must move an 8-byte long, not the n-word
+    string: xxhash64 is applied map-side (below the Exchange) and the
+    aggregate's grouping key is bigint."""
+    df = spark.createDataFrame(_HG_DOCS, DOCS_SCHEMA)
+    hashed = C.repeated_ngrams(df, n=8, min_docs=2, hash_grams=True)
+    plan = hashed._sc._jvm.PythonSQLUtils.explainString(
+        hashed._jdf.queryExecution(), "formatted"
+    )
+    # xxhash64 is computed in a Project below the Exchange (map-side)
+    assert "xxhash64" in plan
+    # the gram exchange partitions on a LongType key (#..L suffix)
+    import re as _re
+    m = _re.search(r"hashpartitioning\(sh#\d+L", plan)
+    assert m, plan
