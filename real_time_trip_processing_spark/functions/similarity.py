@@ -421,22 +421,24 @@ def ivf_topk(
     ``kmeans.kmeans_fit``) to use a trained one (same plan, better
     buckets). Scale shape:
 
-    - corpus→centroid assignment scores every centroid INSIDE the row —
-      with ``impl="arrow"`` one BLAS matmul per Arrow batch
-      (`nearest_centroid_kernel`), with ``impl="builtin"`` the
-      interpreted JVM fold over the centroid literal — either way a
-      pure map-side projection: no join, no window, and no exchange
-      whose rows carry the embedding column (the k-fold vector-shuffle
-      of a join-based assignment can't exist);
-    - each query picks its ``nprobe`` nearest buckets row-locally
-      (quantized scores against the same centroid literals, sorted as
-      (−score, cent_id) structs), then the tiny (queries × nprobe)
-      probe table is broadcast against the assigned corpus — the corpus
-      streams through a map-side hash join keyed on cent_id, scoring
-      only O(N · nprobe / n_centroids) candidates;
-    - candidate scoring is the Arrow pair kernel (or the JVM fold);
-    - the only shuffle in the plan is the final per-query top-k window
-      over (query_id, cand_id, score) rows.
+    - ``impl="arrow"`` (default, the 100 TB shape): assignment, probe
+      filtering and candidate scoring are FUSED into one `mapInPandas`
+      scan — per Arrow batch, one assignment matmul against the
+      codebook literal, then per query one gathered matvec over only
+      the rows whose centroid that query probes (the IVF work saving:
+      O(N · nprobe / n_centroids) scored candidates), emitting local
+      top-k per query (safe under the strict (score desc, cand_id asc)
+      order — the `cosine_topk` argument). The corpus is scanned once
+      and NEVER joined, duplicated per query, or shuffled with its
+      vectors; probe selection runs driver-side over the collected
+      probe vectors (bounded, the codebook discipline) with the same
+      quantized-integer cosine and tie-break as the JVM path;
+    - ``impl="builtin"`` (Python-free fallback/cross-check): row-local
+      JVM assignment fold over the centroid literal, probe selection as
+      (−score, cent_id) struct sort, broadcast probe join on cent_id,
+      interpreted-fold candidate scoring — bit-identical output;
+    - either way the only shuffle in the plan is the final per-query
+      top-k window over (query_id, cand_id, score) rows.
 
     Deterministic tie-breaks (centroid id, candidate id) keep the
     result oracle-reproducible.
@@ -444,48 +446,98 @@ def ivf_topk(
     from ..operators.sorts import topk_per_group
 
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
-    _, cid_arr, _ = _qcent_literals(rows)
 
-    assigned = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).cast("array<double>").alias("c_vec"),
-    )
     if impl == "arrow":
-        assigned = assigned.withColumn(
-            "cent_id", nearest_centroid_kernel(rows)(F.col("c_vec"))
+        # Fused scan: assignment, probe filtering and candidate scoring
+        # in ONE mapInPandas pass over the corpus — no assignment UDF
+        # stage, no probe join, no per-pair rows. The join flavor this
+        # replaces materialized one row PER (query, candidate) carrying
+        # BOTH 64-dim vectors (~1 KB/pair; ~0.5 GB at 1M rows × 16
+        # queries) and paid per-pair Arrow stacking in the scorer — at
+        # 1M rows it benched SLOWER than brute force. Here each batch
+        # does one assignment matmul, then per query one gathered
+        # matvec over only the rows whose centroid that query probes
+        # (the IVF work saving, N·nprobe/n_centroids), emitting local
+        # top-k (safe under the strict (score desc, cand_id asc) order,
+        # exactly as `cosine_topk`). Probe selection runs driver-side
+        # over the collected probe vectors (bounded — same discipline
+        # as the codebook) with the same quantized-integer cosine and
+        # (score desc, cent_id asc) tie-break as the JVM expression
+        # path, so results stay bit-identical and oracle-green.
+        id_type = dict(corpus.dtypes)[id_col]
+        qrows = _quant_codebook(rows)  # cent_id-ascending
+        ct = np.array([q for _, q, _ in qrows], dtype=np.float64).T  # dim×k
+        cn = np.array([n for _, _, n in qrows])
+        q_rows = sorted(
+            (r[0], list(r[1]))
+            for r in queries.select(
+                id_col, F.col(vec_col).cast("array<double>")
+            ).collect()
         )
+        qt = _quant_np([v for _, v in q_rows]).T  # dim × nq
+        qn = np.sqrt((qt * qt).sum(axis=0))
+        qids = [i for i, _ in q_rows]
+        s_q = (qt.T @ ct) / (qn[:, None] * cn[None, :])  # nq × k
+        n_q, n_cent = s_q.shape
+        probe_bool = np.zeros((n_q, n_cent), dtype=bool)
+        for j in range(n_q):
+            order = np.lexsort((np.arange(n_cent), -s_q[j]))
+            probe_bool[j, order[: min(nprobe, n_cent)]] = True
+        schema = f"query_id {id_type}, cand_id {id_type}, score double"
+
+        def scan(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                c = _quant_np(pdf[vec_col])
+                cn_r = np.sqrt(np.einsum("ij,ij->i", c, c))
+                cent_idx = np.argmax(
+                    (c @ ct) / (cn_r[:, None] * cn[None, :]), axis=1
+                )
+                cids_b = pdf[id_col].to_numpy()
+                out_q, out_c, out_s = [], [], []
+                for j, qid in enumerate(qids):
+                    m = probe_bool[j][cent_idx] & (cids_b != qid)
+                    if not m.any():
+                        continue
+                    idx = np.flatnonzero(m)
+                    sc = (c[idx] @ qt[:, j]) / (cn_r[idx] * qn[j])
+                    take = np.lexsort((cids_b[idx], -sc))[:k]
+                    out_q.extend([qid] * len(take))
+                    out_c.extend(cids_b[idx][take])
+                    out_s.extend(sc[take])
+                if out_q:
+                    yield pd.DataFrame(
+                        {"query_id": out_q, "cand_id": out_c, "score": out_s}
+                    )
+
+        scored = corpus.select(id_col, vec_col).mapInPandas(scan, schema)
     else:
-        assigned = assigned.withColumn(
-            "cent_id", nearest_centroid(F.col("c_vec"), rows)
+        _, cid_arr, _ = _qcent_literals(rows)
+        assigned = corpus.select(
+            F.col(id_col).alias("cand_id"),
+            F.col(vec_col).cast("array<double>").alias("c_vec"),
+        ).withColumn("cent_id", nearest_centroid(F.col("c_vec"), rows))
+
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("q_vec"),
+            quant_vec(F.col(vec_col)).alias("q_qv"),
+        ).withColumn("q_qn", qnorm(F.col("q_qv")))
+        probe_pairs = F.zip_with(
+            centroid_scores(F.col("q_qv"), F.col("q_qn"), rows),
+            cid_arr,
+            lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
         )
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-        quant_vec(F.col(vec_col)).alias("q_qv"),
-    ).withColumn("q_qn", qnorm(F.col("q_qv")))
-    probe_pairs = F.zip_with(
-        centroid_scores(F.col("q_qv"), F.col("q_qn"), rows),
-        cid_arr,
-        lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
-    )
-    probes = q.select(
-        "query_id",
-        "q_vec",
-        F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
-    ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
-
-    joined = assigned.join(F.broadcast(probes), "cent_id").filter(
-        F.col("cand_id") != F.col("query_id")
-    )
-    if impl == "arrow":
-        pair_score = qcos_pair_kernel()
-        scored = joined.select(
+        probes = q.select(
             "query_id",
-            "cand_id",
-            pair_score(F.col("q_vec"), F.col("c_vec")).alias("score"),
+            "q_vec",
+            F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
+        ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
+
+        joined = assigned.join(F.broadcast(probes), "cent_id").filter(
+            F.col("cand_id") != F.col("query_id")
         )
-    else:
         scored = joined.select(
             "query_id",
             "cand_id",
@@ -682,6 +734,11 @@ def srp_near_dup(
         id_type = dict(emb.dtypes)[id_col]
         rows_per_band = num_bits // bands
         assert num_bits % bands == 0
+        # band hash as a LONG (conv from the bit substring, codegen'd):
+        # the bucket shuffle key is 8 bytes instead of an
+        # up-to-62-char string, and the kernel's bucket-boundary scan
+        # is integer compares instead of per-row string work.
+        assert rows_per_band <= 62, "band hash must fit a signed long"
         sig = _srp_sig_arrow(num_bits, dim)
         qv32 = F.transform(
             F.col(vec_col).cast("array<double>"),
@@ -695,7 +752,11 @@ def srp_near_dup(
         band_cols = [
             F.struct(
                 F.lit(b).alias("band"),
-                F.substring("sig", b * rows_per_band + 1, rows_per_band).alias("bh"),
+                F.conv(
+                    F.substring("sig", b * rows_per_band + 1, rows_per_band),
+                    2,
+                    10,
+                ).cast("long").alias("bh"),
             )
             for b in range(bands)
         ]
@@ -715,12 +776,32 @@ def srp_near_dup(
             (band, bh, vid)) with one gathered einsum."""
             if pdf is None or len(pdf) == 0:
                 return None
-            codes = pd.factorize(pdf["band"].astype(str) + "|" + pdf["bh"])[0]
-            bounds = np.flatnonzero(np.diff(codes)) + 1
+            band_arr = pdf["band"].to_numpy()
+            bh_arr = pdf["bh"].to_numpy()
+            change = (band_arr[1:] != band_arr[:-1]) | (bh_arr[1:] != bh_arr[:-1])
+            bounds = np.flatnonzero(change) + 1
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [len(pdf)]))
-            vids = pdf["vid"].to_numpy()
-            q = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["qv"]])
+            # At high bits/band almost every bucket is a singleton —
+            # drop them VECTORIZED before any per-row Python work
+            # (vector stacking, the pair loop): a 1M-row partition
+            # otherwise spends its time iterating empty buckets and
+            # stacking vectors that can never pair.
+            sizes = ends - starts
+            live = sizes >= 2
+            if cap is not None:
+                live &= sizes <= cap
+            if not live.any():
+                return None
+            l_starts, l_sizes = starts[live], sizes[live]
+            take = np.concatenate(
+                [np.arange(s0, s0 + m) for s0, m in zip(l_starts, l_sizes)]
+            )
+            vids = pdf["vid"].to_numpy()[take]
+            q = np.stack(
+                [np.asarray(x, dtype=np.float64)
+                 for x in pdf["qv"].to_numpy()[take]]
+            )
             if (
                 np.abs(q).max() >= float(2**24)
                 or q.shape[1] * float(np.abs(q).max()) ** 2 >= _EXACT_F64
@@ -729,16 +810,13 @@ def srp_near_dup(
                     "quantized coords exceed the float32/float64 exactness "
                     "bound — lower SRP_QUANT for this corpus"
                 )
+            # pair indices in the COMPACTED (live-rows-only) space
+            offs = np.concatenate(([0], np.cumsum(l_sizes)[:-1]))
             ia_l, ib_l = [], []
-            for s0, e0 in zip(starts, ends):
-                m = e0 - s0
-                if m < 2 or (cap is not None and m > cap):
-                    continue
+            for o, m in zip(offs, l_sizes):
                 iu, ju = np.triu_indices(m, 1)
-                ia_l.append(iu + s0)
-                ib_l.append(ju + s0)
-            if not ia_l:
-                return None
+                ia_l.append(iu + o)
+                ib_l.append(ju + o)
             ia = np.concatenate(ia_l)
             ib = np.concatenate(ib_l)
             n2 = np.einsum("ij,ij->i", q, q)

@@ -387,6 +387,42 @@ def repeated_substrings(spark, sf_dir):
 
 
 @declare(
+    "repeated_substrings_hashed",
+    oracle="""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+               FROM documents),
+    sh AS (SELECT doc_id AS doc, unnest(
+             [array_to_string(toks[i:i+7], ' ')
+              FOR i IN range(1, greatest(len(toks) - 7, 1) + 1)]) AS sh
+           FROM t),
+    g AS (SELECT COUNT(DISTINCT doc) AS n_docs, COUNT(*) AS n_occ
+          FROM sh GROUP BY sh HAVING COUNT(DISTINCT doc) >= 2)
+    SELECT n_docs, n_occ, COUNT(*) AS n_grams
+    FROM g GROUP BY n_docs, n_occ
+    """,
+)
+def repeated_substrings_hashed(spark, sf_dir):
+    """The xxhash64-gram shuffle-shrink flavor of repeated_substrings:
+    grams are hashed MAP-SIDE so the aggregation exchange moves 8-byte
+    longs instead of 8-word strings — the dial for long-gram mining at
+    100 TB, where gram bytes dominate shuffle volume.
+
+    DuckDB has no xxhash64, so the declared output is the gram-count
+    HISTOGRAM over (n_docs, n_occ) — invariant under hashing (modulo
+    64-bit collisions, ~N²/2⁶⁵), computed by the oracle from the
+    literal grams. A hash path that dropped, merged or double-counted
+    grams shifts the histogram and hash-mismatches. The literal-gram
+    equality per gram is pinned by
+    tests/test_curation.py::test_repeated_ngrams_hash_grams_counts_identical."""
+    hashed = C.repeated_ngrams(
+        table(spark, sf_dir, "documents"), n=8, min_docs=2, hash_grams=True
+    )
+    return hashed.groupBy("n_docs", "n_occ").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+
+
+@declare(
     "chunk_documents",
     oracle="""
     WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks

@@ -453,6 +453,49 @@ def sim_pq_topk(spark, sf_dir):
 
 
 @declare(
+    "sim_ivfpq_topk",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
+           TRUE AS quality_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def sim_ivfpq_topk(spark, sf_dir):
+    """X3 composed index: IVF coarse pruning over PQ-compressed codes
+    with ADC scoring (functions/pq.py:ivfpq_topk) — the standard
+    billion-vector layout (coarse cells prune the scan to
+    nprobe/n_centroids of the corpus; codes compress what is scanned
+    to m bytes/vector; LUTs score it without touching embeddings).
+
+    Same contract discipline as sim_pq_topk: training is a float
+    fixpoint, so the declared result is the index's deterministic
+    CONTRACT — every probe returns exactly k results and each probe's
+    IVF-PQ top-3 intersects the exact brute-force top-10. ADC score
+    parity with the full-scan pq_adc_topk is pinned in
+    tests/test_operators.py (same codes, same LUTs)."""
+    from ..functions.pq import ivfpq_topk, pq_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(emb, m=32, k=16, iters=2)
+    ivfpq = ivfpq_topk(
+        emb, queries, books, k=3, n_centroids=8, nprobe=4
+    ).select("query_id", "cand_id")
+    exact = cosine_topk(emb, queries, k=10).select("query_id", "cand_id")
+    hits = (
+        ivfpq.join(exact, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = ivfpq.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        F.col("n_results").cast("long").alias("n_results"),
+        (F.coalesce(F.col("hits"), F.lit(0)) >= 1).alias("quality_ok"),
+    )
+
+
+@declare(
     "kmeans_codebook",
     oracle="""
     SELECT CAST(8 AS BIGINT) AS k, TRUE AS dims_ok,
