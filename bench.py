@@ -160,47 +160,61 @@ def bench_streaming(spark) -> dict | None:
         )
         n_events = spark.read.json(replay).count()
 
-        completed_dir = os.path.join(work, "completed")
-        t0 = time.perf_counter()
-        ev = stream_trip_events(spark, replay)
-        s, e = split_start_end(ev)
-        completed = stream_match_start_end(s, e, watermark="24 hours")
-        q = (
-            completed.writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", completed_dir)
-            .option("checkpointLocation", os.path.join(work, "ckpt_match"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
-        match_sec = time.perf_counter() - t0
-        n_completed = spark.read.parquet(completed_dir).count()
+        def one_pass(i: int) -> tuple[float, float, int, int]:
+            """Fresh checkpoints/sinks per pass so every run replays the
+            full stream from scratch (exactly-once state included)."""
+            completed_dir = os.path.join(work, f"completed_{i}")
+            t0 = time.perf_counter()
+            ev = stream_trip_events(spark, replay)
+            s, e = split_start_end(ev)
+            completed = stream_match_start_end(s, e, watermark="24 hours")
+            q = (
+                completed.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", completed_dir)
+                .option("checkpointLocation", os.path.join(work, f"ckpt_match_{i}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            match_sec = time.perf_counter() - t0
+            n_completed = spark.read.parquet(completed_dir).count()
 
-        t1 = time.perf_counter()
-        cs = spark.readStream.schema(
-            spark.read.parquet(completed_dir).schema
-        ).parquet(completed_dir)
-        kq = (
-            streaming_kpi_daily(cs)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName("bench_stream_kpi")
-            .option("checkpointLocation", os.path.join(work, "ckpt_kpi"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        kq.awaitTermination(600)
-        kpi_sec = time.perf_counter() - t1
-        n_kpi = spark.sql("SELECT COUNT(*) FROM bench_stream_kpi").first()[0]
+            t1 = time.perf_counter()
+            cs = spark.readStream.schema(
+                spark.read.parquet(completed_dir).schema
+            ).parquet(completed_dir)
+            kq = (
+                streaming_kpi_daily(cs)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(f"bench_stream_kpi_{i}")
+                .option("checkpointLocation", os.path.join(work, f"ckpt_kpi_{i}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            kq.awaitTermination(600)
+            kpi_sec = time.perf_counter() - t1
+            n_kpi = spark.sql(
+                f"SELECT COUNT(*) FROM bench_stream_kpi_{i}"
+            ).first()[0]
+            return match_sec, kpi_sec, int(n_completed), int(n_kpi)
 
+        # same adjudicability rule as the batch section: pass 0 is the
+        # cold run (stream-engine codegen, state-store init); the
+        # SECOND full replay is the steady number reported as the
+        # headline rate.
+        passes = [one_pass(i) for i in range(2)]
+        match_sec, kpi_sec, n_completed, n_kpi = passes[-1]
         total = match_sec + kpi_sec
+        cold = passes[0][0] + passes[0][1]
         return {
             "n_events": int(n_events),
-            "n_completed": int(n_completed),
-            "n_kpi_rows": int(n_kpi),
+            "n_completed": n_completed,
+            "n_kpi_rows": n_kpi,
             "match_sec": round(match_sec, 4),
             "kpi_sec": round(kpi_sec, 4),
+            "cold_sec": round(cold, 4),
             "events_per_sec": round(n_events / total, 1),
             # the reference producer replays at 10 events/s
             # (scripts/to_kinesis.py) — its hard end-to-end floor
