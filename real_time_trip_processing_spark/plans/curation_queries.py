@@ -529,3 +529,65 @@ def doc_novelty(spark, sf_dir):
     from ..functions.curation import novelty_scores
 
     return novelty_scores(table(spark, sf_dir, "documents"), 8)
+
+
+@declare(
+    "dataset_split",
+    oracle=rf"""
+    WITH d AS (SELECT doc_id, source,
+                      CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+                        AS n_tokens,
+                      CAST(('0x' || substr(md5('split:v1:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) % 100 AS bucket
+               FROM documents)
+    SELECT CASE WHEN bucket < 96 THEN 'train'
+                WHEN bucket < 98 THEN 'val'
+                ELSE 'test' END AS split,
+           source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens
+    FROM d GROUP BY 1, 2
+    """,
+)
+def dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (96/2/2): membership is
+    a pure function of the salted doc key — an md5 bucket, the same
+    engine-portable integer discipline as `weighted_sample` — so the
+    split is stable under reprocessing, new data lands in splits
+    without moving old docs, and val/test can never leak into train by
+    a reshuffle. Re-salting (`split:v2:`) redraws the whole split
+    without touching data.
+
+    Scale shape: the bucket is one map-side md5 per row; the declared
+    output is the per-(split, source) count/token audit — one partial
+    aggregated shuffle of 6-ish groups. The full assignment frame
+    (doc_id, split) is the same projection without the groupBy: pure
+    map-side at any corpus size."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:v1:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+    )
+    split = (
+        F.when(F.col("bucket") < 96, "train")
+        .when(F.col("bucket") < 98, "val")
+        .otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"), F.col("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        )
+    )

@@ -807,3 +807,46 @@ def test_fuzzy_pairs_blocking_and_verify(spark):
     )
     got = {(r["a"], r["b"]): r["dist"] for r in fuzzy_pairs(df, max_dist=5).collect()}
     assert got == {(1, 2): 1}
+
+
+def test_ivf_arrow_matches_builtin(spark):
+    """The fused-scan Arrow IVF (assignment + probe filter + scoring in
+    one kernel) must be bit-identical to the Python-free JVM flavor
+    (row-local assignment fold, broadcast probe join, interpreted
+    scoring) — integer-exact quantized math makes equality exact, not
+    approximate."""
+    from real_time_trip_processing_spark.functions.similarity import ivf_topk
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk(emb, queries, k=3, nprobe=4, impl="arrow").collect()))
+    b = sorted(map(tuple, ivf_topk(emb, queries, k=3, nprobe=4, impl="builtin").collect()))
+    assert a == b
+    assert len(a) == 15
+
+
+def test_cosine_topk_arrow_matches_builtin(spark):
+    from real_time_trip_processing_spark.functions.similarity import cosine_topk
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, cosine_topk(emb, queries, k=4, impl="arrow").collect()))
+    b = sorted(map(tuple, cosine_topk(emb, queries, k=4, impl="builtin").collect()))
+    assert a == b
+    assert len(a) == 20
+
+
+def test_srp_near_dup_arrow_matches_builtin(spark):
+    """Fused bucket-kernel flavor (long band hashes, vectorized
+    singleton pruning) vs the bucket-self-join flavor: same pairs, same
+    scores, bit-for-bit."""
+    from real_time_trip_processing_spark.functions.similarity import srp_near_dup
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, srp_near_dup(emb, 96, 16, 0.4, impl="arrow").collect()))
+    b = sorted(map(tuple, srp_near_dup(emb, 96, 16, 0.4, impl="builtin").collect()))
+    assert a == b
+    assert len(a) > 0
