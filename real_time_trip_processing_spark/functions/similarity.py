@@ -24,6 +24,7 @@ Design for 100 TB:
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -938,22 +939,59 @@ def random_projection(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Johnson-Lindenstrauss-style dimensionality reduction with ±1
     (Achlioptas) planes — the cheap PCA substitute a pipeline runs
     before clustering / LSH when the raw embedding width is overkill.
 
-    Deterministic across engines and partitionings: the input is
+    Deterministic across engines, partitionings AND impls: the input is
     integer-quantized (same ``SRP_QUANT`` contract as the SRP path), so
     each projection is an exact int64 dot against md5-parity ±1 planes —
     no float summation order anywhere. ``proj`` is the raw integer
     coordinate; ``y`` rescales by 1/(QUANT·√dim_out) per the JL lemma.
 
-    Scale shape: entirely row-local (plane matrix rides in as one
-    literal); the only data movement is the corpus scan itself. Output
-    is exploded to (id, dim, value) rows — a layout that stays
-    canonicalizable and lets downstream ops pivot as needed.
+    ``impl="arrow"`` (default) computes all ``dim_out`` dots as one
+    int64 matmul per Arrow batch — the same kernel shape as
+    `_srp_sig_arrow`, and the same reason: Catalyst interprets
+    higher-order functions, so the builtin flavor pays dim_out × dim
+    interpreted evals per row. ``impl="builtin"`` keeps the JVM fold as
+    the Python-free fallback/cross-check (bit-identical by integer
+    exactness).
+
+    Scale shape: entirely row-local (plane matrix rides in the kernel
+    closure / as one literal); the only data movement is the corpus
+    scan itself. Output is exploded to (id, dim, value) rows — a layout
+    that stays canonicalizable and lets downstream ops pivot as needed.
     """
+    scale = float(SRP_QUANT) * math.sqrt(float(dim_out))
+    if impl == "arrow":
+        planes_t = np.array(srp_signs(dim_out, dim), dtype=np.int64).T  # dim×out
+        id_type = dict(emb.dtypes)[id_col]
+        schema = f"{id_col} {id_type}, dim int, proj long, y double"
+
+        def scan(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = _quant_np(pdf[vec_col]).astype(np.int64)
+                p = q @ planes_t  # rows × dim_out, exact int64
+                n, m = p.shape
+                y = p.ravel() / scale
+                # ROUND half-away-from-zero == Spark/DuckDB round()
+                # (np.round is banker's rounding — a tie would flip)
+                y8 = np.sign(y) * np.floor(np.abs(y) * 1e8 + 0.5) / 1e8
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].to_numpy(), m),
+                        "dim": np.tile(np.arange(m, dtype=np.int32), n),
+                        "proj": p.ravel(),
+                        "y": y8,
+                    }
+                )
+
+        return emb.select(id_col, vec_col).mapInPandas(scan, schema)
+
     planes = _int_matrix_literal(srp_signs(dim_out, dim))
     qv = F.transform(
         F.col(vec_col).cast("array<double>"),

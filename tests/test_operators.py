@@ -850,3 +850,18 @@ def test_srp_near_dup_arrow_matches_builtin(spark):
     b = sorted(map(tuple, srp_near_dup(emb, 96, 16, 0.4, impl="builtin").collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_random_projection_arrow_matches_builtin(spark):
+    """int64-matmul JL kernel vs the interpreted JVM fold: exact
+    integer dots make proj identical by construction; y (the rounded
+    JL coordinate) must also agree — pins the numpy half-away-from-zero
+    replication of Spark/DuckDB ROUND."""
+    from real_time_trip_processing_spark.functions.similarity import random_projection
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted(map(tuple, random_projection(emb, impl="arrow").collect()))
+    b = sorted(map(tuple, random_projection(emb, impl="builtin").collect()))
+    assert a == b
+    assert len(a) == emb.count() * 8
