@@ -69,6 +69,11 @@ HEADLINE = [
     "nation_part_profit",
     "local_supplier_volume",
     "large_volume_customers",
+    # LLM-pipeline ops are first-class — bench them like everything else
+    "sim_ivf_topk",
+    "decontaminate_ngrams",
+    "pack_sequences",
+    "dataset_split",
 ]
 
 

@@ -19,6 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .text import LANG_MARKERS, text_stats, token_count, tokens
@@ -39,6 +40,7 @@ def ngram_decontaminate(
     n: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing at least one
     distinct word ``n``-gram with the benchmark subset (rows where
@@ -48,22 +50,67 @@ def ngram_decontaminate(
     textually overlap an eval set). Returns ``(doc_id, n_hits)`` for
     contaminated docs only.
 
-    Corpus-side shape: grams are built ROW-LOCALLY (array expressions —
-    the window-exec ``shingle_rows`` path would shuffle the token
-    stream on doc just to build grams), then probed against the
+    Scale shape exploits the same asymmetry as `semantic_decontaminate`:
+    eval sets are thousands of documents while the corpus is billions.
+    ``impl="arrow"`` (default) collects the DISTINCT benchmark grams
+    driver-side (bounded by the eval set, the same discipline as the
+    IVF codebook / probe collects) and fuses tokenize → shingle →
+    membership → per-doc distinct-hit count into ONE ``mapInPandas``
+    scan: the corpus never joins, never explodes into gram rows, and
+    never shuffles AT ALL — the plan is scan → kernel, zero exchanges.
+    Python does the gram slicing, but as C-level set ops per document
+    (the interpreted-lambda flavor below pays a Catalyst eval per
+    token·gram element, the same ~100× gap as every other HOF hot
+    path here).
+
+    ``impl="builtin"`` keeps the Python-free flavor as the
+    fallback/cross-check: grams built row-locally with array
+    expressions (the window-exec ``shingle_rows`` path would shuffle
+    the token stream on doc just to build grams), probed against the
     broadcast benchmark set; ~every row dies in that map-side join, so
-    per-doc gram dedup runs AFTER the kill-filter (countDistinct over
-    hit rows only) and the one corpus exchange carries hit rows, not
-    the corpus. Locally the window path is ~2× faster on toy docs (its
-    shuffle is a memcpy while array lambdas are interpreted), but at
-    cluster scale a corpus-wide token shuffle is the bottleneck this
-    operator exists to avoid — row-local CPU scales with cores,
-    all-to-all network does not.
+    per-doc gram dedup runs AFTER the kill-filter and the one corpus
+    exchange carries hit rows, not the corpus.
     """
     gram_arr = shingles(F.col(text_col), n)
     bench_grams = (
         docs.filter(bench_pred).select(F.explode(gram_arr).alias("sh")).distinct()
     )
+    if impl == "arrow":
+        import re
+
+        bench = frozenset(r[0] for r in bench_grams.collect())
+        id_type = dict(docs.dtypes)[id_col]
+        schema = f"{id_col} {id_type}, n_hits long"
+        ws = re.compile(r"\s+")
+
+        def scan(batches):
+            for pdf in batches:
+                ids_out, hits_out = [], []
+                for did, txt in zip(
+                    pdf[id_col].to_list(), pdf[text_col].to_list()
+                ):
+                    if txt is None:
+                        continue
+                    # replicate tokens()/shingles() exactly: split(trim, \s+),
+                    # docs shorter than n yield their single truncated gram
+                    toks = ws.split(txt.strip())
+                    hi = max(len(toks) - n, 0)
+                    grams = {
+                        " ".join(toks[i : i + n]) for i in range(hi + 1)
+                    }
+                    c = len(grams & bench)
+                    if c:
+                        ids_out.append(did)
+                        hits_out.append(c)
+                if ids_out:
+                    yield pd.DataFrame({id_col: ids_out, "n_hits": hits_out})
+
+        return (
+            docs.filter(~bench_pred)
+            .select(id_col, text_col)
+            .mapInPandas(scan, schema)
+        )
+
     corpus = docs.filter(~bench_pred).select(
         F.col(id_col), F.explode(gram_arr).alias("sh")
     )

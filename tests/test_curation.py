@@ -296,3 +296,16 @@ def test_hash_grams_shrinks_the_shuffle_key(spark):
     import re as _re
     m = _re.search(r"hashpartitioning\(sh#\d+L", plan)
     assert m, plan
+
+
+def test_ngram_decontaminate_arrow_matches_builtin(spark):
+    """Fused-kernel flavor vs broadcast-join flavor on real corpus data:
+    same contaminated docs, same distinct-hit counts."""
+    from real_time_trip_processing_spark.sources import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    pred = F.col("doc_id") % 97 == 0
+    a = sorted(map(tuple, C.ngram_decontaminate(docs, pred, n=4, impl="arrow").collect()))
+    b = sorted(map(tuple, C.ngram_decontaminate(docs, pred, n=4, impl="builtin").collect()))
+    assert a == b
+    assert len(a) > 0

@@ -233,14 +233,36 @@ def test_srp_fused_bucket_verify_shape(spark):
     assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan, plan
 
 
-def test_decontaminate_bench_grams_broadcast(spark):
-    """decontaminate_ngrams: grams are built row-locally, the benchmark
-    gram set is the broadcast build side, and the only shuffles are the
-    (tiny) bench-side distinct plus the two-phase per-doc
-    distinct-hit-count — all AFTER the kill-filter, so every exchange
-    carries hit-grain rows. The corpus token/gram stream itself never
-    shuffles."""
+def test_decontaminate_fused_scan_no_shuffle(spark):
+    """decontaminate_ngrams (arrow default): tokenize → shingle →
+    membership → per-doc distinct-hit count fused into one kernel over
+    the corpus scan — NO join and NO exchange of corpus rows anywhere
+    in the plan (the bench gram set is a driver-side collect, bounded
+    by the eval set)."""
     plan = plan_of(spark, "decontaminate_ngrams")
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    # corpus-side: scan → filter/project → kernel, zero exchanges
+    assert "\n(1) Scan" in plan or "Scan parquet" in plan
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_decontaminate_builtin_bench_grams_broadcast(spark):
+    """The Python-free fallback keeps the broadcast shape: grams built
+    row-locally, benchmark gram set as the broadcast build side, every
+    exchange carrying hit-grain rows only."""
+    from real_time_trip_processing_spark.functions import curation as C
+    from real_time_trip_processing_spark.sources import table
+
+    df = C.ngram_decontaminate(
+        table(spark, SF_DIR, "documents"),
+        bench_pred=F.col("doc_id") % 97 == 0,
+        n=4,
+        impl="builtin",
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     exchanges = re.findall(

@@ -126,6 +126,9 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
         timed("sim_pq_topk", size,
               lambda: PQ.pq_adc_topk(PQ.pq_encode(corpus, books), queries,
                                      books, k=10, dim=DIM))
+        timed("sim_ivfpq_topk", size,
+              lambda: PQ.ivfpq_topk(corpus, queries, books, k=10,
+                                    n_centroids=256, nprobe=8, dim=DIM))
     return results
 
 
