@@ -30,9 +30,20 @@ def connected_components(
     minimum node id reachable from the node (deterministic canonical
     label). Min-label propagation to fixpoint, bounded by
     ``max_iter``."""
+    # Symmetrize by exploding each edge into both directions in ONE
+    # pass (a self-union would execute the upstream edge plan — often
+    # an expensive LSH pair pipeline — twice), then materialize: `sym`
+    # is re-read every iteration, and without the checkpoint each
+    # label-propagation round would re-run candidate generation from
+    # scratch. The checkpoint is ids-only (two longs per edge).
     sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

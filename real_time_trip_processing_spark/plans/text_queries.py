@@ -564,13 +564,19 @@ def jaccard_top_neighbor(spark, sf_dir):
     from ..functions.similarity import jaccard_pairs
 
     pairs = jaccard_pairs(table(spark, sf_dir, "documents"), n=3, threshold=0.2)
+    # symmetrize by exploding each pair into both directions IN the one
+    # pair stream — a self-union of `pairs` would execute the whole
+    # inverted-index join twice (Spark does not reuse common subplans
+    # across union branches)
     sym = pairs.select(
-        F.col("a").alias("doc"), F.col("b").alias("neighbor"), "jaccard"
-    ).unionByName(
-        pairs.select(
-            F.col("b").alias("doc"), F.col("a").alias("neighbor"), "jaccard"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("doc"), F.col("b").alias("neighbor")),
+                F.struct(F.col("b").alias("doc"), F.col("a").alias("neighbor")),
+            )
+        ).alias("e"),
+        "jaccard",
+    ).select("e.doc", "e.neighbor", "jaccard")
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc").orderBy(F.desc("jaccard"), "neighbor")
@@ -604,8 +610,9 @@ def near_dup_rate(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, n=3, threshold=0.2)
     involved = (
-        pairs.select(F.col("a").alias("doc"))
-        .unionByName(pairs.select(F.col("b").alias("doc")))
+        pairs.select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("doc")
+        )  # one pass over the pair stream, not a plan-doubling self-union
         .distinct()
         .agg(F.count(F.lit(1)).alias("docs_with_neardup"))
     )
