@@ -528,7 +528,13 @@ def doc_novelty(spark, sf_dir):
     shuffle of the gram stream)."""
     from ..functions.curation import novelty_scores
 
-    return novelty_scores(table(spark, sf_dir, "documents"), 8)
+    # hash_grams: novelty depends only on gram document-frequencies, so
+    # the xxhash64 shuffle shrink (8-byte keys instead of 8-word
+    # strings through BOTH gram exchanges) leaves the output
+    # bit-identical — the oracle replays the literal grams and still
+    # hash-matches (collision odds ~N²/2⁶⁵; pinned identical by
+    # tests/test_curation.py::test_novelty_scores_hash_grams_identical)
+    return novelty_scores(table(spark, sf_dir, "documents"), 8, hash_grams=True)
 
 
 @declare(
