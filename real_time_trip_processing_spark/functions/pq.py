@@ -273,13 +273,44 @@ def ivfpq_topk(
     )
 
     rows = _resolve_centroids(emb, codebook, n_centroids, id_col, vec_col)
-    enc = _encode_kernel(books, dim)
+
+    # assignment + encoding FUSED into one struct-returning kernel: the
+    # vector column crosses the Arrow boundary once, not once per UDF
+    # (two separate pandas UDFs plan as two ArrowEvalPython stages,
+    # each re-shipping the full embedding column). Math is identical to
+    # nearest_centroid_kernel + _encode_kernel — pinned by
+    # test_ivfpq_scores_match_full_scan.
+    qrows = _quant_codebook(rows)
+    cids = np.array([c for c, _, _ in qrows], dtype=np.int64)
+    ct = np.array([q for _, q, _ in qrows], dtype=np.float64).T  # dim × k
+    cn = np.array([n for _, _, n in qrows])
+    mats = [np.array(b, dtype=np.float64) for b in books]
+    bnorms = [np.sum(b * b, axis=1) for b in mats]
+    bounds = _slices(dim, len(books))
+
+    @F.pandas_udf("struct<cent_id: int, codes: array<int>>")
+    def assign_encode(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cent_id": [], "codes": []})
+        x = np.array([np.asarray(r, dtype=np.float64) for r in v])
+        q = _quant_np(v)
+        s = (q @ ct) / (
+            np.sqrt(np.einsum("ij,ij->i", q, q))[:, None] * cn[None, :]
+        )
+        cent = cids[np.argmax(s, axis=1)].astype("int32")
+        codes = np.empty((x.shape[0], len(mats)), dtype=np.int32)
+        for j, ((lo, hi), cb, cnorm) in enumerate(zip(bounds, mats, bnorms)):
+            d = cnorm[None, :] - 2.0 * (x[:, lo:hi] @ cb.T)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.DataFrame({"cent_id": cent, "codes": list(codes)})
+
     corpus = emb.select(
         F.col(id_col).alias("cand_id"),
-        nearest_centroid_kernel(rows)(
-            F.col(vec_col).cast("array<double>")
-        ).alias("cent_id"),
-        enc(F.col(vec_col).cast("array<double>")).alias("codes"),
+        assign_encode(F.col(vec_col).cast("array<double>")).alias("ae"),
+    ).select(
+        "cand_id",
+        F.col("ae.cent_id").alias("cent_id"),
+        F.col("ae.codes").alias("codes"),
     )
 
     # probe ranking uses the same quantized metric as corpus assignment
