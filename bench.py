@@ -40,7 +40,7 @@ from real_time_trip_processing_spark.plans import REGISTRY
 from real_time_trip_processing_spark.session import get_spark
 
 #: steady-state repetitions per query (after one cold run)
-N_RUNS = 3
+N_RUNS = 5
 
 #: headline queries: the flagship KPI path, the matcher join, the heavy
 #: relational aggs, and one of each extension family.

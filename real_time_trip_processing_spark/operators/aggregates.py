@@ -88,3 +88,63 @@ def value_counts(df: DataFrame, col: str) -> DataFrame:
     return df.groupBy(col).agg(F.count(F.lit(1)).alias("count")).orderBy(
         F.desc("count"), F.col(col)
     )
+
+
+# --- incremental / materialized-view maintenance ---------------------------
+
+#: exact-decimal accumulator for mergeable sums: DECIMAL addition is
+#: associative (unlike double), so partial states merge to EXACTLY the
+#: full-recompute value regardless of batch boundaries or merge order.
+_ACC = "decimal(18,6)"
+
+
+def kpi_state(
+    df: DataFrame, ts_col: str = "ts", value_col: str = "value"
+) -> DataFrame:
+    """Mergeable per-day KPI state: (pickup_date, n_events, total_value
+    decimal, min_value, max_value). This is the persisted form of an
+    incrementally-maintained rollup — each ingest batch aggregates its
+    own rows to this shape map-side and the merge (`merge_kpi_states`)
+    only ever touches state-grain rows, never re-reads history. The
+    sum rides an exact decimal so merge order can't flip a low bit."""
+    return df.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("pickup_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast(_ACC)).alias("total_value"),
+        F.min(value_col).alias("min_value"),
+        F.max(value_col).alias("max_value"),
+    )
+
+
+def merge_kpi_states(*states: DataFrame) -> DataFrame:
+    """Combine any number of KPI state frames into one — the aggregate
+    merge algebra (n: sum, total: exact-decimal sum, min: min,
+    max: max). At 100 TB this is the maintenance step of a
+    materialized rollup: yesterday's state (tiny, state-grain) merges
+    with today's delta state without touching raw history; the shuffle
+    is state-grain (days), not event-grain."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("pickup_date").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("total_value").alias("total_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
+def kpi_from_state(state: DataFrame) -> DataFrame:
+    """Publishable KPI view from (possibly merged) state: derived
+    metrics (avg) computed at read time — derived values are never
+    stored, so they can't drift from their inputs."""
+    total_d = F.col("total_value").cast("double")
+    return state.select(
+        "pickup_date",
+        F.col("n_events").cast("long").alias("n_events"),
+        total_d.alias("total_value"),
+        "min_value",
+        "max_value",
+        F.round(total_d / F.col("n_events"), 6).alias("avg_value"),
+    )

@@ -405,3 +405,39 @@ def fare_percentiles(spark, sf_dir):
             F.round(F.expr("percentile(value, 0.90)"), 8).alias("p90"),
         )
     )
+
+
+@declare(
+    "kpi_incremental_rollup",
+    oracle="""
+    SELECT date_trunc('day', ts) AS pickup_date,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def kpi_incremental_rollup(spark, sf_dir):
+    """Materialized-view maintenance: the daily KPI rollup maintained
+    INCREMENTALLY — the corpus is split into two ingest batches
+    (event_id parity), each aggregated to mergeable per-day state
+    (operators/aggregates.py:kpi_state), merged with the aggregate
+    merge algebra (n: sum, total: exact-decimal sum, min/max: min/max)
+    and published. The oracle is the FULL RECOMPUTE over all events —
+    hash-equality proves the incremental path is exact, not
+    approximately right: the sum accumulator is DECIMAL, so merge
+    order and batch boundaries cannot flip a low bit (a double
+    accumulator would make incremental ≠ recompute at the last ulp).
+
+    At 100 TB this is the only affordable shape for a standing rollup:
+    each ingest batch shuffles only its own delta to state grain
+    (days), and the merge touches state-grain rows — history is never
+    re-read. The same state frame is what `foreachBatch` upsert sinks
+    maintain under streaming ingest (streaming/sinks.py)."""
+    ev = _events(spark, sf_dir).select("event_id", "ts", "value")
+    batch0 = A.kpi_state(ev.filter(F.col("event_id") % 2 == 0))
+    batch1 = A.kpi_state(ev.filter(F.col("event_id") % 2 == 1))
+    return A.kpi_from_state(A.merge_kpi_states(batch0, batch1))

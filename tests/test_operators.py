@@ -865,3 +865,25 @@ def test_random_projection_arrow_matches_builtin(spark):
     b = sorted(map(tuple, random_projection(emb, impl="builtin").collect()))
     assert a == b
     assert len(a) == emb.count() * 8
+
+
+def test_kpi_state_merge_exact_and_order_invariant(spark):
+    """The mergeable-KPI algebra: any batch split, any merge order,
+    EXACTLY the full-recompute result (decimal accumulator — a double
+    sum would drift at the last ulp)."""
+    from real_time_trip_processing_spark.operators import aggregates as A
+    from real_time_trip_processing_spark.sources import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "value"
+    )
+    full = sorted(map(tuple, A.kpi_from_state(A.kpi_state(ev)).collect()))
+    parts = [A.kpi_state(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)]
+    merged = sorted(
+        map(tuple, A.kpi_from_state(A.merge_kpi_states(*parts)).collect())
+    )
+    merged_rev = sorted(
+        map(tuple, A.kpi_from_state(A.merge_kpi_states(*reversed(parts))).collect())
+    )
+    assert merged == full
+    assert merged_rev == full
