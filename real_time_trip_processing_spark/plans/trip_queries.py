@@ -441,3 +441,54 @@ def kpi_incremental_rollup(spark, sf_dir):
     batch0 = A.kpi_state(ev.filter(F.col("event_id") % 2 == 0))
     batch1 = A.kpi_state(ev.filter(F.col("event_id") % 2 == 1))
     return A.kpi_from_state(A.merge_kpi_states(batch0, batch1))
+
+
+@declare(
+    "distinct_rollup_incremental",
+    oracle="""
+    SELECT date_trunc('day', ts) AS pickup_date,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_eq_full
+    FROM events GROUP BY 1
+    """,
+)
+def distinct_rollup_incremental(spark, sf_dir):
+    """Sketch-state maintenance — the distinct-count analogue of
+    kpi_incremental_rollup: per-ingest-batch DataSketches HLL state
+    (hll_sketch_agg over user_id per day), merged with hll_union_agg.
+    HLL union is register-wise max, so the merged sketch's estimate
+    equals the full-corpus single-pass sketch's estimate EXACTLY — the
+    declared boolean pins that equality (not a tolerance band), and
+    the exact distinct count rides alongside for the value hash. At
+    100 TB the persisted per-day sketch bytes ARE the rollup: each
+    batch shuffles only its own delta to state grain and history is
+    never re-read — the shape approx_count_distinct cannot give you,
+    because it emits an estimate, not mergeable state."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("pickup_date"),
+        "user_id",
+    )
+    full = ev.groupBy("pickup_date").agg(
+        F.hll_sketch_agg("user_id").alias("sk_full"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    parts = [
+        ev.filter(F.col("event_id") % 2 == i)
+        .groupBy("pickup_date")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        for i in range(2)
+    ]
+    merged = (
+        parts[0].unionByName(parts[1])
+        .groupBy("pickup_date")
+        .agg(F.hll_union_agg("sk").alias("sk_merged"))
+    )
+    return full.join(merged, "pickup_date").select(
+        "pickup_date",
+        "exact_users",
+        (
+            F.hll_sketch_estimate("sk_merged")
+            == F.hll_sketch_estimate("sk_full")
+        ).alias("merged_eq_full"),
+    )
