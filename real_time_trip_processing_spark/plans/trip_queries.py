@@ -448,7 +448,7 @@ def kpi_incremental_rollup(spark, sf_dir):
     oracle="""
     SELECT date_trunc('day', ts) AS pickup_date,
            COUNT(DISTINCT user_id) AS exact_users,
-           TRUE AS merged_eq_full
+           TRUE AS merged_ok
     FROM events GROUP BY 1
     """,
 )
@@ -456,22 +456,27 @@ def distinct_rollup_incremental(spark, sf_dir):
     """Sketch-state maintenance — the distinct-count analogue of
     kpi_incremental_rollup: per-ingest-batch DataSketches HLL state
     (hll_sketch_agg over user_id per day), merged with hll_union_agg.
-    HLL union is register-wise max, so the merged sketch's estimate
-    equals the full-corpus single-pass sketch's estimate EXACTLY — the
-    declared boolean pins that equality (not a tolerance band), and
-    the exact distinct count rides alongside for the value hash. At
-    100 TB the persisted per-day sketch bytes ARE the rollup: each
+    At 100 TB the persisted per-day sketch bytes ARE the rollup: each
     batch shuffles only its own delta to state grain and history is
     never re-read — the shape approx_count_distinct cannot give you,
-    because it emits an estimate, not mergeable state."""
+    because it emits an estimate, not mergeable state.
+
+    Contract (the approx_distinct_users discipline): the MERGED
+    estimate lands within max(10 %, ±3) of the exact count, which the
+    oracle carries value-hashed alongside. Estimate equality with the
+    single-pass sketch was measured and does NOT hold once sketches go
+    dense (HLL_4 build vs HLL_8 union representations estimate
+    slightly differently — 28/30 days differ at sf0.1), so the
+    declared boolean is the accuracy band, not representation
+    equality; the band is deterministic under any partitioning because
+    sketch registers are order-independent."""
     ev = _events(spark, sf_dir).select(
         "event_id",
         F.date_trunc("day", F.col("ts")).alias("pickup_date"),
         "user_id",
     )
-    full = ev.groupBy("pickup_date").agg(
-        F.hll_sketch_agg("user_id").alias("sk_full"),
-        F.countDistinct("user_id").alias("exact_users"),
+    exact = ev.groupBy("pickup_date").agg(
+        F.countDistinct("user_id").alias("exact_users")
     )
     parts = [
         ev.filter(F.col("event_id") % 2 == i)
@@ -482,13 +487,13 @@ def distinct_rollup_incremental(spark, sf_dir):
     merged = (
         parts[0].unionByName(parts[1])
         .groupBy("pickup_date")
-        .agg(F.hll_union_agg("sk").alias("sk_merged"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_users")
+        )
     )
-    return full.join(merged, "pickup_date").select(
-        "pickup_date",
-        "exact_users",
-        (
-            F.hll_sketch_estimate("sk_merged")
-            == F.hll_sketch_estimate("sk_full")
-        ).alias("merged_eq_full"),
+    band = F.abs(F.col("merged_users") - F.col("exact_users")) <= F.greatest(
+        F.lit(0.10) * F.col("exact_users"), F.lit(3.0)
+    )
+    return exact.join(merged, "pickup_date").select(
+        "pickup_date", "exact_users", band.alias("merged_ok")
     )
