@@ -309,3 +309,30 @@ def test_ngram_decontaminate_arrow_matches_builtin(spark):
     b = sorted(map(tuple, C.ngram_decontaminate(docs, pred, n=4, impl="builtin").collect()))
     assert a == b
     assert len(a) > 0
+
+
+def test_dataset_split_stable_under_corpus_growth(spark):
+    """Split membership is a pure function of the doc key: adding new
+    docs must not move any existing doc between splits (the property
+    that makes the split leakage-proof under reprocessing)."""
+    from real_time_trip_processing_spark.plans import REGISTRY  # noqa: F401
+    from real_time_trip_processing_spark.sources import table  # noqa: F401
+
+    def split_of(df):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("split:v1:"), F.col("doc_id").cast("string"))),
+                    1, 8,
+                ), 16, 10,
+            ).cast("long") % 100
+        )
+        s = (F.when(bucket < 96, "train").when(bucket < 98, "val")
+             .otherwise("test"))
+        return {r["doc_id"]: r["s"] for r in df.select("doc_id", s.alias("s")).collect()}
+
+    small = spark.createDataFrame([(i, "t", "en", "s") for i in range(100)], DOCS_SCHEMA)
+    big = spark.createDataFrame([(i, "t", "en", "s") for i in range(300)], DOCS_SCHEMA)
+    a, b = split_of(small), split_of(big)
+    assert all(b[k] == v for k, v in a.items())
+    assert set(b.values()) == {"train", "val", "test"}

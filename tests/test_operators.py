@@ -887,3 +887,33 @@ def test_kpi_state_merge_exact_and_order_invariant(spark):
     )
     assert merged == full
     assert merged_rev == full
+
+
+def test_srp_and_topk_kernels_survive_tiny_arrow_batches(spark):
+    """Force pathological Arrow batching (5 rows/batch) so buckets span
+    batch boundaries and per-batch local top-k runs dozens of times:
+    the carry-buffer stitching in srp_near_dup and the local-top-k
+    merge argument in cosine_topk must still produce bit-identical
+    results."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        cosine_topk, srp_near_dup,
+    )
+    from real_time_trip_processing_spark.sources import table
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "5")
+        emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        a = sorted(map(tuple, srp_near_dup(emb, 96, 16, 0.4, impl="arrow").collect()))
+        t = sorted(map(tuple, cosine_topk(emb, queries, k=4, impl="arrow").collect()))
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    b = sorted(map(tuple, srp_near_dup(emb, 96, 16, 0.4, impl="builtin").collect()))
+    u = sorted(map(tuple, cosine_topk(emb, queries, k=4, impl="builtin").collect()))
+    assert a == b
+    assert t == u
