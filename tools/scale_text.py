@@ -1,0 +1,150 @@
+"""Scale-proof of the text/dedup pipeline on a real corpus size.
+
+sf0.1 carries ~10k documents — the text queries there are dominated by
+fixed overhead. This harness generates a deterministic 200k-document
+corpus (zipfian vocabulary, ~5% planted exact dups, ~5% planted
+near-dups via word-level mutation) as a 32-file parquet directory,
+then times the headline text/dedup ops at 25k / 100k / 200k docs and
+prints the scaling curve as JSON (1 cold + 2 steady runs per op,
+steady median reported). Results go in SCALE.md.
+
+Usage: python tools/scale_text.py [--docs 200000] [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEED = 20260814
+N_FILES = 32
+MEAN_WORDS = 80
+VOCAB = 30_000
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   ".scale", "documents_200k")
+
+
+def generate(n_docs: int, out_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    rng = np.random.Generator(np.random.PCG64(SEED))
+    # zipfian-ish vocabulary: realistic token frequency skew so shingle
+    # document frequencies and dedup bucket sizes behave like real text
+    vocab = np.array([f"w{i}" for i in range(VOCAB)])
+    ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    langs = np.array(["en", "de", "fr", "es"])
+    sources = np.array(["web", "book", "wiki", "forum", "code"])
+
+    per = n_docs // N_FILES
+    start = 0
+    prev_words: list[str] | None = None
+    for f in range(N_FILES):
+        rows = per if f < N_FILES - 1 else n_docs - per * (N_FILES - 1)
+        ids, texts = [], []
+        for local in range(rows):
+            gid = start + local
+            n_words = max(8, int(rng.exponential(MEAN_WORDS)))
+            words = list(vocab[rng.choice(VOCAB, size=n_words, p=probs)])
+            if gid % 19 == 7 and prev_words is not None:
+                words = list(prev_words)          # planted EXACT dup
+            elif gid % 19 == 8 and prev_words is not None:
+                words = list(prev_words)          # planted NEAR dup:
+                for _ in range(max(1, len(words) // 25)):  # ~4% mutated
+                    words[int(rng.integers(len(words)))] = str(
+                        vocab[int(rng.integers(VOCAB))]
+                    )
+            prev_words = words
+            ids.append(gid)
+            texts.append(" ".join(words))
+        tbl = pa.table({
+            "doc_id": pa.array(np.array(ids, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs[np.array(ids) % 4]),
+            "source": pa.array(sources[np.array(ids) % 5]),
+        })
+        pq.write_table(tbl, os.path.join(out_dir, f"part-{f:05d}.parquet"))
+        start += rows
+
+
+def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.functions import curation as C
+    from real_time_trip_processing_spark.functions.minhash import minhash_lsh_pairs
+    from real_time_trip_processing_spark.operators.dedup import dedup_exact_text
+
+    full = spark.read.parquet(corpus_dir)
+    results: dict[str, dict] = {}
+
+    def timed(name, size, build):
+        runs, n = [], 0
+        for _ in range(3):
+            df = build()
+            t0 = time.monotonic()
+            n = df.count()
+            runs.append(round(time.monotonic() - t0, 2))
+        dt = sorted(runs[1:])[len(runs[1:]) // 2]
+        results.setdefault(name, {})[str(size)] = {
+            "sec": dt, "cold_sec": runs[0], "runs": runs, "rows": n,
+        }
+        print(f"  {name:26s} n={size:>8,d}  {dt:7.2f}s  (cold {runs[0]:.2f})"
+              f"  rows={n}", flush=True)
+
+    for size in sizes:
+        print(f"-- corpus size {size:,}", flush=True)
+        docs = full.filter(F.col("doc_id") < size)
+        timed("dedup_exact_text", size, lambda: dedup_exact_text(docs))
+        timed("dedup_near_minhash_lsh", size,
+              lambda: minhash_lsh_pairs(docs, n=3, num_perm=32, bands=8,
+                                        threshold=0.5))
+        timed("repeated_substrings_hashed", size,
+              lambda: C.repeated_ngrams(docs, n=8, min_docs=2,
+                                        hash_grams=True))
+        timed("doc_novelty_hashed", size,
+              lambda: C.novelty_scores(docs, 8, hash_grams=True))
+        timed("decontaminate_ngrams", size,
+              lambda: C.ngram_decontaminate(
+                  docs, bench_pred=F.col("doc_id") % 97 == 0, n=4))
+        timed("dataset_split_audit", size, lambda: docs.groupBy(
+            (F.conv(F.substring(F.md5(F.concat(F.lit("split:v1:"),
+             F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+             .cast("long") % 100 < 96).alias("is_train"), "source")
+            .agg(F.count(F.lit(1)).alias("n")))
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_gen:
+        t0 = time.monotonic()
+        generate(args.docs, OUT)
+        print(f"generated {args.docs:,} docs in {time.monotonic()-t0:.1f}s "
+              f"-> {OUT}", flush=True)
+
+    from real_time_trip_processing_spark.session import get_spark
+
+    spark = get_spark()
+    sizes = [s for s in (25_000, 100_000, 200_000) if s <= args.docs]
+    res = bench(spark, OUT, sizes)
+    print(json.dumps({"seed": SEED, "sizes": sizes, "results": res}))
+
+
+if __name__ == "__main__":
+    main()
