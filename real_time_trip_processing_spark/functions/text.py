@@ -37,13 +37,59 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_rows(
-    docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "builtin",
 ) -> DataFrame:
-    """(doc, sh) rows of word n-gram shingles via posexplode + lead
-    windows — identical shingle set to ``shingles`` (docs shorter than
-    n yield their single truncated shingle), but every step is native
-    codegen/window exec. The window's hash-partitioning on doc is
-    reused by any downstream groupBy("doc") — no extra shuffle."""
+    """(doc, sh) rows of word n-gram shingles — identical shingle set
+    to ``shingles`` (docs shorter than n yield their single truncated
+    shingle).
+
+    ``impl="builtin"`` (default): posexplode + lead window — all JVM
+    codegen/window exec. Its window exchange shuffles the TOKEN stream
+    on doc to line up the lead() calls — measured CHEAPER than the
+    kernel flavor on local[32] (novelty at 200k docs: ~17 s vs ~23 s),
+    because a single-machine shuffle is a memcpy while 16M Python
+    string joins are not.
+
+    ``impl="arrow"``: grams emitted ROW-LOCALLY by a ``mapInPandas``
+    kernel — tokenize + slide + join inside the row's own partition,
+    ZERO bytes over the network. This is the dial to flip on a REAL
+    cluster, where the token-stream exchange crosses the network and
+    becomes the biggest avoidable shuffle in every shingle consumer
+    (minhash, jaccard, repeated-grams, novelty); bit-identical output
+    (pinned by tests/test_operators.py equivalence)."""
+    if impl == "arrow":
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        id_type = dict(docs.dtypes)[id_col]
+        schema = f"doc {id_type}, sh string"
+
+        def scan(batches):
+            for pdf in batches:
+                doc_out: list = []
+                sh_out: list = []
+                for did, txt in zip(
+                    pdf[id_col].to_list(), pdf[text_col].to_list()
+                ):
+                    if txt is None:
+                        continue
+                    toks = ws.split(txt.strip())
+                    hi = max(len(toks) - n, 0)
+                    doc_out.extend([did] * (hi + 1))
+                    sh_out.extend(
+                        " ".join(toks[i : i + n]) for i in range(hi + 1)
+                    )
+                if doc_out:
+                    yield pd.DataFrame({"doc": doc_out, "sh": sh_out})
+
+        return docs.select(id_col, text_col).mapInPandas(scan, schema)
+
     from pyspark.sql import Window as W
 
     tok = docs.select(
@@ -52,9 +98,12 @@ def shingle_rows(
     )
     w = W.partitionBy("doc").orderBy("pos")
     leads = {f"t{i}": F.lead("t", i).over(w) for i in range(1, n)}
+    # n=1: every token is its own gram — no lead columns exist, keep all
+    last = F.col(f"t{n-1}") if n > 1 else F.col("t")
+    keep = last.isNotNull() | (F.col("pos") == 0) if n > 1 else F.lit(True)
     return (
         tok.withColumns(leads)
-        .filter(F.col(f"t{n-1}").isNotNull() | (F.col("pos") == 0))
+        .filter(keep)
         .select(
             "doc",
             F.concat_ws(" ", "t", *[f"t{i}" for i in range(1, n)]).alias("sh"),

@@ -917,3 +917,20 @@ def test_srp_and_topk_kernels_survive_tiny_arrow_batches(spark):
     u = sorted(map(tuple, cosine_topk(emb, queries, k=4, impl="builtin").collect()))
     assert a == b
     assert t == u
+
+
+def test_shingle_rows_arrow_matches_builtin(spark):
+    """Row-local kernel shingling vs the window flavor: identical
+    (doc, sh) multiset — including short docs (single truncated gram),
+    empty and whitespace-only texts."""
+    from real_time_trip_processing_spark.functions.text import shingle_rows
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, ""), (4, "   "), (5, "only"),
+         (6, "w1 w2 w3")],
+        "doc_id long, text string",
+    )
+    for n in (1, 3, 8):
+        a = sorted(map(tuple, shingle_rows(df, n, impl="arrow").collect()))
+        b = sorted(map(tuple, shingle_rows(df, n, impl="builtin").collect()))
+        assert a == b, (n, a, b)
