@@ -934,3 +934,44 @@ def test_shingle_rows_arrow_matches_builtin(spark):
         a = sorted(map(tuple, shingle_rows(df, n, impl="arrow").collect()))
         b = sorted(map(tuple, shingle_rows(df, n, impl="builtin").collect()))
         assert a == b, (n, a, b)
+
+
+def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
+    """The persisted-index story the IVF docstrings promise, executed:
+    the assigned corpus written partitioned by cent_id is THE index,
+    and a probe's bucket filter becomes scan-level partition pruning —
+    a probed query reads only its nprobe directories, and scoring a
+    probed bucket returns exactly the rows assignment put there."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        _resolve_centroids, nearest_centroid_kernel,
+    )
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = _resolve_centroids(emb, None, 8, "vec_id", "embedding")
+    assigned = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        nearest_centroid_kernel(rows)(
+            F.col("embedding").cast("array<double>")
+        ).alias("cent_id"),
+    )
+    out = str(tmp_path / "ivf_index")
+    assigned.write.partitionBy("cent_id").mode("overwrite").parquet(out)
+
+    idx = spark.read.parquet(out)
+    probed = idx.filter(F.col("cent_id").isin(1, 3))
+    plan = probed._sc._jvm.PythonSQLUtils.explainString(
+        probed._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "cent_id" in plan
+    # pruned read returns exactly the assignment's rows for those cells
+    expect = assigned.filter(F.col("cent_id").isin(1, 3)).count()
+    assert probed.count() == expect > 0
+    # a cell that got no vectors prunes to zero files
+    empty_cells = set(range(8)) - {
+        r["cent_id"] for r in idx.select("cent_id").distinct().collect()
+    }
+    if empty_cells:
+        c = next(iter(empty_cells))
+        assert idx.filter(F.col("cent_id") == c).count() == 0
