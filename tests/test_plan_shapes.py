@@ -412,3 +412,41 @@ def test_semantic_decontaminate_zero_exchange(spark):
 
     hash_ex = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert hash_ex == [], plan
+
+
+# The EXACT set of queries whose plan legitimately contains a
+# nested-loop/cartesian join — every one a bounded broadcast: either a
+# 1-row scalar frame glued onto the stream (totals, thresholds,
+# corpus-size N) or a handful of broadcast probe rows scored against
+# the scan. Anything new landing here must justify itself.
+_SCALAR_FRAME_JOINS = {
+    "idle_rich_customers",        # Q22: scalar avg acctbal broadcast
+    "important_parts",            # Q11-style: scalar value threshold
+    "near_dup_rate",              # 1x1 totals x involved-count frames
+    "promo_part_suppliers",       # scalar revenue threshold broadcast
+    "referential_integrity",      # scalar violation-count frames
+    "signup_to_purchase_latency", # 1x1 scalar latency frames
+    "sim_pq_topk",                # 5 broadcast query-LUT rows x codes scan
+    "tfidf_top_terms",            # corpus-size N scalar broadcast
+    "weighted_sample",            # 1x1 totals frame
+}
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """EVERY declared query's physical plan, checked for the two global
+    anti-patterns: row-at-a-time Python UDFs (BatchEvalPython — the
+    Arrow boundary is allowed, the pickle boundary is not) and
+    unexpected cartesian/nested-loop joins (allowed only for the
+    whitelisted scalar-frame combinations, which are 1-row builds)."""
+    offenders_udf, offenders_join = [], []
+    for name in sorted(REGISTRY):
+        plan = plan_of(spark, name)
+        if "BatchEvalPython" in plan:
+            offenders_udf.append(name)
+        if (
+            ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+            and name not in _SCALAR_FRAME_JOINS
+        ):
+            offenders_join.append(name)
+    assert not offenders_udf, f"row-wise Python UDFs in: {offenders_udf}"
+    assert not offenders_join, f"unexpected cartesian joins in: {offenders_join}"
