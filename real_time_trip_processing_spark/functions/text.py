@@ -210,6 +210,50 @@ def bigram_rows(
     ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
 
+def doc_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document bigram-LM cross-entropy against the corpus's own
+    language model — the CCNet-style quality signal: documents whose
+    word sequences are improbable under the corpus LM (gibberish,
+    boilerplate soup, wrong-language fragments) score HIGH avg_nll and
+    get filtered/bucketed before training.
+
+    Model: add-one-smoothed conditional bigram probabilities
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), with c(·) counted over the
+    whole corpus, c(w1) the bigram-prefix total (Σ_w2 c(w1,w2)) and V
+    the continuation vocabulary (distinct w2). Every scored bigram
+    exists in the corpus by construction (the doc is part of it), so
+    smoothing is a regularizer, not an OOV path. Score = mean −ln p
+    over the doc's bigrams (exp of it is the doc's perplexity).
+
+    Scale shape: counts are vocabulary-sized (Zipf — tiny next to the
+    corpus), the probe stream is the corpus bigram stream re-expanded
+    row-locally. Shuffles: one (w1,w2) count aggregate, one (w1)
+    rollup, the (w1,w2)-keyed probe join (AQE broadcasts the count
+    side when it fits), and the final doc-keyed mean. V rides as a
+    broadcast 1-row frame — no driver action at plan-build."""
+    bg = bigram_rows(df, id_col, text_col)
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    w1_tot = counts.groupBy("w1").agg(F.sum("cnt").alias("w1_total"))
+    vocab = counts.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
+    nll = -F.log(
+        (F.col("cnt") + F.lit(1)) / (F.col("w1_total") + F.col("v"))
+    )
+    return (
+        bg.join(counts, ["w1", "w2"])
+        .join(w1_tot, "w1")
+        .join(vocab)
+        .select("doc", nll.alias("nll"))
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+        .select(F.col("doc").alias(id_col), "n_bigrams", "avg_nll")
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     prefix_len: int = 32,

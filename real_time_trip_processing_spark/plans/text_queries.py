@@ -674,6 +674,40 @@ def bigram_next_word(spark, sf_dir):
 
 
 @declare(
+    "doc_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                  FROM documents),
+    bg AS (SELECT doc_id AS doc,
+                  unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g
+           FROM toks),
+    pairs AS (SELECT doc, split_part(g, ' ', 1) AS w1,
+                     split_part(g, ' ', 2) AS w2
+              FROM bg),
+    c AS (SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+    tot AS (SELECT w1, SUM(cnt) AS w1_total FROM c GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS v FROM c)
+    SELECT p.doc AS doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(-ln((c.cnt + 1.0) / (tot.w1_total + v.v))), 6) AS avg_nll
+    FROM pairs p
+    JOIN c ON c.w1 = p.w1 AND c.w2 = p.w2
+    JOIN tot ON tot.w1 = p.w1
+    CROSS JOIN v
+    GROUP BY p.doc
+    """,
+)
+def doc_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring: per-document mean −ln p under the
+    corpus's own add-one-smoothed bigram model — the filter signal that
+    separates fluent text from gibberish/boilerplate before training.
+    Counts are vocabulary-sized (Zipf); the probe is the row-locally
+    re-expanded bigram stream; V is a broadcast 1-row frame. The whole
+    chain is count arithmetic + one ln, so the oracle replays it
+    end-to-end (functions/text.doc_lm_score)."""
+    return X.doc_lm_score(table(spark, sf_dir, "documents"))
+
+
+@declare(
     "fuzzy_match_docs",
     oracle="""
     WITH t AS (SELECT doc_id AS doc, lower(trim(text)) AS nt FROM documents),
