@@ -64,3 +64,69 @@ def asof_join(
         "*", *[F.col(f"__p.{c}").alias(c) for c in payload_cols]
     ).drop("__p")
     return u.filter(F.col("__tag") == 1).drop("__tag")
+
+
+def gap_fill_daily(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Time-series densification with forward fill: per key, one row for
+    EVERY calendar day between the key's first and last activity, each
+    day carrying the key's last-observed end-of-day value — the
+    resample/locf primitive behind dashboards and feature snapshots
+    over sparse event streams.
+
+    Per (key, day) the observed value is the LAST event's (by ts, with
+    ``tiebreak`` breaking exact-timestamp ties deterministically);
+    gap days inherit the previous observed value via a
+    last-ignoring-nulls window. ``observed`` flags real vs filled rows.
+
+    Scale shape: one (key, day) aggregate-by-window, a per-key min/max
+    rollup, row-local calendar expansion (``sequence`` + explode — the
+    spine never shuffles beyond its key), one keyed left join back to
+    the observations, and the fill window — ALL stages share the key
+    partitioning, so after the first exchange everything is co-located.
+    Spine width is bounded by each key's own active span, not the
+    corpus span — a key active 3 days costs 3 rows at any corpus size.
+    """
+    day = F.date_trunc("day", F.col(ts))
+    w_last = Window.partitionBy(key, "day").orderBy(
+        F.desc(ts), F.desc(tiebreak)
+    )
+    observed = (
+        events.select(key, day.alias("day"), F.col(ts), F.col(tiebreak), F.col(value))
+        .withColumn("__rn", F.row_number().over(w_last))
+        .filter(F.col("__rn") == 1)
+        .select(key, "day", F.col(value).alias("day_value"))
+    )
+    spine = (
+        observed.groupBy(key)
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            key,
+            F.explode(
+                F.sequence("d0", "d1", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(observed, [key, "day"], "left")
+        .withColumn(
+            "value_filled",
+            F.round(F.last("day_value", ignorenulls=True).over(w_fill), 6),
+        )
+        .select(
+            key,
+            "day",
+            "value_filled",
+            F.col("day_value").isNotNull().cast("int").alias("observed"),
+        )
+    )

@@ -1086,3 +1086,40 @@ def rank_metrics(spark, sf_dir):
             F.ntile(10).over(w).cast("long").alias("decile"),
         )
     )
+
+
+@declare(
+    "gap_fill_daily",
+    oracle="""
+    WITH lastv AS (
+      SELECT user_id, day, value AS day_value FROM (
+        SELECT user_id, date_trunc('day', ts) AS day, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t WHERE rn = 1),
+    spine AS (
+      SELECT user_id,
+             unnest(range(d0, d1 + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS day
+      FROM (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM lastv GROUP BY user_id) b)
+    SELECT s.user_id, s.day,
+           ROUND(last_value(l.day_value IGNORE NULLS)
+                 OVER (PARTITION BY s.user_id ORDER BY s.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 6) AS value_filled,
+           CASE WHEN l.user_id IS NULL THEN 0 ELSE 1 END AS observed
+    FROM spine s LEFT JOIN lastv l
+      ON l.user_id = s.user_id AND l.day = s.day
+    """,
+)
+def gap_fill_daily(spark, sf_dir):
+    """Time-series densification + forward fill (resample/locf): every
+    calendar day in each user's active span carries the user's
+    last-observed end-of-day value; gap days are filled from the
+    previous observation. All stages — per-day last, per-key span,
+    row-local calendar expansion, spine join, fill window — share the
+    user_id partitioning after one exchange; spine width is bounded by
+    each key's own span (operators/asof.gap_fill_daily)."""
+    from ..operators.asof import gap_fill_daily as _gf
+
+    return _gf(table(spark, sf_dir, "events"))

@@ -975,3 +975,30 @@ def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
     if empty_cells:
         c = next(iter(empty_cells))
         assert idx.filter(F.col("cent_id") == c).count() == 0
+
+
+def test_gap_fill_daily_fills_gaps_and_flags(spark):
+    """Gap days inherit the previous day's LAST value (ts then event_id
+    tiebreak); observed marks real rows; spans are per-key."""
+    import datetime as dt
+
+    from real_time_trip_processing_spark.operators.asof import gap_fill_daily
+
+    T = dt.datetime
+    rows = [
+        # user 1: day 1 has two events (later one wins), day 3 observed
+        Row(event_id=1, ts=T(2024, 1, 1, 9), user_id=1, value=10.0),
+        Row(event_id=2, ts=T(2024, 1, 1, 18), user_id=1, value=20.0),
+        Row(event_id=3, ts=T(2024, 1, 3, 12), user_id=1, value=30.0),
+        # user 2: single day — spine must not extend to user 1's span
+        Row(event_id=4, ts=T(2024, 2, 5, 1), user_id=2, value=7.0),
+        # exact-ts tie: higher event_id wins
+        Row(event_id=6, ts=T(2024, 2, 5, 1), user_id=2, value=9.0),
+    ]
+    out = gap_fill_daily(spark.createDataFrame(rows)).collect()
+    got = {(r.user_id, r.day.day): (r.value_filled, r.observed) for r in out}
+    assert got[(1, 1)] == (20.0, 1)   # last event of the day wins
+    assert got[(1, 2)] == (20.0, 0)   # gap day forward-filled
+    assert got[(1, 3)] == (30.0, 1)
+    assert got[(2, 5)] == (9.0, 1)    # event_id breaks the exact-ts tie
+    assert len(out) == 4              # per-key spans, no cross-key bleed
