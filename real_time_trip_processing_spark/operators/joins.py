@@ -139,3 +139,84 @@ def point_in_time_join(
         & (d[valid_to].isNull() | (facts[ts] < d[valid_to]))
     )
     return facts.join(d, cond, how).drop(d[key])
+
+
+def bloom_filtered_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Semi join with a Bloom-filter runtime prefilter — the row-level
+    runtime filtering pattern, built portably from DataFrame ops: the
+    build side's keys are folded into an m-bit bitmap (k md5-derived
+    positions per key, bit_or-aggregated into array<long> words) that
+    rides to every probe partition as ONE broadcast row; probe rows
+    failing any of their k bit tests are dropped MAP-SIDE, before the
+    semi-join exchange ever sees them.
+
+    Output is EXACT: survivors still pass through a real left-semi join,
+    so Bloom false positives never reach the result — the filter only
+    changes how many probe rows shuffle, never what comes out. At 100 TB
+    this is the difference between shuffling the full fact table and
+    shuffling the ~selectivity fraction that can possibly match; size
+    m ≈ 10 bits/build-key for ~1% false positives (m rides as
+    m/64 longs — 8192 bits = 1 KiB — so even 10^9-bit filters broadcast
+    fine).
+
+    Determinism: bit positions are md5-slice arithmetic (same contract
+    as the hash ops elsewhere), so the bitmap is reproducible in any
+    engine — but the ORACLE for queries built on this is a plain semi
+    join, because the exact verify makes the Bloom transparent.
+    """
+    words = m_bits // 64
+    assert m_bits % 64 == 0
+
+    def positions(key_col: str):
+        return [
+            F.conv(
+                F.substring(F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(j)))), 1, 15),
+                16,
+                10,
+            ).cast("long") % m_bits
+            for j in range(k)
+        ]
+
+    bitmap = (
+        build.select(F.explode(F.array(*positions(build_key))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("word")
+            ).alias("wm")
+        )
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(words - 1)),
+                lambda i: F.coalesce(F.element_at("wm", i.cast("int")), F.lit(0).cast("long")),
+            ).alias("__bloom")
+        )
+    )
+
+    pos_cols = {f"__bp{j}": p for j, p in enumerate(positions(probe_key))}
+    tagged = probe.crossJoin(F.broadcast(bitmap)).withColumns(pos_cols)
+    test = None
+    for name in pos_cols:
+        hit = F.expr(
+            f"(shiftright(element_at(__bloom, CAST({name} DIV 64 AS INT) + 1), "
+            f"CAST({name} % 64 AS INT)) & 1) = 1"
+        )
+        test = hit if test is None else (test & hit)
+    filtered = tagged.filter(test).drop("__bloom", *pos_cols)
+    return filtered.join(
+        build.select(F.col(build_key).alias(probe_key)).distinct(),
+        probe_key,
+        "left_semi",
+    )

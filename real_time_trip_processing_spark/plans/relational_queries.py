@@ -487,3 +487,36 @@ def session_funnel(spark, sf_dir):
             8,
         ).alias("click_to_purchase"),
     )
+
+
+@declare(
+    "bloom_semi_join",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 6) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT'
+                           AND o_totalprice > 150000)
+    GROUP BY l_returnflag
+    """,
+)
+def bloom_semi_join(spark, sf_dir):
+    """Runtime-filtered semi join: lineitem rows belonging to urgent
+    high-value orders, with a broadcast Bloom bitmap (1 KiB, md5-k-hash)
+    dropping non-matching lines MAP-SIDE before the semi-join exchange.
+    Output is exact — Bloom false positives die in the verify join — so
+    the oracle is a plain IN-subquery; the Bloom only dials how many
+    probe rows shuffle (operators/joins.bloom_filtered_semi_join)."""
+    from ..operators.joins import bloom_filtered_semi_join
+
+    li = table(spark, sf_dir, "lineitem")
+    urgent = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    hit = bloom_filtered_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return hit.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
