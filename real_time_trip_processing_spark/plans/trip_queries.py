@@ -497,3 +497,78 @@ def distinct_rollup_incremental(spark, sf_dir):
     return exact.join(merged, "pickup_date").select(
         "pickup_date", "exact_users", band.alias("merged_ok")
     )
+
+
+@declare(
+    "quantile_sketch_rollup",
+    oracle="""
+    WITH b AS (SELECT date_trunc('day', ts) AS pickup_date,
+                      CAST(floor(value * 2) AS BIGINT) AS bin,
+                      COUNT(*) AS cnt
+               FROM events GROUP BY 1, 2),
+    c AS (SELECT pickup_date, bin, cnt,
+                 SUM(cnt) OVER (PARTITION BY pickup_date ORDER BY bin) AS cum,
+                 SUM(cnt) OVER (PARTITION BY pickup_date) AS n
+          FROM b)
+    SELECT pickup_date, CAST(MAX(n) AS BIGINT) AS n_events,
+           ROUND((MIN(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) + 0.5)
+                 * 0.5, 6) AS p50_est,
+           ROUND((MIN(CASE WHEN cum >= ceil(0.95 * n) THEN bin END) + 0.5)
+                 * 0.5, 6) AS p95_est
+    FROM c GROUP BY pickup_date
+    """,
+)
+def quantile_sketch_rollup(spark, sf_dir):
+    """Order-statistics state maintenance — the QUANTILE analogue of
+    kpi_incremental_rollup / distinct_rollup_incremental: per-ingest-
+    batch fixed-width histogram state (bin = floor(value/w), w = 0.5),
+    merged by plain count addition, quantiles read off the merged
+    cumulative histogram (first bin reaching rank ceil(q·n), midpoint
+    estimate, error ≤ w/2 by construction).
+
+    Unlike t-digest/percentile_approx the state is INTEGER bin counts:
+    merge order cannot drift a bit, the incremental path is hash-equal
+    to the full recompute (the oracle replays the same binning), and
+    the persisted per-day state is |occupied bins| longs. At 100 TB
+    each ingest batch shuffles only its delta to (day, bin) grain and
+    history is never re-read; for unbounded domains swap the linear
+    bin for a log bin (same merge algebra). Histogram-sketch quantile
+    maintenance over exact integer state is the standard mergeable-
+    summary design (cf. Spark's own observable metrics / Hive's
+    NumericHistogram lineage) expressed in pure DataFrame algebra."""
+    from pyspark.sql import Window as W
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("pickup_date"),
+        F.floor(F.col("value") * 2).cast("long").alias("bin"),
+    )
+    parts = [
+        ev.filter(F.col("event_id") % 2 == i)
+        .groupBy("pickup_date", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        for i in range(2)
+    ]
+    merged = (
+        parts[0].unionByName(parts[1])
+        .groupBy("pickup_date", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wd = W.partitionBy("pickup_date")
+    c = merged.withColumns(
+        {
+            "cum": F.sum("cnt").over(wd.orderBy("bin")),
+            "n": F.sum("cnt").over(wd),
+        }
+    )
+
+    def est(q):
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        bin_q = F.min(F.when(F.col("cum") >= rank, F.col("bin")))
+        return F.round((bin_q + 0.5) * 0.5, 6)
+
+    return c.groupBy("pickup_date").agg(
+        F.max("n").alias("n_events"),
+        est(0.5).alias("p50_est"),
+        est(0.95).alias("p95_est"),
+    )
