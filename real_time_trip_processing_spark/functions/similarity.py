@@ -551,6 +551,81 @@ def ivf_topk(
     )
 
 
+def ann_join_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | CentroidRows | None = None,
+) -> DataFrame:
+    """ANN JOIN — IVF top-k where the QUERY side is a full table, not a
+    handful of broadcast probes (the retrieval-enrichment join: every
+    new document finds its nearest corpus neighbors).
+
+    `ivf_topk` deliberately treats queries as bounded (collected
+    driver-side for the fused scan, or broadcast in the JVM flavor);
+    that shape dies when |Q| ≈ |corpus|. Here BOTH sides stay
+    distributed: corpus rows take their centroid in-row, query rows
+    explode into their nprobe probe buckets in-row, and the two streams
+    meet in a plain cent_id equi-join — each side shuffles exactly once,
+    by bucket, and candidate scoring runs on the co-located pairs with
+    the Arrow pair kernel (no interpreted folds). The per-query top-k
+    window reuses the usual (score desc, cand_id asc) contract, so the
+    result is bit-reproducible and oracle-replayable.
+
+    Scale discipline: join fan-out per query is N·nprobe/n_centroids
+    candidates — size n_centroids ~ √N (the IVF rule) so buckets stay
+    ~√N wide; a skewed bucket (hot centroid) is exactly what AQE's
+    skew-join splitting handles, since the join is a plain shuffle
+    join. Centroids ride as a driver-resident codebook (k × dim
+    scalars, MLlib KMeans discipline).
+    """
+    from ..operators.sorts import topk_per_group
+
+    rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
+    _, cid_arr, _ = _qcent_literals(rows)
+
+    assigned = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    ).withColumn("cent_id", nearest_centroid(F.col("c_vec"), rows))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        quant_vec(F.col(vec_col)).alias("q_qv"),
+    ).withColumn("q_qn", qnorm(F.col("q_qv")))
+    probe_pairs = F.zip_with(
+        centroid_scores(F.col("q_qv"), F.col("q_qn"), rows),
+        cid_arr,
+        lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
+    )
+    probes = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
+    ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
+
+    joined = assigned.join(probes, "cent_id").filter(
+        F.col("cand_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "cand_id",
+        qcos_pair_kernel()(F.col("q_vec"), F.col("c_vec")).alias("score"),
+    )
+    top = topk_per_group(
+        scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k
+    )
+    return top.select(
+        "query_id", "cand_id", F.round("score", 8).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 #: quantization scale for the SRP integer path: six decimal digits keeps
 #: every |q| ≤ ~2^21 for unit-ish embeddings, so a dim-4096 signed dot
 #: still fits a BIGINT with > 2^20 headroom.

@@ -790,3 +790,56 @@ def embedding_norm_stats(spark, sf_dir):
         F.round(F.max("nrm"), 8).alias("max_norm"),
         F.round(F.expr("percentile(nrm, 0.5)"), 8).alias("median_norm"),
     )
+
+
+@declare(
+    "ann_join_ivf",
+    oracle=f"""
+    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, qv AS cv
+                  FROM qn WHERE vec_id % 2 = 0 AND vec_id < 32),
+         c AS (SELECT vec_id AS cand_id, qv AS c_vec
+               FROM qn WHERE vec_id % 2 = 0),
+         q AS (SELECT vec_id AS query_id, qv AS q_vec
+               FROM qn WHERE vec_id % 2 = 1),
+         asg AS (SELECT cand_id, c_vec, cent_id,
+                        row_number() OVER (PARTITION BY cand_id
+                                           ORDER BY {_IVF_COS("c_vec", "cv")} DESC, cent_id) AS rn
+                 FROM c CROSS JOIN cent),
+         probes AS (SELECT query_id, q_vec, cent_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY {_IVF_COS("q_vec", "cv")} DESC, cent_id) AS rn
+                    FROM q CROSS JOIN cent),
+         s AS (SELECT p.query_id, a.cand_id, {_IVF_COS("p.q_vec", "a.c_vec")} AS score
+               FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+               WHERE a.rn = 1 AND p.rn <= 4 AND a.cand_id <> p.query_id),
+         r AS (SELECT query_id, cand_id, score,
+                      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rank
+               FROM s)
+    SELECT query_id, cand_id, ROUND(score, 8) AS score, CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 3
+    """,
+)
+def ann_join_ivf(spark, sf_dir):
+    """ANN JOIN — retrieval enrichment where the query side is a full
+    table (every odd-id vector finds its top-3 even-id neighbors), not
+    a broadcastable probe set. Both sides stay distributed: in-row
+    centroid assignment on the corpus, in-row nprobe bucket explosion
+    on the queries, ONE cent_id equi-join (AQE skew-split handles hot
+    buckets), Arrow pair-kernel scoring — no collect of the query side
+    anywhere (functions/similarity.ann_join_ivf)."""
+    from ..functions.similarity import ann_join_ivf as _aj
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    codebook = corpus.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return _aj(
+        corpus,
+        emb.filter(F.col("vec_id") % 2 == 1),
+        k=3,
+        nprobe=4,
+        codebook=codebook,
+    )
