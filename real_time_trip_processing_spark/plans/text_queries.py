@@ -729,3 +729,62 @@ def fuzzy_match_docs(spark, sf_dir):
     distance, so the whole pipeline is hash-adjudicated. The quadratic
     verify runs only inside blocks."""
     return X.fuzzy_pairs(table(spark, sf_dir, "documents"))
+
+
+@declare(
+    "keyword_search",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                  FROM documents),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf
+           FROM toks WHERE w IN ('vector', 'merge', 'stream')
+           GROUP BY 1, 2),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    hits AS (SELECT t.doc_id,
+                    COUNT(*) AS n_terms,
+                    SUM(t.tf * ln(n.n / d.df)) AS raw
+             FROM tf t JOIN dfreq d ON d.w = t.w CROSS JOIN n
+             GROUP BY t.doc_id, n.n
+             HAVING COUNT(*) = 3)
+    SELECT doc_id, n_terms, ROUND(raw, 6) AS score
+    FROM hits ORDER BY raw DESC, doc_id LIMIT 20
+    """,
+)
+def keyword_search(spark, sf_dir):
+    """Inverted-index keyword search: documents containing ALL query
+    terms, ranked by summed tf·idf, top-20. The term filter lands ON
+    the token stream before any aggregation, so the postings build is
+    pruned to |query| terms — at 100 TB a persisted postings table
+    makes this a 3-key lookup, here the scan-side filter is the same
+    selectivity; document frequencies are |terms| rows, the corpus
+    count rides as a 1-row broadcast frame, and the final top-20 is a
+    TakeOrderedAndProject, never a global sort."""
+    docs = table(spark, sf_dir, "documents")
+    terms = ["vector", "merge", "stream"]
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w").isin(terms))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    hits = (
+        tf.join(dfreq, "w")
+        .join(n)
+        .select(
+            "doc_id",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("tfidf"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tfidf").alias("raw"),
+        )
+        .filter(F.col("n_terms") == 3)
+    )
+    return (
+        hits.orderBy(F.desc("raw"), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_terms", F.round("raw", 6).alias("score"))
+    )

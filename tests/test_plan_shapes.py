@@ -421,6 +421,7 @@ def test_semantic_decontaminate_zero_exchange(spark):
 # the scan. Anything new landing here must justify itself.
 _SCALAR_FRAME_JOINS = {
     "bloom_semi_join",            # 1-row Bloom-bitmap frame broadcast
+    "keyword_search",             # 1-row corpus-count frame broadcast
     "doc_lm_score",               # 1-row vocabulary-size frame broadcast
     "idle_rich_customers",        # Q22: scalar avg acctbal broadcast
     "important_parts",            # Q11-style: scalar value threshold
