@@ -843,3 +843,31 @@ def ann_join_ivf(spark, sf_dir):
         nprobe=4,
         codebook=codebook,
     )
+
+
+@declare(
+    "diversity_sample_srp",
+    oracle=f"""
+    WITH {_srp_sql_ctes(10, 1, 64)}
+    SELECT bh AS bucket, COUNT(*) AS n_members,
+           MIN(vec_id) AS keep_id
+    FROM bks GROUP BY bh
+    """,
+)
+def diversity_sample_srp(spark, sf_dir):
+    """SemDeDup-style diversity downsampling: partition embedding space
+    into 2^10 SRP sign-buckets (one 10-bit band — buckets ARE coarse
+    semantic cells) and keep one deterministic survivor per occupied
+    cell. Coverage-preserving: every populated region of the space
+    keeps a representative, dense regions collapse hardest — the
+    curation complement of near-dup REMOVAL. Row-local signatures
+    (Arrow int64 matmul), ONE bucket-keyed aggregate; survivor choice
+    (min id) is reproducible in any engine. num_bits is the
+    compression dial: +1 bit ≈ half the reduction ratio."""
+    from ..functions.similarity import srp_buckets
+
+    b = srp_buckets(table(spark, sf_dir, "embeddings"), 10, 1, 64)
+    return b.groupBy(F.col("bh").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vid").alias("keep_id"),
+    )
