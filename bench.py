@@ -74,6 +74,15 @@ HEADLINE = [
     "decontaminate_ngrams",
     "pack_sequences",
     "dataset_split",
+    # round-3 additions: LM quality scoring, distributed ANN join,
+    # Bloom-pruned semi join, mergeable quantile state, search, locf
+    "doc_lm_score",
+    "ann_join_ivf",
+    "bloom_semi_join",
+    "quantile_sketch_rollup",
+    "keyword_search",
+    "gap_fill_daily",
+    "diversity_sample_srp",
 ]
 
 
