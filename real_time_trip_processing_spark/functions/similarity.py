@@ -560,6 +560,7 @@ def ann_join_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | CentroidRows | None = None,
+    impl: str = "cogroup",
 ) -> DataFrame:
     """ANN JOIN — IVF top-k where the QUERY side is a full table, not a
     handful of broadcast probes (the retrieval-enrichment join: every
@@ -570,18 +571,33 @@ def ann_join_ivf(
     that shape dies when |Q| ≈ |corpus|. Here BOTH sides stay
     distributed: corpus rows take their centroid in-row, query rows
     explode into their nprobe probe buckets in-row, and the two streams
-    meet in a plain cent_id equi-join — each side shuffles exactly once,
-    by bucket, and candidate scoring runs on the co-located pairs with
-    the Arrow pair kernel (no interpreted folds). The per-query top-k
-    window reuses the usual (score desc, cand_id asc) contract, so the
-    result is bit-reproducible and oracle-replayable.
+    meet per cent_id bucket.
 
-    Scale discipline: join fan-out per query is N·nprobe/n_centroids
-    candidates — size n_centroids ~ √N (the IVF rule) so buckets stay
-    ~√N wide; a skewed bucket (hot centroid) is exactly what AQE's
-    skew-join splitting handles, since the join is a plain shuffle
-    join. Centroids ride as a driver-resident codebook (k × dim
-    scalars, MLlib KMeans discipline).
+    ``impl="cogroup"`` (default, the scale shape): the bucket meeting
+    is a COGROUP — corpus vectors shuffle once (N rows), probe vectors
+    nprobe·|Q| rows, and each bucket is scored with ONE |Q_b|×|C_b|
+    quantized matmul emitting per-(query, bucket) local top-k. The
+    candidate pairs are never materialized as rows (the pair join ships
+    BOTH 64-dim vectors on every candidate row — ~1 KB × N·nprobe/n_cent
+    per query), and corpus assignment runs on the Arrow kernel
+    (`nearest_centroid_kernel` — the interpreted in-row fold alone cost
+    more than the whole cogroup at 1k×1k). Local bucket top-k is exact
+    because a candidate lives in exactly one bucket.
+
+    ``impl="pairs"`` (Python-lean fallback/cross-check): plain cent_id
+    equi-join + Arrow pair-kernel scoring — same bits, one row per
+    candidate pair.
+
+    Both flavors end in the usual (score desc, cand_id asc) top-k
+    window over ≤ nprobe·k survivors per query, so results are
+    bit-reproducible and oracle-replayable.
+
+    Scale discipline: candidate fan-out per query is
+    N·nprobe/n_centroids — size n_centroids ~ √N (the IVF rule) so
+    buckets stay ~√N wide; a hot centroid is plain shuffle skew (AQE
+    splits the pairs flavor; the cogroup flavor bounds a group at
+    bucket width by construction). Centroids ride as a driver-resident
+    codebook (k × dim scalars, MLlib KMeans discipline).
     """
     from ..operators.sorts import topk_per_group
 
@@ -591,7 +607,15 @@ def ann_join_ivf(
     assigned = corpus.select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
-    ).withColumn("cent_id", nearest_centroid(F.col("c_vec"), rows))
+    )
+    if impl == "cogroup":
+        assigned = assigned.withColumn(
+            "cent_id", nearest_centroid_kernel(rows)(F.col("c_vec"))
+        )
+    else:
+        assigned = assigned.withColumn(
+            "cent_id", nearest_centroid(F.col("c_vec"), rows)
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -609,14 +633,50 @@ def ann_join_ivf(
         F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
     ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
 
-    joined = assigned.join(probes, "cent_id").filter(
-        F.col("cand_id") != F.col("query_id")
-    )
-    scored = joined.select(
-        "query_id",
-        "cand_id",
-        qcos_pair_kernel()(F.col("q_vec"), F.col("c_vec")).alias("score"),
-    )
+    if impl == "cogroup":
+        id_type = dict(corpus.dtypes)[id_col]
+        schema = f"query_id {id_type}, cand_id {id_type}, score double"
+
+        def score_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            """One bucket: left = corpus members, right = probing
+            queries. One quantized matmul, per-query local top-k."""
+            if len(left) == 0 or len(right) == 0:
+                return pd.DataFrame({"query_id": [], "cand_id": [], "score": []})
+            C = _quant_np(left["c_vec"])
+            Q = _quant_np(right["q_vec"])
+            cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+            qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+            sc = (Q @ C.T) / (qn[:, None] * cn[None, :])
+            cids = left["cand_id"].to_numpy()
+            qids = right["query_id"].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(qids)):
+                m = cids != qids[j]
+                if not m.any():
+                    continue
+                idx = np.flatnonzero(m)
+                take = idx[np.lexsort((cids[idx], -sc[j, idx]))[:k]]
+                out_q.extend([qids[j]] * len(take))
+                out_c.extend(cids[take])
+                out_s.extend(sc[j, take])
+            return pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "score": out_s}
+            )
+
+        scored = (
+            assigned.groupby("cent_id")
+            .cogroup(probes.groupby("cent_id"))
+            .applyInPandas(score_bucket, schema)
+        )
+    else:
+        joined = assigned.join(probes, "cent_id").filter(
+            F.col("cand_id") != F.col("query_id")
+        )
+        scored = joined.select(
+            "query_id",
+            "cand_id",
+            qcos_pair_kernel()(F.col("q_vec"), F.col("c_vec")).alias("score"),
+        )
     top = topk_per_group(
         scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k
     )

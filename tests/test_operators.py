@@ -1037,3 +1037,25 @@ def test_bloom_semi_join_exact_and_pruning(spark):
     # even though the bloom may pass a few false positives
     disjoint = spark.range(10**9, 10**9 + 50).select(F.col("id").alias("bk"))
     assert bloom_filtered_semi_join(probe, disjoint, "pk", "bk").count() == 0
+
+
+def test_ann_join_ivf_flavors_bit_equal(spark):
+    """The cogroup bucket-matmul flavor and the pair-join flavor must
+    emit identical rows (quantized integer math — no accumulation
+    drift axis)."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        ann_join_ivf,
+    )
+    from real_time_trip_processing_spark.sources.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    qs = emb.filter(F.col("vec_id") % 2 == 1)
+    cb = corpus.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    a = ann_join_ivf(corpus, qs, k=3, nprobe=4, codebook=cb, impl="cogroup")
+    b = ann_join_ivf(corpus, qs, k=3, nprobe=4, codebook=cb, impl="pairs")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
