@@ -151,7 +151,7 @@ def bloom_filtered_semi_join(
 ) -> DataFrame:
     """Semi join with a Bloom-filter runtime prefilter — the row-level
     runtime filtering pattern, built portably from DataFrame ops: the
-    build side's keys are folded into an m-bit bitmap (k md5-derived
+    build side's keys are folded into an m-bit bitmap (k xxhash64
     positions per key, bit_or-aggregated into array<long> words) that
     rides to every probe partition as ONE broadcast row; probe rows
     failing any of their k bit tests are dropped MAP-SIDE, before the
@@ -166,21 +166,24 @@ def bloom_filtered_semi_join(
     m/64 longs — 8192 bits = 1 KiB — so even 10^9-bit filters broadcast
     fine).
 
-    Determinism: bit positions are md5-slice arithmetic (same contract
-    as the hash ops elsewhere), so the bitmap is reproducible in any
-    engine — but the ORACLE for queries built on this is a plain semi
-    join, because the exact verify makes the Bloom transparent.
+    Determinism: positions are xxhash64 — deterministic within Spark
+    and CHEAP (one codegen'd hash per position). Cross-engine
+    reproducibility is deliberately not required: the ORACLE for
+    queries built on this is a plain semi join, because the exact
+    verify makes the Bloom transparent to results.
     """
     words = m_bits // 64
     assert m_bits % 64 == 0
 
     def positions(key_col: str):
+        # xxhash64 with the probe index as a second hashed column: one
+        # cheap codegen'd hash per position. Nothing here needs
+        # cross-engine reproducibility — the Bloom never reaches the
+        # result (the verify join is exact), so the hash can be the
+        # fast one rather than the md5-arithmetic used by the
+        # oracle-replayed LSH ops.
         return [
-            F.conv(
-                F.substring(F.md5(F.concat_ws(":", F.col(key_col).cast("string"), F.lit(str(j)))), 1, 15),
-                16,
-                10,
-            ).cast("long") % m_bits
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(j)), F.lit(m_bits))
             for j in range(k)
         ]
 
