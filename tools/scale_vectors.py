@@ -82,7 +82,7 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
     from pyspark.sql import functions as F
 
     from real_time_trip_processing_spark.functions.similarity import (
-        cosine_topk, ivf_topk, srp_near_dup,
+        ann_join_ivf, cosine_topk, ivf_topk, srp_near_dup,
     )
     from real_time_trip_processing_spark.functions import pq as PQ
 
@@ -122,6 +122,20 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
         timed("sim_ivf_topk", size,
               lambda: ivf_topk(corpus, queries, k=10,
                                n_centroids=256, nprobe=8))
+        # ANN JOIN: query side = every 50th corpus row (size/50 queries
+        # — far beyond broadcast discipline), corpus = the rest.
+        # n_centroids ≈ √N per the IVF sizing rule.
+        nc = max(64, int(size ** 0.5) // 2)
+        aj_corpus = corpus.filter(F.col("vec_id") % 50 != 0)
+        aj_queries = corpus.filter(F.col("vec_id") % 50 == 0)
+        cb = (
+            aj_corpus.orderBy("vec_id").limit(nc)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("embedding").alias("centroid"))
+        )
+        timed("ann_join_ivf", size,
+              lambda: ann_join_ivf(aj_corpus, aj_queries, k=5, nprobe=4,
+                                   codebook=cb))
         books = PQ.pq_train(corpus.limit(4096), m=8, k=16, iters=2, dim=DIM)
         timed("sim_pq_topk", size,
               lambda: PQ.pq_adc_topk(PQ.pq_encode(corpus, books), queries,
