@@ -229,20 +229,24 @@ def doc_lm_score(
 
     Scale shape: counts are vocabulary-sized (Zipf — tiny next to the
     corpus), the probe stream is the corpus bigram stream re-expanded
-    row-locally. Shuffles: one (w1,w2) count aggregate, one (w1)
-    rollup, the (w1,w2)-keyed probe join (AQE broadcasts the count
-    side when it fits), and the final doc-keyed mean. V rides as a
-    broadcast 1-row frame — no driver action at plan-build."""
+    row-locally. The prefix totals are attached to the COUNT table
+    first (a vocabulary-sized join), so the full probe stream shuffles
+    into exactly ONE (w1,w2)-keyed join — joining the probe stream
+    twice (once per statistic) would double the dominant exchange.
+    Shuffles: the (w1,w2) count aggregate, the (w1) rollup + re-attach
+    on the collapsed frame, the single probe join (AQE broadcasts the
+    count side when it fits), and the final doc-keyed mean. V rides as
+    a broadcast 1-row frame — no driver action at plan-build."""
     bg = bigram_rows(df, id_col, text_col)
     counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     w1_tot = counts.groupBy("w1").agg(F.sum("cnt").alias("w1_total"))
+    model = counts.join(w1_tot, "w1")
     vocab = counts.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
     nll = -F.log(
         (F.col("cnt") + F.lit(1)) / (F.col("w1_total") + F.col("v"))
     )
     return (
-        bg.join(counts, ["w1", "w2"])
-        .join(w1_tot, "w1")
+        bg.join(model, ["w1", "w2"])
         .join(vocab)
         .select("doc", nll.alias("nll"))
         .groupBy("doc")
