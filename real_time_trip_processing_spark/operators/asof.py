@@ -84,13 +84,15 @@ def gap_fill_daily(
     gap days inherit the previous observed value via a
     last-ignoring-nulls window. ``observed`` flags real vs filled rows.
 
-    Scale shape: one (key, day) aggregate-by-window, a per-key min/max
-    rollup, row-local calendar expansion (``sequence`` + explode — the
-    spine never shuffles beyond its key), one keyed left join back to
-    the observations, and the fill window — ALL stages share the key
-    partitioning, so after the first exchange everything is co-located.
-    Spine width is bounded by each key's own active span, not the
-    corpus span — a key active 3 days costs 3 rows at any corpus size.
+    Scale shape: the raw stream is touched ONCE, by the (key, day)
+    last-event window; everything after operates on the day-collapsed
+    frame (≤ one row per key-day — orders of magnitude smaller than
+    the events). That collapsed frame then takes a per-key min/max
+    rollup, row-local calendar expansion (``sequence`` + explode), the
+    (key, day) spine join, and the per-key fill window — two exchange
+    granularities ((key, day) and (key)), all on collapsed data. Spine
+    width is bounded by each key's own active span, not the corpus
+    span — a key active 3 days costs 3 rows at any corpus size.
     """
     day = F.date_trunc("day", F.col(ts))
     w_last = Window.partitionBy(key, "day").orderBy(

@@ -1116,10 +1116,11 @@ def gap_fill_daily(spark, sf_dir):
     """Time-series densification + forward fill (resample/locf): every
     calendar day in each user's active span carries the user's
     last-observed end-of-day value; gap days are filled from the
-    previous observation. All stages — per-day last, per-key span,
-    row-local calendar expansion, spine join, fill window — share the
-    user_id partitioning after one exchange; spine width is bounded by
-    each key's own span (operators/asof.gap_fill_daily)."""
+    previous observation. The raw stream is touched once (the
+    (user, day) last-event window); every later stage — span rollup,
+    row-local calendar expansion, spine join, fill window — runs on
+    the day-collapsed frame; spine width is bounded by each key's own
+    span (operators/asof.gap_fill_daily)."""
     from ..operators.asof import gap_fill_daily as _gf
 
     return _gf(table(spark, sf_dir, "events"))

@@ -453,3 +453,34 @@ def test_registry_wide_plan_hygiene(spark):
             offenders_join.append(name)
     assert not offenders_udf, f"row-wise Python UDFs in: {offenders_udf}"
     assert not offenders_join, f"unexpected cartesian joins in: {offenders_join}"
+
+
+def test_keyword_search_take_ordered(spark):
+    """keyword_search: the top-20 is TakeOrderedAndProject (per-partition
+    heaps), never a range-partitioned global sort."""
+    plan = plan_of(spark, "keyword_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_ann_join_cogroup_no_pair_rows(spark):
+    """ann_join_ivf: candidate scoring is the cogrouped bucket kernel —
+    no equi-join materializing per-candidate vector pairs, no cartesian
+    anywhere, corpus assignment on the Arrow kernel."""
+    plan = plan_of(spark, "ann_join_ivf")
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # pairs flavor would show one
+
+
+def test_bloom_prefilter_sits_below_semi_join(spark):
+    """bloom_semi_join: the bitmap bit tests run in a Filter on the
+    probe scan side (map-side pruning BEFORE the semi join), and the
+    verify join is a real left-semi."""
+    plan = plan_of(spark, "bloom_semi_join")
+    assert "LeftSemi" in plan
+    assert "shiftright" in plan  # the bit test expression
+    # the bit test must appear above the probe scan, not after the join:
+    # in formatted explain the Filter node listing contains the test
+    filt = [seg for seg in plan.split("\n\n") if "shiftright" in seg]
+    assert filt, "bloom bit-test filter missing from the plan"
