@@ -811,3 +811,71 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     assert got == {1: "a", 2: "B2", 3: "c"}
     # the restart consumed only the new file: progress shows 2 input rows
     assert q2.lastProgress is None or q2.lastProgress["numInputRows"] <= 2
+
+
+def test_streaming_quantile_sketch_state_matches_batch(spark, tmp_path):
+    """The quantile-sketch state (integer (day, bin) counts) maintained
+    by a streaming UPDATE-mode aggregate + keyed upsert sink must equal
+    the one-shot batch histogram — the streaming twin of
+    quantile_sketch_rollup's merge algebra (merge = addition, so
+    micro-batch boundaries cannot drift a count)."""
+    import datetime as dt
+
+    from pyspark.sql import Row, functions as F
+
+    from real_time_trip_processing_spark.streaming.sinks import (
+        keyed_upsert_foreach_batch,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = [
+        Row(
+            event_id=i,
+            ts=dt.datetime(2024, 1, 1 + (i % 3), 6 + (i % 12)),
+            value=float((i * 7) % 97) / 2.0,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    # two files => at least two micro-batches with maxFilesPerTrigger=1
+    df.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").json(src)
+    df.filter(F.col("event_id") % 2 == 1).write.mode("append").json(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    counts = (
+        stream.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") * 2).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(keyed_upsert_foreach_batch(state, ["day", "bin"]))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.day, r.bin): r.cnt
+        for r in spark.read.parquet(state).select("day", "bin", "cnt").collect()
+    }
+    want = {
+        (r.day, r.bin): r.cnt
+        for r in df.groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.floor(F.col("value") * 2).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want and len(got) > 10
