@@ -82,7 +82,9 @@ def gap_fill_daily(
     Per (key, day) the observed value is the LAST event's (by ts, with
     ``tiebreak`` breaking exact-timestamp ties deterministically);
     gap days inherit the previous observed value via a
-    last-ignoring-nulls window. ``observed`` flags real vs filled rows.
+    last-ignoring-nulls window. ``observed`` flags whether the day had
+    any events (join marker — a day whose last event carries a NULL
+    value is still observed, while its value forward-fills past it).
 
     Scale shape: the raw stream is touched ONCE, by the (key, day)
     last-event window; everything after operates on the day-collapsed
@@ -102,7 +104,9 @@ def gap_fill_daily(
         events.select(key, day.alias("day"), F.col(ts), F.col(tiebreak), F.col(value))
         .withColumn("__rn", F.row_number().over(w_last))
         .filter(F.col("__rn") == 1)
-        .select(key, "day", F.col(value).alias("day_value"))
+        .select(
+            key, "day", F.col(value).alias("day_value"), F.lit(1).alias("__obs")
+        )
     )
     spine = (
         observed.groupBy(key)
@@ -129,6 +133,10 @@ def gap_fill_daily(
             key,
             "day",
             "value_filled",
-            F.col("day_value").isNotNull().cast("int").alias("observed"),
+            # join marker, not day_value IS NOT NULL: a day whose last
+            # event carries a NULL value is still an OBSERVED day (and
+            # the fill window skips its NULL) — matches the oracle's
+            # LEFT-JOIN-match semantics
+            F.coalesce(F.col("__obs"), F.lit(0)).alias("observed"),
         )
     )

@@ -1059,3 +1059,24 @@ def test_ann_join_ivf_flavors_bit_equal(spark):
     b = ann_join_ivf(corpus, qs, k=3, nprobe=4, codebook=cb, impl="pairs")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+def test_gap_fill_null_valued_day_still_observed(spark):
+    """A day whose last event carries a NULL value is an OBSERVED day
+    (join-marker semantics); its value forward-fills past the null."""
+    import datetime as dt
+
+    from real_time_trip_processing_spark.operators.asof import gap_fill_daily
+
+    T = dt.datetime
+    rows = [
+        Row(event_id=1, ts=T(2024, 1, 1, 9), user_id=1, value=5.0),
+        Row(event_id=2, ts=T(2024, 1, 2, 9), user_id=1, value=None),
+        Row(event_id=3, ts=T(2024, 1, 4, 9), user_id=1, value=7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {(r.day.day): (r.value_filled, r.observed) for r in gap_fill_daily(df).collect()}
+    assert got[1] == (5.0, 1)
+    assert got[2] == (5.0, 1)   # observed day, null value — fill skips it
+    assert got[3] == (5.0, 0)   # true gap day
+    assert got[4] == (7.0, 1)
