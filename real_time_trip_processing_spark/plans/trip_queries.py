@@ -505,7 +505,7 @@ def distinct_rollup_incremental(spark, sf_dir):
     WITH b AS (SELECT date_trunc('day', ts) AS pickup_date,
                       CAST(floor(value * 2) AS BIGINT) AS bin,
                       COUNT(*) AS cnt
-               FROM events GROUP BY 1, 2),
+               FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
     c AS (SELECT pickup_date, bin, cnt,
                  SUM(cnt) OVER (PARTITION BY pickup_date ORDER BY bin) AS cum,
                  SUM(cnt) OVER (PARTITION BY pickup_date) AS n
@@ -538,7 +538,10 @@ def quantile_sketch_rollup(spark, sf_dir):
     NumericHistogram lineage) expressed in pure DataFrame algebra."""
     from pyspark.sql import Window as W
 
-    ev = _events(spark, sf_dir).select(
+    # NULL values are dropped EXPLICITLY on both sides: a NULL bin
+    # would otherwise sort differently in the two engines' cumulative
+    # windows (Spark NULLS FIRST vs DuckDB NULLS LAST)
+    ev = _events(spark, sf_dir).filter(F.col("value").isNotNull()).select(
         "event_id",
         F.date_trunc("day", F.col("ts")).alias("pickup_date"),
         F.floor(F.col("value") * 2).cast("long").alias("bin"),
