@@ -425,3 +425,68 @@ def test_gap_fill_daily_model(spark, events):
         (r.user_id, r.day.date()): (r.value_filled, r.observed) for r in out
     }
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_doc_lm_score_matches_model(spark, texts):
+    """doc_lm_score == a brute-force python bigram-LM model on arbitrary
+    tiny corpora (tiny vocab → heavy count collisions on purpose)."""
+    from collections import Counter
+
+    from real_time_trip_processing_spark.functions.text import doc_lm_score
+
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in doc_lm_score(spark.createDataFrame(rows)).collect()
+    }
+
+    def toks(t):
+        t = t.strip()
+        return t.split() if t else [""]
+
+    bigrams = {i: list(zip(toks(t), toks(t)[1:])) for i, t in enumerate(texts)}
+    c = Counter(bg for bgs in bigrams.values() for bg in bgs)
+    w1_tot = Counter()
+    for (w1, _), n in c.items():
+        w1_tot[w1] += n
+    vocab = len({w2 for (_, w2) in c})
+    expect = {}
+    for i, bgs in bigrams.items():
+        if not bgs:
+            continue
+        nlls = [
+            -math.log((c[bg] + 1) / (w1_tot[bg[0]] + vocab)) for bg in bgs
+        ]
+        expect[i] = (len(bgs), round(sum(nlls) / len(nlls), 6))
+    assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    probe=st.lists(st.integers(-1000, 1000), min_size=0, max_size=40),
+    build=st.lists(st.integers(-1000, 1000), min_size=0, max_size=15),
+)
+def test_bloom_semi_join_equals_plain_semi(spark, probe, build):
+    """For ANY key sets (negatives, overlaps, empty sides) the Bloom
+    prefilter must be output-invisible: result == plain left-semi."""
+    from real_time_trip_processing_spark.operators.joins import (
+        bloom_filtered_semi_join,
+    )
+
+    p = spark.createDataFrame([Row(pk=x) for x in probe], "pk long")
+    b = spark.createDataFrame([Row(bk=x) for x in build], "bk long")
+    got = sorted(
+        r.pk for r in bloom_filtered_semi_join(p, b, "pk", "bk").collect()
+    )
+    want = sorted(x for x in probe if x in set(build))
+    assert got == want
