@@ -871,3 +871,50 @@ def diversity_sample_srp(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members"),
         F.min("vid").alias("keep_id"),
     )
+
+
+@declare(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_srp_sql_ctes(96, 16, 64)},
+    cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+             FROM bks l JOIN bks r
+               ON l.band = r.band AND l.bh = r.bh AND l.vec_id < r.vec_id),
+    sc AS (SELECT a, b,
+                  list_dot_product(x.qv, y.qv) /
+                  (sqrt(list_dot_product(x.qv, x.qv)) *
+                   sqrt(list_dot_product(y.qv, y.qv))) AS score
+           FROM cand JOIN q x ON x.vec_id = a JOIN q y ON y.vec_id = b),
+    pairs AS (SELECT a, b FROM sc WHERE score >= 0.4),
+    edges AS (SELECT a AS u, b AS v FROM pairs
+              UNION SELECT b AS u, a AS v FROM pairs),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node),
+    cc AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT emb.vec_id,
+           COALESCE(cc.component, emb.vec_id) AS canonical_id,
+           (COALESCE(cc.component, emb.vec_id) = emb.vec_id) AS is_canonical
+    FROM embeddings emb LEFT JOIN cc ON cc.node = emb.vec_id
+    """,
+)
+def dedup_semantic_clusters(spark, sf_dir):
+    """SemDeDup-style SEMANTIC dedup end-to-end: SRP-bucketed near-dup
+    pairs (the dedup_near_embedding pipeline) fed into min-label
+    connected components — every vector maps to its cluster's canonical
+    survivor. The iteration moves ids only (two longs per edge,
+    ids-only checkpoint); vectors are touched exactly once, in the
+    bucketed pair kernel. The oracle replays pairs AND the component
+    fixpoint (recursive CTE) — the embedding analog of
+    dedup_canonical_docs."""
+    from ..functions.similarity import srp_near_dup
+    from ..operators.graph import dedup_canonical
+
+    emb = table(spark, sf_dir, "embeddings")
+    pairs = srp_near_dup(
+        emb, num_bits=96, bands=16, threshold=0.4, dim=64
+    ).select("a", "b")
+    return dedup_canonical(emb, pairs, id_col="vec_id").select(
+        F.col("doc_id").alias("vec_id"), "canonical_id", "is_canonical"
+    )
