@@ -84,7 +84,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Driver-shaped session: NO tuned configs from session.get_spark
+        # (default 200 shuffle partitions, default broadcast threshold).
+        # Catches anything that only works under our own factory —
+        # sources.table() must supply every conf the queries need.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duck_con(sf_dir)
     failures = 0
     for name, q in REGISTRY.items():
