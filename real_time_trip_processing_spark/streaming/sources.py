@@ -65,3 +65,25 @@ def split_start_end(events: DataFrame) -> tuple[DataFrame, DataFrame]:
         *[f.name for f in schemas.TRIP_END]
     )
     return starts, ends
+
+
+def stream_trip_events_socket(spark, host: str, port: int) -> DataFrame:
+    """S2, live-network flavor: trip events over a TCP socket — the
+    Kafka-jar-free demonstration of the reference's actual ingest shape
+    (a producer pushing one envelope per record over the network,
+    scripts/to_kinesis.py:89-100). Spark's built-in socket source
+    yields exactly the Kafka-shaped ``value`` column, so the decode /
+    validate / corrupt-skip path is the SAME ``parse_kafka_like``
+    the file and Kafka flavors use — swapping the transport changes
+    one line, not the pipeline.
+
+    Test harness only at this repo's scale (the socket source is
+    single-connection, no replay); production transport stays Kafka
+    (``streaming/sinks.py`` documents the jar gate)."""
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+    return parse_kafka_like(raw)

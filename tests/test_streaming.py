@@ -879,3 +879,73 @@ def test_streaming_quantile_sketch_state_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_socket_source_live_ingest(spark, tmp_path):
+    """S2 over a real network transport: a TCP producer pushes
+    base64-JSON envelopes (the reference's wire shape) while Spark's
+    socket source consumes them live through the SAME
+    parse_kafka_like decode/validate path as the file and Kafka
+    flavors — including a corrupt line that must be skipped."""
+    import base64
+    import json
+    import socket
+    import threading
+    import time as _time
+
+    from real_time_trip_processing_spark.streaming.sources import (
+        stream_trip_events_socket,
+    )
+
+    events = [
+        {
+            "trip_id": f"t{i}",
+            "data_type": "trip_start",
+            "pickup_datetime": f"2024-05-25 10:{i:02d}:00",
+        }
+        for i in range(10)
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def feed():
+        conn, _ = srv.accept()
+        with conn:
+            for e in events:
+                payload = base64.b64encode(json.dumps(e).encode()).decode()
+                conn.sendall((payload + "\n").encode())
+            conn.sendall(b"not-base64-garbage\n")  # corrupt-skip path
+            _time.sleep(20)  # keep the connection open while Spark reads
+
+    t = threading.Thread(target=feed, daemon=True)
+    t.start()
+
+    parsed = stream_trip_events_socket(spark, "127.0.0.1", port)
+    q = (
+        parsed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("socket_ingest")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        n = 0
+        while _time.time() < deadline:
+            n = spark.sql("SELECT COUNT(*) FROM socket_ingest").first()[0]
+            if n >= len(events):
+                break
+            _time.sleep(1)
+        assert n == len(events)  # all valid envelopes, corrupt line skipped
+        ids = {
+            r.trip_id
+            for r in spark.sql("SELECT trip_id FROM socket_ingest").collect()
+        }
+        assert ids == {f"t{i}" for i in range(10)}
+    finally:
+        q.stop()
+        srv.close()
