@@ -919,7 +919,10 @@ def test_socket_source_live_ingest(spark, tmp_path):
                 payload = base64.b64encode(json.dumps(e).encode()).decode()
                 conn.sendall((payload + "\n").encode())
             conn.sendall(b"not-base64-garbage\n")  # corrupt-skip path
-            _time.sleep(20)  # keep the connection open while Spark reads
+            # keep the connection open past the poll deadline so a slow
+            # micro-batch can't race an EOF (daemon thread — dies with
+            # the test process)
+            _time.sleep(90)
 
     t = threading.Thread(target=feed, daemon=True)
     t.start()
