@@ -918,3 +918,72 @@ def dedup_semantic_clusters(spark, sf_dir):
     return dedup_canonical(emb, pairs, id_col="vec_id").select(
         F.col("doc_id").alias("vec_id"), "canonical_id", "is_canonical"
     )
+
+
+@declare(
+    "embedding_outliers",
+    oracle=f"""
+    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, qv AS cv
+                  FROM qn WHERE vec_id < 16),
+         asg AS (SELECT vec_id, qv, cent_id,
+                        row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY {_IVF_COS("qv", "cv")} DESC, cent_id) AS rn,
+                        {_IVF_COS("qv", "cv")} AS score
+                 FROM qn CROSS JOIN cent),
+         s AS (SELECT vec_id, cent_id, score FROM asg WHERE rn = 1),
+         z AS (SELECT vec_id, cent_id, score,
+                      (score - AVG(score) OVER (PARTITION BY cent_id))
+                      / stddev_samp(score) OVER (PARTITION BY cent_id) AS zs
+               FROM s)
+    SELECT vec_id, cent_id, ROUND(score, 8) AS score,
+           ROUND(zs, 4) AS z,
+           CASE WHEN zs IS NOT NULL AND zs <= -2 THEN 1 ELSE 0 END AS is_outlier
+    FROM z
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    """Embedding-space anomaly screen — the vector analog of the rule
+    quality gate: each vector's cosine to its own cluster centroid,
+    z-scored within the cluster; members ≥ 2σ below their cluster's
+    typical similarity are flagged (mislabeled / corrupted / off-
+    distribution embeddings, the pre-training hygiene pass). In-row
+    assignment against the codebook literal (zero vector shuffle —
+    same contract as sim_ivf_topk), one cent_id exchange shared by the
+    mean and stddev windows."""
+    from pyspark.sql import Window as W
+
+    from ..functions.similarity import (
+        _resolve_centroids, centroid_scores, nearest_centroid,
+        qnorm, quant_vec,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    rows = _resolve_centroids(emb, None, 16, "vec_id", "embedding")
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("vec"),
+        quant_vec(F.col("embedding")).alias("qv"),
+    ).withColumn("qn", qnorm(F.col("qv")))
+    scored = v.withColumn(
+        "cent_id", nearest_centroid(F.col("vec"), rows)
+    ).withColumn(
+        "score",
+        F.element_at(
+            centroid_scores(F.col("qv"), F.col("qn"), rows),
+            F.col("cent_id").cast("int") + 1,
+        ),
+    )
+    wc = W.partitionBy("cent_id")
+    z = (F.col("score") - F.avg("score").over(wc)) / F.stddev_samp(
+        "score"
+    ).over(wc)
+    return scored.select(
+        "vec_id",
+        F.col("cent_id").cast("long").alias("cent_id"),
+        F.round("score", 8).alias("score"),
+        F.round(z, 4).alias("z"),
+        F.when(z.isNotNull() & (z <= -2), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_outlier"),
+    )
