@@ -520,3 +520,70 @@ def bloom_semi_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
     )
+
+
+@declare(
+    "open_order_backlog",
+    oracle="""
+    WITH deltas AS (
+      SELECT date_trunc('day', o_orderdate) AS day, 1 AS d FROM orders
+      UNION ALL
+      SELECT date_trunc('day', MAX(l_shipdate)) AS day, -1 AS d
+      FROM lineitem GROUP BY l_orderkey),
+    daily AS (SELECT day,
+                     SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS opened,
+                     SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS closed,
+                     SUM(d) AS net
+              FROM deltas GROUP BY day)
+    SELECT day, CAST(opened AS BIGINT) AS opened,
+           CAST(closed AS BIGINT) AS closed,
+           CAST(net AS BIGINT) AS net,
+           CAST(SUM(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS backlog
+    FROM daily
+    """,
+)
+def open_order_backlog(spark, sf_dir):
+    """Operational backlog time series: orders open (placed but not yet
+    fully shipped) per day, from +1/−1 delta events — the
+    interval-count pattern that avoids joining every order against
+    every day it spans. An order closes on its LAST line's ship
+    date; an order with no lines never closes. The running sum is a
+    single-partition window BY DESIGN: its input is the day-collapsed
+    frame (|days| rows — thousands at any corpus size), not the fact
+    stream; the facts are collapsed by partial-aggregated groupBys
+    before any window sees them."""
+    from pyspark.sql import Window as W
+
+    from ..operators.sets import union_all
+
+    opened = (
+        table(spark, sf_dir, "orders")
+        .select(F.date_trunc("day", "o_orderdate").alias("day"))
+        .withColumn("d", F.lit(1))
+    )
+    closed = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.date_trunc("day", F.max("l_shipdate")).alias("day"))
+        .select("day")
+        .withColumn("d", F.lit(-1))
+    )
+    daily = (
+        union_all(opened, closed)
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("d") == 1, 1).otherwise(0)).alias("opened"),
+            F.sum(F.when(F.col("d") == -1, 1).otherwise(0)).alias("closed"),
+            F.sum("d").alias("net"),
+        )
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        F.col("opened").cast("long").alias("opened"),
+        F.col("closed").cast("long").alias("closed"),
+        F.col("net").cast("long").alias("net"),
+        F.sum("net").over(w).cast("long").alias("backlog"),
+    )
