@@ -1124,3 +1124,40 @@ def gap_fill_daily(spark, sf_dir):
     from ..operators.asof import gap_fill_daily as _gf
 
     return _gf(table(spark, sf_dir, "events"))
+
+
+@declare(
+    "scd2_merge_incremental",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_id
+      FROM events),
+    transitions AS (
+      SELECT user_id, event_type AS state, ts AS valid_from, event_id
+      FROM changes
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to
+    FROM transitions
+    """,
+)
+def scd2_merge_incremental(spark, sf_dir):
+    """Incremental SCD2 maintenance (the write side of point-in-time
+    joins): the corpus is split at an ingest boundary (Jan 16), the
+    first half built into an SCD2 table, the second half applied as an
+    append-only batch via operators/scd.scd2_merge — closed history
+    passes through untouched, each key re-derives only its open
+    interval from one seed row plus its new events. The oracle is the
+    FULL REBUILD over all events: hash equality proves incremental
+    maintenance is exact, the same contract as the KPI/HLL/quantile
+    rollup family."""
+    from ..operators.scd import scd2_history, scd2_merge
+
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    existing = scd2_history(ev.filter(F.col("ts") < cutoff))
+    return scd2_merge(existing, ev.filter(F.col("ts") >= cutoff))

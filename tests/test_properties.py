@@ -490,3 +490,48 @@ def test_bloom_semi_join_equals_plain_semi(spark, probe, build):
     )
     want = sorted(x for x in probe if x in set(build))
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.integers(min_value=0, max_value=20),  # hour offset
+            st.sampled_from(["A", "B", "C"]),        # state
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    split_hour=st.integers(min_value=0, max_value=21),
+)
+def test_scd2_merge_equals_full_rebuild(spark, events, split_hour):
+    """Incremental SCD2 maintenance == full rebuild for ANY event set
+    and ANY append-only split point (including empty halves)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.operators.scd import (
+        scd2_history,
+        scd2_merge,
+    )
+
+    rows = [
+        Row(
+            event_id=i,
+            ts=dt.datetime(2024, 6, 1) + dt.timedelta(hours=h),
+            user_id=u,
+            event_type=s,
+        )
+        for i, (u, h, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows)
+    cutoff = dt.datetime(2024, 6, 1) + dt.timedelta(hours=split_hour)
+    merged = scd2_merge(
+        scd2_history(df.filter(F.col("ts") < F.lit(cutoff))),
+        df.filter(F.col("ts") >= F.lit(cutoff)),
+    )
+    full = scd2_history(df)
+    key = lambda r: (r.user_id, r.state, r.valid_from, r.valid_to)  # noqa: E731
+    assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
