@@ -587,3 +587,70 @@ def open_order_backlog(spark, sf_dir):
         F.col("net").cast("long").alias("net"),
         F.sum("net").over(w).cast("long").alias("backlog"),
     )
+
+
+@declare(
+    "revenue_share_of_parent",
+    oracle="""
+    WITH nrev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation, ROUND(rev, 2) AS rev,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY region), 8)
+             AS share_of_region,
+           ROUND(SUM(rev) OVER (PARTITION BY region)
+                 / SUM(rev) OVER (), 8) AS region_share_of_total
+    FROM nrev
+    """,
+)
+def revenue_share_of_parent(spark, sf_dir):
+    """Hierarchical ratio-to-report: each nation's share of its REGION
+    and each region's share of the TOTAL, in one pass — both window
+    levels run on the ~25-row collapsed aggregate, so the only cost
+    that scales is the fact groupBy (dims broadcast; money sums in
+    exact DECIMAL so partitioning cannot flip a rounded digit)."""
+    from pyspark.sql import Window as W
+
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev_term = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    nrev = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(rev_term).cast("double").alias("rev"))
+    )
+    wr = W.partitionBy("region")
+    wt = W.partitionBy()
+    return nrev.select(
+        "region",
+        "nation",
+        F.round("rev", 2).alias("rev"),
+        F.round(F.col("rev") / F.sum("rev").over(wr), 8).alias(
+            "share_of_region"
+        ),
+        F.round(
+            F.sum("rev").over(wr) / F.sum("rev").over(wt), 8
+        ).alias("region_share_of_total"),
+    )
