@@ -788,3 +788,79 @@ def keyword_search(spark, sf_dir):
         .limit(20)
         .select("doc_id", "n_terms", F.round("raw", 6).alias("score"))
     )
+
+
+@declare(
+    "corpus_drift_psi",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS split,
+             CAST(least(floor(n_chars / 100), 9) AS BIGINT) AS bucket
+      FROM documents),
+    c AS (SELECT split, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
+    t AS (SELECT split, SUM(n) AS tot FROM c GROUP BY split),
+    p AS (SELECT c.bucket,
+                 MAX(CASE WHEN c.split = 'ref' THEN (c.n + 0.5) / (t.tot + 5.0) END) AS p_ref,
+                 MAX(CASE WHEN c.split = 'cur' THEN (c.n + 0.5) / (t.tot + 5.0) END) AS p_cur
+          FROM c JOIN t ON t.split = c.split
+          GROUP BY c.bucket)
+    SELECT bucket,
+           ROUND(COALESCE(p_ref, 0.0), 8) AS p_ref,
+           ROUND(COALESCE(p_cur, 0.0), 8) AS p_cur,
+           ROUND((COALESCE(p_cur, 0.0) - COALESCE(p_ref, 0.0))
+                 * ln(COALESCE(p_cur, 1e-12) / COALESCE(p_ref, 1e-12)), 8)
+             AS psi_term
+    FROM p
+    """,
+)
+def corpus_drift_psi(spark, sf_dir):
+    """Dataset drift monitor — Population Stability Index between a
+    reference and a current ingest split, per length bucket: the
+    ML-ops screen that catches a crawler or filter change shifting the
+    corpus's length distribution before it shifts the model. Smoothed
+    (+0.5/bucket, the add-half rule over 10 buckets) so empty buckets
+    stay finite; Σ psi_term > 0.2 is the conventional alarm. Two
+    collapsed aggregates (≤ 10 rows/side) — the fact stream shuffles
+    once at (split, bucket) grain."""
+    docs = table(spark, sf_dir, "documents")
+    b = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, "ref").otherwise("cur").alias("split"),
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(9))
+        .cast("long")
+        .alias("bucket"),
+    )
+    c = b.groupBy("split", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("split").agg(F.sum("n").alias("tot"))
+    p = (
+        c.join(t, "split")
+        .groupBy("bucket")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("split") == "ref",
+                    (F.col("n") + 0.5) / (F.col("tot") + 5.0),
+                )
+            ).alias("p_ref"),
+            F.max(
+                F.when(
+                    F.col("split") == "cur",
+                    (F.col("n") + 0.5) / (F.col("tot") + 5.0),
+                )
+            ).alias("p_cur"),
+        )
+    )
+    pr = F.coalesce(F.col("p_ref"), F.lit(0.0))
+    pc = F.coalesce(F.col("p_cur"), F.lit(0.0))
+    return p.select(
+        "bucket",
+        F.round(pr, 8).alias("p_ref"),
+        F.round(pc, 8).alias("p_cur"),
+        F.round(
+            (pc - pr)
+            * F.log(
+                F.coalesce(F.col("p_cur"), F.lit(1e-12))
+                / F.coalesce(F.col("p_ref"), F.lit(1e-12))
+            ),
+            8,
+        ).alias("psi_term"),
+    )
