@@ -617,3 +617,60 @@ def value_cdf_probes(spark, sf_dir):
             ).alias(f"cdf_le_{int(p)}")
         )
     return ev.groupBy("event_type").agg(*aggs)
+
+
+@declare(
+    "chi_square_type_dow",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST((date_diff('day', TIMESTAMP '1970-01-01',
+                             date_trunc('day', ts)) + 4) % 7 AS BIGINT) AS dow,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    m AS (SELECT c.*,
+                 SUM(n) OVER (PARTITION BY event_type) AS row_tot,
+                 SUM(n) OVER (PARTITION BY dow) AS col_tot,
+                 SUM(n) OVER () AS grand
+          FROM cells c)
+    SELECT event_type, dow, n,
+           ROUND(row_tot * col_tot / CAST(grand AS DOUBLE), 6) AS expected,
+           ROUND(POW(n - row_tot * col_tot / CAST(grand AS DOUBLE), 2)
+                 / (row_tot * col_tot / CAST(grand AS DOUBLE)), 6)
+             AS chi2_term
+    FROM m
+    """,
+)
+def chi_square_type_dow(spark, sf_dir):
+    """Independence screen: chi-square contributions for the
+    event_type × day-of-week contingency table — the data-audit test
+    for 'does behavior depend on weekday' (Σ chi2_term against the
+    χ²((r−1)(c−1)) critical value). The fact stream collapses to ≤
+    |types|×7 cells in one partial-aggregated shuffle; the three
+    marginal windows run on that collapsed frame. Weekday is epoch-day
+    arithmetic — engines disagree on dayofweek origins, arithmetic
+    cannot."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events")
+    day_num = F.datediff(
+        F.date_trunc("day", F.col("ts")), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    cells = (
+        e.select("event_type", ((day_num + 4) % 7).alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = F.sum("n").over(W.partitionBy("event_type"))
+    col_tot = F.sum("n").over(W.partitionBy("dow"))
+    grand = F.sum("n").over(W.partitionBy())
+    expected = row_tot * col_tot / grand.cast("double")
+    return cells.select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(expected, 6).alias("expected"),
+        F.round(F.pow(F.col("n") - expected, 2) / expected, 6).alias(
+            "chi2_term"
+        ),
+    )
