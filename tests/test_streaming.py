@@ -952,3 +952,82 @@ def test_socket_source_live_ingest(spark, tmp_path):
     finally:
         q.stop()
         srv.close()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream INTERVAL join (§2.10 depth): views joined to
+    purchases of the same user within the hour BEFORE the purchase,
+    with watermarks bounding both sides' state — the streaming flavor
+    of the batch range_join_1h. availableNow replay must equal the
+    batch join on the same data."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    T = dt.datetime
+    base = T(2024, 4, 1, 12)
+    views = [
+        Row(event_id=i, user_id=i % 3, ts=base + dt.timedelta(minutes=m))
+        for i, m in enumerate([0, 10, 50, 70, 130])
+    ]
+    buys = [
+        Row(event_id=100 + i, user_id=u, ts=base + dt.timedelta(minutes=m))
+        for i, (u, m) in enumerate([(0, 60), (1, 55), (2, 200)])
+    ]
+    vdir, bdir = str(tmp_path / "views"), str(tmp_path / "buys")
+    spark.createDataFrame(views).write.mode("overwrite").json(vdir)
+    spark.createDataFrame(buys).write.mode("overwrite").json(bdir)
+    schema = "event_id long, user_id long, ts timestamp"
+
+    vs = (
+        spark.readStream.schema(schema).json(vdir)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    bs = (
+        spark.readStream.schema(schema).json(bdir)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("b_id"),
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("b_ts"),
+        )
+    )
+    joined = vs.join(
+        bs,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("v_ts") >= F.col("b_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") < F.col("b_ts")),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssij")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.v_id, r.b_id)
+        for r in spark.sql("SELECT v_id, b_id FROM ssij").collect()
+    }
+    vb = spark.createDataFrame(views)
+    bb = spark.createDataFrame(buys)
+    want = {
+        (r[0], r[1])
+        for r in vb.alias("v")
+        .join(
+            bb.alias("b"),
+            (F.col("v.user_id") == F.col("b.user_id"))
+            & (F.col("v.ts") >= F.col("b.ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v.ts") < F.col("b.ts")),
+        )
+        .select("v.event_id", "b.event_id")
+        .collect()
+    }
+    assert got == want and len(want) > 0
