@@ -1161,3 +1161,43 @@ def scd2_merge_incremental(spark, sf_dir):
     cutoff = F.lit("2024-01-16").cast("timestamp")
     existing = scd2_history(ev.filter(F.col("ts") < cutoff))
     return scd2_merge(existing, ev.filter(F.col("ts") >= cutoff))
+
+
+@declare(
+    "user_day_paths",
+    oracle="""
+    SELECT user_id, date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM events GROUP BY 1, 2
+    """,
+)
+def user_day_paths(spark, sf_dir):
+    """Journey strings — each user-day's ORDERED event-type sequence as
+    one path ('view>click>purchase'), the input shape for path/funnel
+    mining. Spark has no ordered string_agg, so the order is made
+    explicit: collect structs, array_sort on (ts, event_id) — a
+    deterministic total order regardless of partitioning — then a
+    row-local transform + concat. One (user, day) exchange; per-group
+    state is the day's own events."""
+    e = table(spark, sf_dir, "events")
+    seq = (
+        e.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("evt"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_sort(F.collect_list("evt")).alias("seq"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.concat_ws(
+            ">", F.transform("seq", lambda x: x["event_type"])
+        ).alias("path"),
+    )
