@@ -10,9 +10,9 @@ Scale notes:
   (eval sets are MBs, the corpus is TBs), so its distinct n-gram set is
   broadcast and the contamination join is map-side — the corpus is
   scanned exactly once and never shuffled on the gram key.
-- ``pack_sequences``: one window per partition column; at cluster scale
-  partition by (lang, date-bucket) to bound per-partition state instead
-  of a single global ordering.
+- ``pack_sequences``: two-phase distributed prefix sum — no task ever
+  sorts more than one id-range bucket of one stream; the only
+  whole-stream state is a (streams × n_buckets)-row subtotal frame.
 - ``top_token_stats``: two partial-aggregated shuffles (doc×token, then
   doc); token rows are (id, word) pairs — never the document body.
 """
@@ -127,6 +127,7 @@ def pack_sequences(
     part_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_buckets: int = 32,
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: within each ``part_col``
     stream, documents are concatenated in ``id_col`` order and split into
@@ -136,16 +137,164 @@ def pack_sequences(
 
     Adds ``n_tokens`` (BPE-ish count), ``tok_offset`` (tokens before this
     doc in its stream) and ``seq_id``.
+
+    Scale shape — two-phase distributed prefix sum. A naive
+    ``Window.partitionBy(part_col).orderBy(id_col)`` prefix sum forces
+    ONE task to sort and scan an entire stream; at corpus scale a
+    dominant language is a single executor sorting terabytes. Instead:
+
+    1. Text is tokenized exactly ONCE into a narrow persisted ledger
+       ``(part, id, n_tokens)`` — ~0.1% of corpus bytes, evictable and
+       deterministic to recompute — so none of the prefix machinery
+       ever touches the document bodies.
+    2. A plan-build-time job collects an (streams x ``n_buckets``-1)
+       percentile ladder over ``id_col`` (same bounded-collect
+       discipline as ``zorder_key``'s min/max probe) and inlines it as
+       literals, so bucket assignment is a deterministic pure function
+       of the row even if the cached ledger is evicted and recomputed.
+    3. Each ledger row maps into the id-range bucket the ladder assigns
+       (order-preserving by construction), and the inclusive prefix sum
+       runs per ``(part_col, bucket)`` — every sort task bounded by one
+       bucket of one stream, ~1/``n_buckets`` of the old ceiling; raise
+       ``n_buckets`` with the cluster.
+    4. Per-bucket token subtotals (a tiny streams x buckets frame)
+       cumulate over the bucket index and broadcast back; the global
+       offset is ``bucket_base + local_prefix - n_tokens`` — exact long
+       arithmetic, bit-identical to the single-window formulation —
+       and the finished narrow offsets join back to the wide rows on
+       ``(part_col, id_col)`` (null-safe), the one full-width shuffle,
+       matching the single-window plan's one full-width exchange.
+
+    Precondition: ``(part_col, id_col)`` identifies rows uniquely —
+    already required for the packing order itself to be well-defined.
     """
-    w = (
-        W.partitionBy(part_col)
+    n_toks = token_count(F.col(text_col))
+    if n_buckets <= 1:
+        w = (
+            W.partitionBy(part_col)
+            .orderBy(id_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        return (
+            docs.withColumn("n_tokens", n_toks)
+            .withColumn(
+                "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+            )
+            .withColumn("seq_id", F.floor(F.col("tok_offset") / budget))
+        )
+
+    from pyspark.sql import types as T
+
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
+        T.TimestampType,
+    )
+    if isinstance(docs.schema[id_col].dataType, numeric):
+        proxy = F.col(id_col).cast("double")
+    else:
+        # Order-preserving numeric surrogate for non-numeric ids: the
+        # first 7 UTF-8 bytes as a base-16 integer is monotone
+        # non-decreasing under Spark's binary string collation; ids that
+        # collide on the prefix simply share a bucket (slightly uneven
+        # buckets, never a wrong offset).
+        proxy = F.conv(
+            F.substring(
+                F.hex(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 14
+            ),
+            16,
+            10,
+        ).cast("double")
+
+    # Phase 1: the narrow token ledger — the ONLY pass over the text.
+    narrow = docs.select(
+        F.col(part_col),
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        proxy.alias("_pv"),
+    ).persist()
+
+    # Eager, bounded: the percentile ladder (fills the ledger cache).
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    ladder = (
+        narrow.groupBy(part_col)
+        .agg(F.percentile_approx("_pv", qs, 10000).alias("_bounds"))
+        .collect()
+    )
+    spark = docs.sparkSession
+    part_field = docs.schema[part_col]
+    bounds_df = spark.createDataFrame(
+        [(r[part_col], [float(b) for b in r["_bounds"]]) for r in ladder],
+        T.StructType(
+            [
+                T.StructField(part_col, part_field.dataType, True),
+                T.StructField("_bounds", T.ArrayType(T.DoubleType()), True),
+            ]
+        ),
+    )
+
+    # Phase 2: deterministic bucket, local inclusive prefix per bucket.
+    bucketed = (
+        narrow.join(F.broadcast(bounds_df), [part_col], "left")
+        .withColumn(
+            "_bkt",
+            F.coalesce(
+                F.size(F.filter("_bounds", lambda b: b < F.col("_pv"))),
+                F.lit(0),
+            ),
+        )
+        .drop("_pv", "_bounds")
+    )
+    w_loc = (
+        W.partitionBy(part_col, "_bkt")
         .orderBy(id_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    n_toks = token_count(F.col(text_col))
+
+    # Phase 3: tiny subtotal frame -> cumulative bucket bases, broadcast.
+    sub = bucketed.groupBy(part_col, "_bkt").agg(
+        F.sum("n_tokens").alias("_sub")
+    )
+    w_cum = (
+        W.partitionBy(part_col)
+        .orderBy("_bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = sub.select(
+        F.col(part_col),
+        F.col("_bkt"),
+        (F.sum("_sub").over(w_cum) - F.col("_sub")).alias("_base"),
+    )
+    offsets = (
+        bucketed.withColumn("_loc", F.sum("n_tokens").over(w_loc))
+        .join(F.broadcast(base), [part_col, "_bkt"], "left")
+        .select(
+            F.col(part_col),
+            F.col(id_col),
+            F.col("n_tokens"),
+            (
+                F.coalesce(F.col("_base"), F.lit(0).cast("long"))
+                + F.col("_loc")
+                - F.col("n_tokens")
+            ).alias("tok_offset"),
+        )
+    )
+
+    # Phase 4: the one full-width shuffle — wide rows meet their offsets.
+    d, o = docs.alias("_d"), offsets.alias("_o")
+    cond = F.col(f"_d.{part_col}").eqNullSafe(
+        F.col(f"_o.{part_col}")
+    ) & F.col(f"_d.{id_col}").eqNullSafe(F.col(f"_o.{id_col}"))
+    base_cols = [
+        c for c in docs.columns if c not in ("n_tokens", "tok_offset", "seq_id")
+    ]
     return (
-        docs.withColumn("n_tokens", n_toks)
-        .withColumn("tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        d.join(o, cond, "inner")
+        .select(
+            *[F.col(f"_d.{c}") for c in base_cols],
+            F.col("_o.n_tokens").alias("n_tokens"),
+            F.col("_o.tok_offset").alias("tok_offset"),
+        )
         .withColumn("seq_id", F.floor(F.col("tok_offset") / budget))
     )
 
