@@ -74,6 +74,9 @@ HEADLINE = [
     "decontaminate_ngrams",
     "pack_sequences",
     "dataset_split",
+    # round-4: persisted-IVF serving (build amortized behind a manifest;
+    # steady runs measure the probed-cell serve path)
+    "sim_ivf_persisted",
     # round-3 additions: LM quality scoring, distributed ANN join,
     # Bloom-pruned semi join, mergeable quantile state, search, locf
     "doc_lm_score",

@@ -1,0 +1,264 @@
+"""Persisted IVF index: build once, serve many (SURVEY §2.12 X3).
+
+`ivf_topk` proves the IVF math but pays the expensive part — centroid
+assignment + quantization of every corpus vector — INSIDE every query
+(SCALE.md: at 1M rows its wall is ≈ brute force because assignment
+dominates). Real ANN serving amortizes that: a BUILD step assigns and
+quantizes the corpus once and persists it as a parquet layout
+partitioned by ``cent_id``; each QUERY then reads ONLY the probed
+cells (parquet partition pruning — the scan never touches the other
+``n_centroids - nprobe`` fractions of the corpus) and scores stored
+integer vectors with one BLAS matmul per Arrow batch.
+
+Layout under ``index_dir``::
+
+    cells/cent_id=<c>/*.parquet   (id, qv array<long>, qn2 long)
+    centroids/*.parquet           (cent_id int, centroid array<double>)
+    manifest/*.parquet            (n_rows, id_sum, n_centroids, dim)
+
+``qv`` is the shared SRP_QUANT integer quantization and ``qn2`` the
+exact integer squared norm, so serve-time scores are bit-identical to
+`ivf_topk` / the DuckDB oracle (the module-level exactness argument in
+`similarity.py`): `sim_ivf_persisted` declares the SAME oracle SQL as
+`sim_ivf_topk` and hash-matches it.
+
+At 100 TB: the build is one scan + one partitioned write (each vector
+moves once, shuffled only by the partitioned-write's cent_id split);
+queries are `O(N · nprobe / n_centroids)` scan-bytes with pruning done
+by the parquet source, not a filter operator. The manifest makes
+rebuilds content-addressed: serve paths verify (row count, id
+checksum) against the live corpus and rebuild only on drift.
+
+Reference parity: the reference has no vector surface; this extends
+the mandated training-data-pipeline layer (ANN serving path).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .similarity import (
+    CentroidRows,
+    _quant_codebook,
+    _quant_np,
+    _resolve_centroids,
+    nearest_centroid_kernel,
+    qdot,
+    quant_vec,
+)
+
+__all__ = [
+    "ivf_index_build", "ivf_index_is_fresh", "ivf_index_ensure",
+    "ivf_persisted_topk", "default_index_root",
+]
+
+
+def default_index_root() -> str:
+    """Repo-local index store (swap for an object-store URI in prod)."""
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".index",
+    )
+
+
+def _corpus_stats(corpus: DataFrame, id_col: str) -> tuple[int, int]:
+    """Cheap content fingerprint: (row count, id sum) — one partial
+    aggregate over the id column only (no vectors move)."""
+    r = corpus.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col(id_col).cast("long")), F.lit(0)).alias("s"),
+    ).collect()[0]
+    return int(r["n"]), int(r["s"])
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | CentroidRows | None = None,
+) -> dict:
+    """Build the persisted index: one corpus scan assigns each vector to
+    its nearest centroid (Arrow kernel, one matmul per batch) and
+    quantizes it; one partitioned write lays the cells out by
+    ``cent_id`` so serve-time probes become parquet partition pruning.
+
+    Returns the manifest dict (row count, id checksum, shape).
+    """
+    spark = corpus.sparkSession
+    rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
+    dim = len(rows[0][1]) if rows else 0
+    assign = nearest_centroid_kernel(rows)
+    cells = (
+        corpus.select(
+            F.col(id_col),
+            quant_vec(F.col(vec_col)).alias("qv"),
+            assign(F.col(vec_col).cast("array<double>")).alias("cent_id"),
+        )
+        .withColumn("qn2", qdot(F.col("qv"), F.col("qv")))
+        .select(id_col, "qv", "qn2", "cent_id")
+    )
+    # One clustering shuffle at build time so each cell is ONE compact
+    # file, not one-per-upstream-task (256 cells × 32 tasks = 8k tiny
+    # files otherwise — measured to cost the serve path more than the
+    # pruning saves at 1M rows). At 100 TB swap the fixed width for
+    # repartitionByRange on (cent_id, id) if single cells outgrow a
+    # task.
+    cells.repartition(max(1, int(n_centroids)), "cent_id").write.partitionBy(
+        "cent_id"
+    ).mode("overwrite").parquet(os.path.join(index_dir, "cells"))
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in rows],
+        "cent_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    n, s = _corpus_stats(corpus, id_col)
+    manifest = {
+        "n_rows": n, "id_sum": s, "n_centroids": int(n_centroids), "dim": dim,
+    }
+    spark.createDataFrame(
+        [tuple(manifest.values())],
+        "n_rows long, id_sum long, n_centroids int, dim int",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+    return manifest
+
+
+def ivf_index_is_fresh(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int,
+    id_col: str = "vec_id",
+) -> bool:
+    """True iff a manifest exists and matches the live corpus's
+    (row count, id checksum, n_centroids) — content-addressed staleness
+    so regenerated testdata (or a grown corpus) forces a rebuild."""
+    try:
+        m = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
+    except Exception:
+        return False
+    n, s = _corpus_stats(corpus, id_col)
+    return (
+        int(m["n_rows"]) == n
+        and int(m["id_sum"]) == s
+        and int(m["n_centroids"]) == int(n_centroids)
+    )
+
+
+def ivf_index_ensure(
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | CentroidRows | None = None,
+) -> str:
+    """Build the index iff absent or stale; returns ``index_dir``."""
+    spark = corpus.sparkSession
+    if not ivf_index_is_fresh(spark, corpus, index_dir, n_centroids, id_col):
+        ivf_index_build(
+            corpus, index_dir, n_centroids, id_col, vec_col, codebook
+        )
+    return index_dir
+
+
+def ivf_persisted_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve approximate top-k cosine from a persisted IVF index.
+
+    Probe selection replays `ivf_topk`'s driver-side math exactly (same
+    quantized-integer cosine, same (score desc, cent_id asc) tie-break)
+    over the persisted codebook; the union of every query's probed
+    cells becomes ONE ``cent_id IN (...)`` predicate on the partition
+    column — the parquet source prunes unprobed cells before any bytes
+    are read (plan-pinned). Scoring reads the STORED integer vectors
+    (no re-quantization, no assignment — the build already paid both)
+    with one BLAS matmul per Arrow batch and local top-k per query,
+    bit-identical to `ivf_topk` by integer exactness.
+    """
+    from ..operators.sorts import topk_per_group
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    rows: CentroidRows = [
+        (int(r["cent_id"]), list(r["centroid"])) for r in cent.collect()
+    ]
+    qrows = _quant_codebook(rows)  # cent_id-ascending
+    ct = np.array([q for _, q, _ in qrows], dtype=np.float64).T  # dim × k
+    cn = np.array([n for _, _, n in qrows])
+    cent_ids = [c for c, _, _ in qrows]
+    cent_pos = {c: i for i, c in enumerate(cent_ids)}
+
+    q_rows = sorted(
+        (r[0], list(r[1]))
+        for r in queries.select(
+            id_col, F.col(vec_col).cast("array<double>")
+        ).collect()
+    )
+    qt = _quant_np([v for _, v in q_rows]).T  # dim × nq
+    qn = np.sqrt((qt * qt).sum(axis=0))
+    qids = [i for i, _ in q_rows]
+    s_q = (qt.T @ ct) / (qn[:, None] * cn[None, :])  # nq × n_cent
+    n_q, n_cent = s_q.shape
+    probe_bool = np.zeros((n_q, n_cent), dtype=bool)
+    for j in range(n_q):
+        order = np.lexsort((np.arange(n_cent), -s_q[j]))
+        probe_bool[j, order[: min(nprobe, n_cent)]] = True
+    probed_cents = sorted(
+        cent_ids[i] for i in np.flatnonzero(probe_bool.any(axis=0))
+    )
+
+    cells = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
+        F.col("cent_id").isin(probed_cents)  # partition pruning
+    )
+    id_type = dict(cells.dtypes)[id_col]
+    schema = f"query_id {id_type}, cand_id {id_type}, score double"
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["qv"]]
+            )
+            cn_r = np.sqrt(pdf["qn2"].to_numpy().astype(np.float64))
+            cent_idx = np.array(
+                [cent_pos[int(x)] for x in pdf["cent_id"]], dtype=np.int64
+            )
+            cids_b = pdf[id_col].to_numpy()
+            out_q, out_c, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                m = probe_bool[j][cent_idx] & (cids_b != qid)
+                if not m.any():
+                    continue
+                idx = np.flatnonzero(m)
+                sc = (c[idx] @ qt[:, j]) / (cn_r[idx] * qn[j])
+                take = np.lexsort((cids_b[idx], -sc))[:k]
+                out_q.extend([qid] * len(take))
+                out_c.extend(cids_b[idx][take])
+                out_s.extend(sc[take])
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "cand_id": out_c, "score": out_s}
+                )
+
+    scored = cells.select(id_col, "qv", "qn2", "cent_id").mapInPandas(
+        scan, schema
+    )
+    top = topk_per_group(
+        scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k
+    )
+    return top.select(
+        "query_id", "cand_id", F.round("score", 8).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

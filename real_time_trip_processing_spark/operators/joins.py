@@ -172,6 +172,25 @@ def bloom_filtered_semi_join(
     queries built on this is a plain semi join, because the exact
     verify makes the Bloom transparent to results.
     """
+    filtered = _bloom_prefilter(probe, build, probe_key, build_key, m_bits, k)
+    return filtered.join(
+        build.select(F.col(build_key).alias(probe_key)).distinct(),
+        probe_key,
+        "left_semi",
+    )
+
+
+def _bloom_prefilter(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    m_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """The map-side bitmap-test stage of `bloom_filtered_semi_join`,
+    exposed so tests can measure pruning (rows surviving the bitmap =
+    true matches + Bloom false positives, with no verify join on top)."""
     words = m_bits // 64
     assert m_bits % 64 == 0
 
@@ -217,9 +236,4 @@ def bloom_filtered_semi_join(
             f"CAST({name} % 64 AS INT)) & 1) = 1"
         )
         test = hit if test is None else (test & hit)
-    filtered = tagged.filter(test).drop("__bloom", *pos_cols)
-    return filtered.join(
-        build.select(F.col(build_key).alias(probe_key)).distinct(),
-        probe_key,
-        "left_semi",
-    )
+    return tagged.filter(test).drop("__bloom", *pos_cols)

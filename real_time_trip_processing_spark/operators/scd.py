@@ -55,19 +55,28 @@ def scd2_merge(
     tiebreak: str = "event_id",
 ) -> DataFrame:
     """Incremental SCD2 maintenance: apply an APPEND-ONLY batch of new
-    events (every new timestamp ≥ the table's open intervals' starts)
-    to an existing SCD2 table. Closed intervals are immutable history
-    and pass through UNTOUCHED; each key's open interval is re-derived
-    from one seed row (its state at its valid_from) plus the key's new
-    events — so the work is proportional to |open intervals| + |batch|,
-    never to history.
+    events to an existing SCD2 table. Closed intervals are immutable
+    history and pass through UNTOUCHED; each key's open interval is
+    re-derived from one seed row (its state at its valid_from) plus the
+    key's new events — so the work is proportional to
+    |open intervals| + |batch|, never to history.
 
-    Equality with the full rebuild holds because the seed row summarises
-    the open run exactly: the run's first timestamp and state are the
-    seed, same-state new events extend the run (collapsed by the lag
-    filter), and a state change closes it at the new event's time —
-    precisely what the full recompute's window does. The seed's
-    tiebreak sorts below any real event so append-only ties resolve
+    PRECONDITION: every new event's timestamp is STRICTLY GREATER than
+    all existing timestamps for its key (a watermark/cutoff split, which
+    is what `scd2_merge_incremental`'s cutoff caller and the hypothesis
+    equivalence test guarantee). ``ts`` equal to an existing event's ts
+    inside the open run is NOT supported: the seed row summarises the
+    run by its FIRST event only, so a tying new event cannot tie-break
+    against the run's collapsed later events and merge may emit a
+    different (coarser) interval set than the full rebuild.
+
+    Under that precondition, equality with the full rebuild holds
+    because the seed row summarises the open run exactly: the run's
+    first timestamp and state are the seed, same-state new events
+    extend the run (collapsed by the lag filter), and a state change
+    closes it at the new event's time — precisely what the full
+    recompute's window does. The seed's tiebreak sorts below any real
+    event so append-only ties against the SEED's timestamp resolve
     identically.
     """
     closed = existing.filter(F.col("valid_to").isNotNull()).select(

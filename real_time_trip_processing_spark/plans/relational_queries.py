@@ -503,7 +503,7 @@ def session_funnel(spark, sf_dir):
 )
 def bloom_semi_join(spark, sf_dir):
     """Runtime-filtered semi join: lineitem rows belonging to urgent
-    high-value orders, with a broadcast Bloom bitmap (1 KiB, md5-k-hash)
+    high-value orders, with a broadcast Bloom bitmap (1 KiB, xxhash64-k-hash)
     dropping non-matching lines MAP-SIDE before the semi-join exchange.
     Output is exact — Bloom false positives die in the verify join — so
     the oracle is a plain IN-subquery; the Bloom only dials how many

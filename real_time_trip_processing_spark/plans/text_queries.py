@@ -744,12 +744,12 @@ def fuzzy_match_docs(spark, sf_dir):
     n AS (SELECT COUNT(*) AS n FROM documents),
     hits AS (SELECT t.doc_id,
                     COUNT(*) AS n_terms,
-                    SUM(t.tf * ln(n.n / d.df)) AS raw
+                    ROUND(SUM(t.tf * ln(n.n / d.df)), 6) AS score
              FROM tf t JOIN dfreq d ON d.w = t.w CROSS JOIN n
              GROUP BY t.doc_id, n.n
              HAVING COUNT(*) = 3)
-    SELECT doc_id, n_terms, ROUND(raw, 6) AS score
-    FROM hits ORDER BY raw DESC, doc_id LIMIT 20
+    SELECT doc_id, n_terms, score
+    FROM hits ORDER BY score DESC, doc_id LIMIT 20
     """,
 )
 def keyword_search(spark, sf_dir):
@@ -760,7 +760,10 @@ def keyword_search(spark, sf_dir):
     makes this a 3-key lookup, here the scan-side filter is the same
     selectivity; document frequencies are |terms| rows, the corpus
     count rides as a 1-row broadcast frame, and the final top-20 is a
-    TakeOrderedAndProject, never a global sort."""
+    TakeOrderedAndProject, never a global sort. The cut orders by the
+    ROUNDED score (6 dp) so the LIMIT boundary is engine- and
+    run-stable — the raw double sum of up to 3 tf·idf terms is exposed
+    to aggregation-order nondeterminism at equal-score boundaries."""
     docs = table(spark, sf_dir, "documents")
     terms = ["vector", "merge", "stream"]
     toks = docs.select(
@@ -784,9 +787,10 @@ def keyword_search(spark, sf_dir):
         .filter(F.col("n_terms") == 3)
     )
     return (
-        hits.orderBy(F.desc("raw"), "doc_id")
+        hits.withColumn("score", F.round("raw", 6))
+        .orderBy(F.desc("score"), "doc_id")
         .limit(20)
-        .select("doc_id", "n_terms", F.round("raw", 6).alias("score"))
+        .select("doc_id", "n_terms", "score")
     )
 
 
@@ -798,18 +802,22 @@ def keyword_search(spark, sf_dir):
              CAST(least(floor(n_chars / 100), 9) AS BIGINT) AS bucket
       FROM documents),
     c AS (SELECT split, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
-    t AS (SELECT split, SUM(n) AS tot FROM c GROUP BY split),
-    p AS (SELECT c.bucket,
-                 MAX(CASE WHEN c.split = 'ref' THEN (c.n + 0.5) / (t.tot + 5.0) END) AS p_ref,
-                 MAX(CASE WHEN c.split = 'cur' THEN (c.n + 0.5) / (t.tot + 5.0) END) AS p_cur
-          FROM c JOIN t ON t.split = c.split
-          GROUP BY c.bucket)
+    grid AS (SELECT s.split, CAST(b.range AS BIGINT) AS bucket
+             FROM (SELECT 'ref' AS split UNION ALL SELECT 'cur') s
+             CROSS JOIN range(10) b),
+    cd AS (SELECT g.split, g.bucket, COALESCE(c.n, 0) AS n
+           FROM grid g LEFT JOIN c
+             ON c.split = g.split AND c.bucket = g.bucket),
+    t AS (SELECT split, SUM(n) AS tot FROM cd GROUP BY split),
+    p AS (SELECT cd.bucket,
+                 MAX(CASE WHEN cd.split = 'ref' THEN (cd.n + 0.5) / (t.tot + 5.0) END) AS p_ref,
+                 MAX(CASE WHEN cd.split = 'cur' THEN (cd.n + 0.5) / (t.tot + 5.0) END) AS p_cur
+          FROM cd JOIN t ON t.split = cd.split
+          GROUP BY cd.bucket)
     SELECT bucket,
-           ROUND(COALESCE(p_ref, 0.0), 8) AS p_ref,
-           ROUND(COALESCE(p_cur, 0.0), 8) AS p_cur,
-           ROUND((COALESCE(p_cur, 0.0) - COALESCE(p_ref, 0.0))
-                 * ln(COALESCE(p_cur, 1e-12) / COALESCE(p_ref, 1e-12)), 8)
-             AS psi_term
+           ROUND(p_ref, 8) AS p_ref,
+           ROUND(p_cur, 8) AS p_cur,
+           ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 8) AS psi_term
     FROM p
     """,
 )
@@ -817,11 +825,14 @@ def corpus_drift_psi(spark, sf_dir):
     """Dataset drift monitor — Population Stability Index between a
     reference and a current ingest split, per length bucket: the
     ML-ops screen that catches a crawler or filter change shifting the
-    corpus's length distribution before it shifts the model. Smoothed
-    (+0.5/bucket, the add-half rule over 10 buckets) so empty buckets
-    stay finite; Σ psi_term > 0.2 is the conventional alarm. Two
-    collapsed aggregates (≤ 10 rows/side) — the fact stream shuffles
-    once at (split, bucket) grain."""
+    corpus's length distribution before it shifts the model. The count
+    grid is DENSIFIED to the full 2-split × 10-bucket literal frame
+    (20 rows, no join against the fact stream) before smoothing, so a
+    bucket absent from one split still gets the add-half probability
+    0.5/(tot+5) — the true add-half PSI, finite everywhere, with no
+    log-floor fudge for missing buckets. Σ psi_term > 0.2 is the
+    conventional alarm. Two collapsed aggregates (≤ 20 rows/side) —
+    the fact stream shuffles once at (split, bucket) grain."""
     docs = table(spark, sf_dir, "documents")
     b = docs.select(
         F.when(F.col("doc_id") % 2 == 0, "ref").otherwise("cur").alias("split"),
@@ -830,9 +841,16 @@ def corpus_drift_psi(spark, sf_dir):
         .alias("bucket"),
     )
     c = b.groupBy("split", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    t = c.groupBy("split").agg(F.sum("n").alias("tot"))
+    grid = spark.createDataFrame(
+        [(s, b) for s in ("ref", "cur") for b in range(10)],
+        "split string, bucket long",
+    )
+    cd = grid.join(c, ["split", "bucket"], "left").select(
+        "split", "bucket", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
+    t = cd.groupBy("split").agg(F.sum("n").alias("tot"))
     p = (
-        c.join(t, "split")
+        cd.join(t, "split")
         .groupBy("bucket")
         .agg(
             F.max(
@@ -849,18 +867,13 @@ def corpus_drift_psi(spark, sf_dir):
             ).alias("p_cur"),
         )
     )
-    pr = F.coalesce(F.col("p_ref"), F.lit(0.0))
-    pc = F.coalesce(F.col("p_cur"), F.lit(0.0))
     return p.select(
         "bucket",
-        F.round(pr, 8).alias("p_ref"),
-        F.round(pc, 8).alias("p_cur"),
+        F.round("p_ref", 8).alias("p_ref"),
+        F.round("p_cur", 8).alias("p_cur"),
         F.round(
-            (pc - pr)
-            * F.log(
-                F.coalesce(F.col("p_cur"), F.lit(1e-12))
-                / F.coalesce(F.col("p_ref"), F.lit(1e-12))
-            ),
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
             8,
         ).alias("psi_term"),
     )

@@ -260,9 +260,10 @@ _IVF_COS = lambda x, y: (  # noqa: E731
     f"(sqrt(list_dot_product({x}, {x})) * sqrt(list_dot_product({y}, {y})))"
 )
 
-@declare(
-    "sim_ivf_topk",
-    oracle=f"""
+#: shared by sim_ivf_topk and sim_ivf_persisted — the persisted-index
+#: serve path is bit-identical to the in-query path by construction, so
+#: both declare the SAME DuckDB replay.
+_IVF_ORACLE = f"""
     WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, qv AS cv
                   FROM qn WHERE vec_id < 16),
@@ -285,8 +286,10 @@ _IVF_COS = lambda x, y: (  # noqa: E731
                FROM s)
     SELECT query_id, cand_id, ROUND(score, 8) AS score, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 3
-    """,
-)
+    """
+
+
+@declare("sim_ivf_topk", oracle=_IVF_ORACLE)
 def sim_ivf_topk(spark, sf_dir):
     """X3 scale path: IVF-style ANN — coarse-quantize the corpus into
     centroid buckets (row-local argmax over the centroid literal —
@@ -295,6 +298,36 @@ def sim_ivf_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 5),
                     k=3, n_centroids=16, nprobe=4)
+
+
+@declare("sim_ivf_persisted", oracle=_IVF_ORACLE)
+def sim_ivf_persisted(spark, sf_dir):
+    """X3 serving path: the SAME IVF query served from a PERSISTED
+    index (functions/ivf_index.py). The build step — assignment +
+    quantization of every corpus vector, the part SCALE.md measured as
+    dominating `sim_ivf_topk`'s wall — runs once (content-addressed: a
+    (row count, id checksum) manifest skips rebuilds until the corpus
+    drifts) and lays cells out as parquet partitioned by cent_id;
+    serving reads ONLY the probed cells via parquet partition pruning
+    and scores stored integer vectors. Bit-identical to `sim_ivf_topk`
+    (same oracle SQL, hash-adjudicated)."""
+    import hashlib
+    import os
+
+    from ..functions.ivf_index import (
+        default_index_root, ivf_index_ensure, ivf_persisted_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = ivf_index_ensure(
+        emb,
+        os.path.join(default_index_root(), f"ivf_emb_{tag}_c16"),
+        n_centroids=16,
+    )
+    return ivf_persisted_topk(
+        spark, idx, emb.filter(F.col("vec_id") < 5), k=3, nprobe=4
+    )
 
 
 @declare(

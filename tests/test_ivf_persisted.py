@@ -1,0 +1,89 @@
+"""Persisted IVF index (functions/ivf_index.py): build/serve parity
+with the in-query path, parquet partition pruning of unprobed cells,
+and content-addressed staleness."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_spark.functions.ivf_index import (
+    ivf_index_build,
+    ivf_index_ensure,
+    ivf_index_is_fresh,
+    ivf_persisted_topk,
+)
+from real_time_trip_processing_spark.functions.similarity import ivf_topk
+from real_time_trip_processing_spark.sources import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_persisted_serve_bit_identical_to_in_query(spark, tmp_path):
+    """Same corpus, same params: the persisted serve path must equal
+    ivf_topk row-for-row (scores included) — it is the identical math
+    over stored integers instead of re-derived ones."""
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "idx")
+    ivf_index_build(emb, idx, n_centroids=16)
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4)
+    assert _rows(got) == _rows(want)
+
+
+def test_persisted_serve_prunes_unprobed_cells(spark, tmp_path):
+    """The serve scan must read ONLY probed cent_id partitions: the
+    parquet source's partition count equals the probed-cell count, not
+    n_centroids — the nprobe/n_centroids scan-bytes claim, in the plan."""
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2)
+    idx = str(tmp_path / "idx")
+    ivf_index_build(emb, idx, n_centroids=16)
+    n_cells = len([
+        d for d in os.listdir(os.path.join(idx, "cells"))
+        if d.startswith("cent_id=")
+    ])
+    assert n_cells > 4  # corpus actually spreads over cells
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=2)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    scans = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert any("cent_id" in ln for ln in scans), plan
+    # 2 queries x nprobe=2 -> at most 4 distinct probed cells
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # Spark prints it in the scan detail
+        assert int(m.group(1)) <= 4, plan
+
+
+def test_manifest_staleness_forces_rebuild(spark, tmp_path):
+    """ensure() skips the build when the manifest matches the corpus and
+    rebuilds when the corpus drifts (content-addressed, not mtime)."""
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "idx")
+    ivf_index_ensure(emb, idx, n_centroids=16)
+    assert ivf_index_is_fresh(spark, emb, idx, 16)
+    shrunk = emb.filter(F.col("vec_id") % 2 == 0)
+    assert not ivf_index_is_fresh(spark, shrunk, idx, 16)
+    # param drift also invalidates
+    assert not ivf_index_is_fresh(spark, emb, idx, 32)
+    ivf_index_ensure(shrunk, idx, n_centroids=16)
+    assert ivf_index_is_fresh(spark, shrunk, idx, 16)
+    got = ivf_persisted_topk(
+        spark, idx, shrunk.filter(F.col("vec_id") < 5), k=3, nprobe=4
+    )
+    want = ivf_topk(
+        shrunk, shrunk.filter(F.col("vec_id") < 5), k=3,
+        n_centroids=16, nprobe=4,
+    )
+    assert _rows(got) == _rows(want)

@@ -1024,10 +1024,16 @@ def test_bloom_semi_join_exact_and_pruning(spark):
     )
     assert got == exact
 
-    # measure the prefilter alone: strip the verify join off the plan by
-    # rebuilding just the bloom-test stage (same operator, build == all
-    # keys would pass everything; here selectivity is ~0.25%)
-    import re as _re
+    # measure the prefilter alone (the bitmap-test stage, no verify
+    # join): survivors must cover every true match yet be a small
+    # fraction of the 20k probe — build has 51 keys, so even with Bloom
+    # false positives the bitmap should kill >95% of probe rows
+    from real_time_trip_processing_spark.operators.joins import (
+        _bloom_prefilter,
+    )
+
+    survivors = _bloom_prefilter(probe, build, "pk", "bk").count()
+    assert len(exact) <= survivors < 1000, survivors
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the bitmap rides as a broadcast nested-loop join of a 1-row frame

@@ -122,6 +122,23 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
         timed("sim_ivf_topk", size,
               lambda: ivf_topk(corpus, queries, k=10,
                                n_centroids=256, nprobe=8))
+        # Persisted IVF: build once (assignment + quantization + the
+        # partitioned write — the cost sim_ivf_topk pays per query),
+        # then serve from probed cells only. The amortization claim:
+        # serve-time << build-time, and serve scan-bytes ~ nprobe/256.
+        from real_time_trip_processing_spark.functions.ivf_index import (
+            ivf_index_build, ivf_persisted_topk,
+        )
+        idx_dir = os.path.join(os.path.dirname(OUT), f"ivf_idx_{size}")
+        t0 = time.monotonic()
+        ivf_index_build(corpus, idx_dir, n_centroids=256)
+        build_s = round(time.monotonic() - t0, 2)
+        results.setdefault("ivf_index_build", {})[str(size)] = {"sec": build_s}
+        print(f"  {'ivf_index_build':24s} n={size:>9,d}  {build_s:7.2f}s",
+              flush=True)
+        timed("sim_ivf_persisted_serve", size,
+              lambda: ivf_persisted_topk(spark, idx_dir, queries,
+                                         k=10, nprobe=8))
         # ANN JOIN: query side = every 50th corpus row (size/50 queries
         # — far beyond broadcast discipline), corpus = the rest.
         # n_centroids ≈ √N per the IVF sizing rule.
