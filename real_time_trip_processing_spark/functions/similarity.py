@@ -561,6 +561,7 @@ def ann_join_ivf(
     vec_col: str = "embedding",
     codebook: DataFrame | CentroidRows | None = None,
     impl: str = "cogroup",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """ANN JOIN — IVF top-k where the QUERY side is a full table, not a
     handful of broadcast probes (the retrieval-enrichment join: every
@@ -594,10 +595,20 @@ def ann_join_ivf(
 
     Scale discipline: candidate fan-out per query is
     N·nprobe/n_centroids — size n_centroids ~ √N (the IVF rule) so
-    buckets stay ~√N wide; a hot centroid is plain shuffle skew (AQE
-    splits the pairs flavor; the cogroup flavor bounds a group at
-    bucket width by construction). Centroids ride as a driver-resident
-    codebook (k × dim scalars, MLlib KMeans discipline).
+    buckets stay ~√N wide. A hot centroid is shuffle skew: the pairs
+    flavor leaves it to AQE's skew-join split, but the cogroup flavor's
+    group is atomic — one Python worker owns the whole bucket. Pass
+    ``max_bucket`` to bound that: bucket sizes are counted once
+    (≤ n_centroids rows collected — codebook discipline), any bucket
+    wider than ``max_bucket`` splits into ceil(width/max_bucket)
+    hash-salted sub-buckets (corpus rows pick ONE salt by id hash;
+    probing queries replicate to ALL that bucket's salts), and scoring
+    runs per (cent_id, salt). Results are bit-identical: every
+    (query, candidate) pair still meets exactly once, local top-k per
+    sub-bucket is exact under the strict (score desc, cand_id asc)
+    order, and the final window merges sub-bucket survivors. Centroids
+    ride as a driver-resident codebook (k × dim scalars, MLlib KMeans
+    discipline).
     """
     from ..operators.sorts import topk_per_group
 
@@ -663,9 +674,36 @@ def ann_join_ivf(
                 {"query_id": out_q, "cand_id": out_c, "score": out_s}
             )
 
+        group_keys = ["cent_id"]
+        if max_bucket is not None:
+            # Bounded collect: one count per centroid. Assignment is
+            # deterministic, so the sizes job and the main plan agree
+            # even though the kernel runs in both.
+            sizes = assigned.groupBy("cent_id").count().collect()
+            n_salts = {
+                int(r["cent_id"]): max(
+                    1, -(-int(r["count"]) // int(max_bucket))
+                )
+                for r in sizes
+            }
+            if any(v > 1 for v in n_salts.values()):
+                salt_map = F.create_map(
+                    *[F.lit(x) for cn_ in n_salts.items() for x in cn_]
+                )
+                width = F.coalesce(
+                    salt_map[F.col("cent_id")], F.lit(1)
+                ).cast("int")
+                assigned = assigned.withColumn(
+                    "_salt",
+                    F.pmod(F.xxhash64("cand_id"), width).cast("int"),
+                )
+                probes = probes.withColumn(
+                    "_salt", F.explode(F.sequence(F.lit(0), width - 1))
+                )
+                group_keys = ["cent_id", "_salt"]
         scored = (
-            assigned.groupby("cent_id")
-            .cogroup(probes.groupby("cent_id"))
+            assigned.groupby(*group_keys)
+            .cogroup(probes.groupby(*group_keys))
             .applyInPandas(score_bucket, schema)
         )
     else:

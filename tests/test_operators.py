@@ -1067,6 +1067,73 @@ def test_ann_join_ivf_flavors_bit_equal(spark):
     assert a.count() > 0
 
 
+def test_ann_join_ivf_salted_hot_bucket_bit_equal(spark):
+    """A hot centroid (here ~40% of the corpus clusters around one
+    codebook direction) would land on ONE cogroup worker; max_bucket
+    must split it into hash-salted sub-buckets WITHOUT changing a row —
+    every (query, candidate) pair still meets exactly once and the
+    final window merges sub-bucket top-ks."""
+    import math
+
+    from pyspark.sql import Row as R
+
+    from real_time_trip_processing_spark.functions.similarity import (
+        ann_join_ivf,
+        nearest_centroid_kernel,
+    )
+
+    dim = 8
+    rows = []
+    for i in range(600):
+        if i % 5 < 2:  # 40%: clustered near e0 (the hot centroid)
+            v = [1.0] + [0.01 * ((i * 7 + j) % 5 - 2) for j in range(dim - 1)]
+        else:  # spread across the other axes
+            v = [0.0] * dim
+            v[1 + (i % (dim - 1))] = 1.0
+            v[(i * 3) % dim] += 0.1
+        rows.append(R(vec_id=i, embedding=v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = [(c, [1.0 if j == c else 0.0 for j in range(dim)]) for c in range(4)]
+    corpus = df.filter(F.col("vec_id") % 3 != 0)
+    qs = df.filter(F.col("vec_id") % 3 == 0)
+
+    plain = ann_join_ivf(corpus, qs, k=3, nprobe=2, codebook=cb,
+                         impl="cogroup")
+    salted = ann_join_ivf(corpus, qs, k=3, nprobe=2, codebook=cb,
+                          impl="cogroup", max_bucket=40)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    assert salted.count() > 0
+
+    # the skew is real, and the salt bounds sub-bucket width
+    assign = nearest_centroid_kernel(cb)
+    sizes = {
+        r["cent_id"]: r["n"]
+        for r in corpus.select(assign(F.col("embedding")).alias("cent_id"))
+        .groupBy("cent_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot = max(sizes.values())
+    assert hot > 2 * 40, sizes  # one bucket far over max_bucket
+    widths = (
+        corpus.select(
+            F.col("vec_id").alias("cand_id"),
+            assign(F.col("embedding")).alias("cent_id"),
+        )
+        .withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64("cand_id"),
+                F.lit(math.ceil(hot / 40)),
+            ).cast("int"),
+        )
+        .groupBy("cent_id", "_salt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("cent_id") == max(sizes, key=sizes.get))
+        .collect()
+    )
+    assert max(r["n"] for r in widths) <= int(40 * 1.6), widths
+
+
 def test_gap_fill_null_valued_day_still_observed(spark):
     """A day whose last event carries a NULL value is an OBSERVED day
     (join-marker semantics); its value forward-fills past the null."""
