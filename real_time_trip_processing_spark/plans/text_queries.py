@@ -802,16 +802,21 @@ def keyword_search(spark, sf_dir):
              CAST(least(floor(n_chars / 100), 9) AS BIGINT) AS bucket
       FROM documents),
     c AS (SELECT split, bucket, COUNT(*) AS n FROM b GROUP BY 1, 2),
-    grid AS (SELECT s.split, CAST(b.range AS BIGINT) AS bucket
+    grid AS (SELECT s.split, CAST(b.bucket AS BIGINT) AS bucket
              FROM (SELECT 'ref' AS split UNION ALL SELECT 'cur') s
-             CROSS JOIN range(10) b),
+             CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9))
+                        AS b(bucket)),
     cd AS (SELECT g.split, g.bucket, COALESCE(c.n, 0) AS n
            FROM grid g LEFT JOIN c
              ON c.split = g.split AND c.bucket = g.bucket),
     t AS (SELECT split, SUM(n) AS tot FROM cd GROUP BY split),
     p AS (SELECT cd.bucket,
-                 MAX(CASE WHEN cd.split = 'ref' THEN (cd.n + 0.5) / (t.tot + 5.0) END) AS p_ref,
-                 MAX(CASE WHEN cd.split = 'cur' THEN (cd.n + 0.5) / (t.tot + 5.0) END) AS p_cur
+                 MAX(CASE WHEN cd.split = 'ref'
+                     THEN (CAST(cd.n AS DOUBLE) + 0.5)
+                          / (CAST(t.tot AS DOUBLE) + 5.0) END) AS p_ref,
+                 MAX(CASE WHEN cd.split = 'cur'
+                     THEN (CAST(cd.n AS DOUBLE) + 0.5)
+                          / (CAST(t.tot AS DOUBLE) + 5.0) END) AS p_cur
           FROM cd JOIN t ON t.split = cd.split
           GROUP BY cd.bucket)
     SELECT bucket,
