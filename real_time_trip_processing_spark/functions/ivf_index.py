@@ -54,6 +54,7 @@ from .similarity import (
 __all__ = [
     "ivf_index_build", "ivf_index_is_fresh", "ivf_index_ensure",
     "ivf_persisted_topk", "default_index_root",
+    "ivfpq_index_build", "ivfpq_index_ensure", "ivfpq_persisted_topk",
 ]
 
 
@@ -262,3 +263,143 @@ def ivf_persisted_topk(
         "query_id", "cand_id", F.round("score", 8).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ: coarse cells partition the layout, PQ codes compress
+# what's stored — the standard billion-vector serving layout (FAISS
+# IVF-PQ) with the build paid once.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index_build(
+    corpus: DataFrame,
+    index_dir: str,
+    books,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    codebook: DataFrame | CentroidRows | None = None,
+) -> dict:
+    """Build the persisted IVF-PQ index: ONE corpus scan runs the fused
+    assignment + PQ-encoding kernel (`pq.assign_encode_kernel` — the
+    vector crosses the Arrow boundary once), then one clustering
+    shuffle writes `(id, codes)` cells partitioned by ``cent_id``.
+    Stored bytes per vector: m codes (~m bytes) instead of dim floats —
+    the scan-volume win at serve time. The PQ codebooks are persisted
+    WITH the index so serving always scores codes with the books that
+    encoded them (training is a float fixpoint; a retrained book must
+    not meet old codes)."""
+    from .pq import assign_encode_kernel
+
+    spark = corpus.sparkSession
+    rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
+    kernel = assign_encode_kernel(rows, books, dim)
+    cells = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        kernel(F.col(vec_col).cast("array<double>")).alias("ae"),
+    ).select(
+        "cand_id",
+        F.col("ae.cent_id").alias("cent_id"),
+        F.col("ae.codes").alias("codes"),
+    )
+    cells.repartition(max(1, int(n_centroids)), "cent_id").write.partitionBy(
+        "cent_id"
+    ).mode("overwrite").parquet(os.path.join(index_dir, "cells_pq"))
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in rows],
+        "cent_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
+    spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in books[j][c]])
+            for j in range(len(books))
+            for c in range(len(books[j]))
+        ],
+        "subspace int, code int, centroid array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
+    n, s = _corpus_stats(corpus, id_col)
+    manifest = {
+        "n_rows": n, "id_sum": s, "n_centroids": int(n_centroids),
+        "dim": dim,
+    }
+    spark.createDataFrame(
+        [tuple(manifest.values())],
+        "n_rows long, id_sum long, n_centroids int, dim int",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+    return manifest
+
+
+def ivfpq_index_ensure(
+    corpus: DataFrame,
+    index_dir: str,
+    books_factory,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    codebook: DataFrame | CentroidRows | None = None,
+) -> str:
+    """Build iff absent/stale. ``books_factory`` is called ONLY when a
+    build actually runs (PQ training is the expensive step — a fresh
+    index must not pay it)."""
+    spark = corpus.sparkSession
+    if not ivf_index_is_fresh(spark, corpus, index_dir, n_centroids, id_col):
+        ivfpq_index_build(
+            corpus, index_dir, books_factory(), n_centroids,
+            id_col, vec_col, dim, codebook,
+        )
+    return index_dir
+
+
+def ivfpq_persisted_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve IVF-PQ top-k from the persisted layout: probe selection and
+    per-query ADC LUTs are computed driver-side from the STORED
+    codebooks (`pq.probe_luts` — same math as the in-query path), the
+    probed-cell union prunes the `cells_pq` scan at the parquet source,
+    and scoring is m codegen'd `element_at` lookups per row over the
+    stored codes — no embedding is ever read at serve time."""
+    from .pq import _adc_score, _rank_topk, probe_luts
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    rows: CentroidRows = [
+        (int(r["cent_id"]), list(r["centroid"])) for r in cent.collect()
+    ]
+    brows = spark.read.parquet(os.path.join(index_dir, "books")).collect()
+    m = 1 + max(r["subspace"] for r in brows)
+    kk = 1 + max(r["code"] for r in brows)
+    books = [[None] * kk for _ in range(m)]
+    for r in brows:
+        books[r["subspace"]][r["code"]] = list(r["centroid"])
+    dim = int(
+        spark.read.parquet(os.path.join(index_dir, "manifest"))
+        .collect()[0]["dim"]
+    )
+
+    q_rows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    lut_rows = probe_luts(rows, books, q_rows, nprobe, dim, id_col)
+    q_lut = spark.createDataFrame(
+        lut_rows,
+        "query_id LONG, cent_id INT, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
+    )
+    probed = sorted({r[1] for r in lut_rows})
+    cells = spark.read.parquet(os.path.join(index_dir, "cells_pq")).filter(
+        F.col("cent_id").isin(probed)  # partition pruning
+    )
+    scored = (
+        cells.join(F.broadcast(q_lut), "cent_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _adc_score(books).alias("score"))
+    )
+    return _rank_topk(scored, k)

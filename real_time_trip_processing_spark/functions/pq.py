@@ -265,21 +265,46 @@ def ivfpq_topk(
     buckets are ever scored. Scores for surviving pairs are IDENTICAL
     to the full-scan `pq_adc_topk` (same codes, same LUTs — pinned in
     tests)."""
-    from .similarity import (
-        _quant_codebook,
-        _quant_np,
-        _resolve_centroids,
-        nearest_centroid_kernel,
-    )
+    from .similarity import _resolve_centroids
 
     rows = _resolve_centroids(emb, codebook, n_centroids, id_col, vec_col)
+    corpus = emb.select(
+        F.col(id_col).alias("cand_id"),
+        assign_encode_kernel(rows, books, dim)(
+            F.col(vec_col).cast("array<double>")
+        ).alias("ae"),
+    ).select(
+        "cand_id",
+        F.col("ae.cent_id").alias("cent_id"),
+        F.col("ae.codes").alias("codes"),
+    )
 
-    # assignment + encoding FUSED into one struct-returning kernel: the
-    # vector column crosses the Arrow boundary once, not once per UDF
-    # (two separate pandas UDFs plan as two ArrowEvalPython stages,
-    # each re-shipping the full embedding column). Math is identical to
-    # nearest_centroid_kernel + _encode_kernel — pinned by
-    # test_ivfpq_scores_match_full_scan.
+    q_rows = queries.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).collect()
+    q_lut = emb.sparkSession.createDataFrame(
+        probe_luts(rows, books, q_rows, nprobe, dim, id_col),
+        "query_id LONG, cent_id INT, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
+    )
+
+    scored = (
+        corpus.join(F.broadcast(q_lut), "cent_id")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", _adc_score(books).alias("score"))
+    )
+    return _rank_topk(scored, k)
+
+
+def assign_encode_kernel(rows, books: SubCodebooks, dim: int):
+    """Assignment + encoding FUSED into one struct-returning kernel: the
+    vector column crosses the Arrow boundary once, not once per UDF
+    (two separate pandas UDFs plan as two ArrowEvalPython stages, each
+    re-shipping the full embedding column). Math is identical to
+    `similarity.nearest_centroid_kernel` + `_encode_kernel` — pinned by
+    test_ivfpq_scores_match_full_scan. Shared by the in-query
+    `ivfpq_topk` and the persisted-index build (`ivf_index`)."""
+    from .similarity import _quant_codebook, _quant_np
+
     qrows = _quant_codebook(rows)
     cids = np.array([c for c, _, _ in qrows], dtype=np.int64)
     ct = np.array([q for _, q, _ in qrows], dtype=np.float64).T  # dim × k
@@ -304,26 +329,25 @@ def ivfpq_topk(
             codes[:, j] = np.argmin(d, axis=1)
         return pd.DataFrame({"cent_id": cent, "codes": list(codes)})
 
-    corpus = emb.select(
-        F.col(id_col).alias("cand_id"),
-        assign_encode(F.col(vec_col).cast("array<double>")).alias("ae"),
-    ).select(
-        "cand_id",
-        F.col("ae.cent_id").alias("cent_id"),
-        F.col("ae.codes").alias("codes"),
-    )
+    return assign_encode
 
-    # probe ranking uses the same quantized metric as corpus assignment
-    # so a query's probed buckets are the buckets its neighbors were
-    # assigned to (mixing exact and quantized metrics could disagree on
-    # knife-edge centroid boundaries)
+
+def probe_luts(
+    rows, books: SubCodebooks, q_rows, nprobe: int, dim: int,
+    id_col: str = "vec_id",
+) -> list[tuple]:
+    """(query_id, probed cent_id, q_norm, dot LUT) rows for the
+    broadcast query frame. Probe ranking uses the same quantized metric
+    as corpus assignment so a query's probed buckets are the buckets
+    its neighbors were assigned to (mixing exact and quantized metrics
+    could disagree on knife-edge centroid boundaries). Shared by the
+    in-query and persisted serve paths."""
+    from .similarity import _quant_codebook, _quant_np
+
     qcents = [
         (cid, np.asarray(q, dtype=np.float64), n)
         for cid, q, n in _quant_codebook(rows)
     ]
-    q_rows = queries.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
-    ).collect()
     lut_rows = []
     for qr in q_rows:
         qv = _quant_np([qr["v"]])[0]
@@ -335,14 +359,4 @@ def ivfpq_topk(
         q_norm, dot_lut = _query_lut(qr["v"], books, dim)
         for cid, _, _ in ranked[:nprobe]:
             lut_rows.append((qr[id_col], int(cid), q_norm, dot_lut))
-    q_lut = emb.sparkSession.createDataFrame(
-        lut_rows,
-        "query_id LONG, cent_id INT, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
-    )
-
-    scored = (
-        corpus.join(F.broadcast(q_lut), "cent_id")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", _adc_score(books).alias("score"))
-    )
-    return _rank_topk(scored, k)
+    return lut_rows

@@ -514,6 +514,15 @@ def sim_ivfpq_topk(spark, sf_dir):
     ivfpq = ivfpq_topk(
         emb, queries, books, k=3, n_centroids=8, nprobe=4
     ).select("query_id", "cand_id")
+    return _ivfpq_contract(emb, queries, ivfpq)
+
+
+def _ivfpq_contract(emb, queries, ivfpq):
+    """The deterministic IVF-PQ contract frame: every probe returns
+    exactly k results and each probe's approximate top-3 intersects the
+    exact brute-force top-10 (training is a float fixpoint, so raw
+    scores are not the declared result). Shared by the in-query and
+    persisted-index flavors."""
     exact = cosine_topk(emb, queries, k=10).select("query_id", "cand_id")
     hits = (
         ivfpq.join(exact, ["query_id", "cand_id"])
@@ -526,6 +535,46 @@ def sim_ivfpq_topk(spark, sf_dir):
         F.col("n_results").cast("long").alias("n_results"),
         (F.coalesce(F.col("hits"), F.lit(0)) >= 1).alias("quality_ok"),
     )
+
+
+@declare(
+    "sim_ivfpq_persisted",
+    oracle="""
+    SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
+           TRUE AS quality_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def sim_ivfpq_persisted(spark, sf_dir):
+    """X3 serving path for the COMPOSED index: IVF-PQ from a persisted
+    layout (functions/ivf_index.py) — codes cells partitioned by
+    cent_id (serve scans m-byte codes from probed cells only, never an
+    embedding), PQ codebooks stored WITH the index so codes are always
+    scored by the books that encoded them, content-addressed manifest
+    skipping rebuilds. PQ training (the expensive step) runs only when
+    a build actually happens. Same contract oracle as
+    `sim_ivfpq_topk`."""
+    import hashlib
+    import os
+
+    from ..functions.ivf_index import (
+        default_index_root, ivfpq_index_ensure, ivfpq_persisted_topk,
+    )
+    from ..functions.pq import pq_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = ivfpq_index_ensure(
+        emb,
+        os.path.join(default_index_root(), f"ivfpq_emb_{tag}_c8"),
+        books_factory=lambda: pq_train(emb, m=32, k=16, iters=2),
+        n_centroids=8,
+    )
+    ivfpq = ivfpq_persisted_topk(
+        spark, idx, queries, k=3, nprobe=4
+    ).select("query_id", "cand_id")
+    return _ivfpq_contract(emb, queries, ivfpq)
 
 
 @declare(

@@ -87,3 +87,28 @@ def test_manifest_staleness_forces_rebuild(spark, tmp_path):
         n_centroids=16, nprobe=4,
     )
     assert _rows(got) == _rows(want)
+
+
+def test_ivfpq_persisted_matches_in_query(spark, tmp_path):
+    """With the SAME trained books, the persisted IVF-PQ serve path must
+    equal ivfpq_topk row-for-row: stored codes + stored books = the
+    in-query kernel's codes + LUTs (float-fixpoint training is held
+    fixed by passing one books object to both)."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivfpq_index_build,
+        ivfpq_persisted_topk,
+    )
+    from real_time_trip_processing_spark.functions.pq import (
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(emb, m=8, k=16, iters=1)
+    idx = str(tmp_path / "pq_idx")
+    ivfpq_index_build(emb, idx, books, n_centroids=8)
+    got = ivfpq_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivfpq_topk(emb, queries, books, k=3, n_centroids=8, nprobe=4)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) == 15

@@ -484,3 +484,21 @@ def test_bloom_prefilter_sits_below_semi_join(spark):
     # in formatted explain the Filter node listing contains the test
     filt = [seg for seg in plan.split("\n\n") if "shiftright" in seg]
     assert filt, "bloom bit-test filter missing from the plan"
+
+
+def test_pack_sequences_no_single_task_stream_window(spark):
+    """The round-3 scale flaw, pinned closed: the prefix sum must never
+    run as Window.partitionBy(lang).orderBy(doc_id) over the full
+    stream (ONE task sorts an entire language). The big window
+    partitions by (lang, _bkt); the only lang-partitioned window runs
+    over the tiny per-bucket subtotal frame (ordered by _bkt, bounded
+    at n_buckets rows per stream)."""
+    import re as _re
+
+    plan = plan_of(spark, "pack_sequences")
+    # the hazardous shape: partition lang, order doc_id directly
+    assert not _re.search(r"windowspecdefinition\(lang#\d+, doc_id#", plan), plan
+    # the fixed shape: bucket in the partition spec ahead of doc_id
+    assert _re.search(
+        r"windowspecdefinition\(lang#\d+, _bkt#\d+, doc_id#", plan
+    ), plan
