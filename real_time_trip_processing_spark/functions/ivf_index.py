@@ -403,3 +403,58 @@ def ivfpq_persisted_topk(
         .select("query_id", "cand_id", _adc_score(books).alias("score"))
     )
     return _rank_topk(scored, k)
+
+
+def ivf_index_append(
+    corpus_delta: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental maintenance: assign + quantize ONLY the new vectors
+    against the index's STORED centroids and append them to their
+    cells; the existing corpus is never rescanned or rewritten. The
+    manifest advances by the delta's (count, id-sum), so a subsequent
+    `ivf_index_ensure` over the grown corpus sees a fresh index.
+
+    At 100 TB this is the difference between an O(delta) nightly append
+    and an O(corpus) rebuild; rebuild only when the codebook itself
+    must move (centroid drift), which the content-addressed manifest
+    does NOT hide — codebook choice is the caller's policy.
+
+    Serve-path equivalence with a from-scratch build over the union
+    corpus (same centroids) is test-pinned: append order cannot change
+    results because scoring is per-row and the final top-k orders by
+    the strict (score desc, cand_id asc) key.
+    """
+    spark = corpus_delta.sparkSession
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    rows: CentroidRows = [
+        (int(r["cent_id"]), list(r["centroid"])) for r in cent.collect()
+    ]
+    assign = nearest_centroid_kernel(rows)
+    cells = (
+        corpus_delta.select(
+            F.col(id_col),
+            quant_vec(F.col(vec_col)).alias("qv"),
+            assign(F.col(vec_col).cast("array<double>")).alias("cent_id"),
+        )
+        .withColumn("qn2", qdot(F.col("qv"), F.col("qv")))
+        .select(id_col, "qv", "qn2", "cent_id")
+    )
+    cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
+        "cent_id"
+    ).mode("append").parquet(os.path.join(index_dir, "cells"))
+    old = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
+    dn, ds = _corpus_stats(corpus_delta, id_col)
+    manifest = {
+        "n_rows": int(old["n_rows"]) + dn,
+        "id_sum": int(old["id_sum"]) + ds,
+        "n_centroids": int(old["n_centroids"]),
+        "dim": int(old["dim"]),
+    }
+    spark.createDataFrame(
+        [tuple(manifest.values())],
+        "n_rows long, id_sum long, n_centroids int, dim int",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+    return manifest

@@ -112,3 +112,35 @@ def test_ivfpq_persisted_matches_in_query(spark, tmp_path):
     want = ivfpq_topk(emb, queries, books, k=3, n_centroids=8, nprobe=4)
     assert _rows(got) == _rows(want)
     assert len(_rows(got)) == 15
+
+
+def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
+    """Grow-by-append: build on the first half of the corpus, append the
+    second half; serving must equal both (a) a from-scratch build over
+    the union with the same centroids and (b) the in-query ivf_topk —
+    and the advanced manifest must mark the grown index fresh (no
+    rebuild on the next ensure)."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_append,
+        ivf_index_is_fresh,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)     # holds centroid ids 0..15
+    delta = emb.filter(F.col("vec_id") >= 60)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = [(int(r[0]), list(r[1])) for r in base.filter(F.col("vec_id") < 16)
+          .select("vec_id", F.col("embedding").cast("array<double>")).collect()]
+
+    idx = str(tmp_path / "grow")
+    ivf_index_build(base, idx, n_centroids=16, codebook=cb)
+    assert not ivf_index_is_fresh(spark, emb, idx, 16)
+    ivf_index_append(delta, idx)
+    assert ivf_index_is_fresh(spark, emb, idx, 16)
+
+    full_idx = str(tmp_path / "full")
+    ivf_index_build(emb, full_idx, n_centroids=16, codebook=cb)
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivf_persisted_topk(spark, full_idx, queries, k=3, nprobe=4)
+    inq = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4, codebook=cb)
+    assert _rows(got) == _rows(want) == _rows(inq)
