@@ -12,9 +12,15 @@ integer vectors with one BLAS matmul per Arrow batch.
 
 Layout under ``index_dir``::
 
-    cells/cent_id=<c>/*.parquet   (id, qv array<long>, qn2 long)
-    centroids/*.parquet           (cent_id int, centroid array<double>)
-    manifest/*.parquet            (n_rows, id_sum, n_centroids, dim)
+    cells/cent_id=<c>/*.parquet    (id, qv array<long>, qn2 long)
+    cells_pq/cent_id=<c>/*.parquet (id, codes array<int>) — IVF-PQ flavor
+    centroids/*.parquet            (cent_id int, centroid array<double>)
+    books/*.parquet                (subspace, code, centroid) — PQ books
+    manifest/*.parquet             (n_rows, id_sum, n_centroids, dim)
+
+Lifecycle: `*_build` (full), `ivf_index_append` (O(delta) growth —
+assign the delta against stored centroids, append to cells, advance
+the manifest), `*_ensure` (content-addressed skip/rebuild).
 
 ``qv`` is the shared SRP_QUANT integer quantization and ``qn2`` the
 exact integer squared norm, so serve-time scores are bit-identical to
@@ -53,8 +59,9 @@ from .similarity import (
 
 __all__ = [
     "ivf_index_build", "ivf_index_is_fresh", "ivf_index_ensure",
-    "ivf_persisted_topk", "default_index_root",
+    "ivf_index_append", "ivf_persisted_topk", "default_index_root",
     "ivfpq_index_build", "ivfpq_index_ensure", "ivfpq_persisted_topk",
+    "ann_join_persisted",
 ]
 
 
@@ -458,3 +465,98 @@ def ivf_index_append(
         "n_rows long, id_sum long, n_centroids int, dim int",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
     return manifest
+
+
+def ann_join_persisted(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN JOIN served from the persisted index — the full-table query
+    shape (`similarity.ann_join_ivf`) with the corpus side's assignment
+    and quantization already paid by the build.
+
+    Query rows take their nprobe buckets IN-ROW against the stored
+    codebook (JVM probe explosion, no collect of the query side); the
+    bucket meeting is the same cogroup as `ann_join_ivf`, except the
+    left side streams STORED `(qv, qn2)` integers out of the cells
+    layout instead of re-quantizing raw vectors. Bit-identical to
+    `ann_join_ivf` with the stored codebook (same assignment kernel at
+    build time, same integer scores, same strict top-k order) —
+    test-pinned.
+    """
+    from ..operators.sorts import topk_per_group
+    from .similarity import (
+        _qcent_literals,
+        centroid_scores,
+        qnorm,
+    )
+
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    rows: CentroidRows = [
+        (int(r["cent_id"]), list(r["centroid"])) for r in cent.collect()
+    ]
+    _, cid_arr, _ = _qcent_literals(rows)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        quant_vec(F.col(vec_col)).alias("q_qv"),
+    ).withColumn("q_qn", qnorm(F.col("q_qv")))
+    probe_pairs = F.zip_with(
+        centroid_scores(F.col("q_qv"), F.col("q_qn"), rows),
+        cid_arr,
+        lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
+    )
+    probes = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
+    ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
+
+    cells = spark.read.parquet(os.path.join(index_dir, "cells")).select(
+        F.col(id_col).alias("cand_id"), "qv", "qn2", "cent_id"
+    )
+    id_type = dict(cells.dtypes)["cand_id"]
+    schema = f"query_id {id_type}, cand_id {id_type}, score double"
+
+    def score_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "cand_id": [], "score": []})
+        C = np.stack([np.asarray(v, dtype=np.float64) for v in left["qv"]])
+        cn = np.sqrt(left["qn2"].to_numpy().astype(np.float64))
+        Q = _quant_np(right["q_vec"])
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        sc = (Q @ C.T) / (qn[:, None] * cn[None, :])
+        cids = left["cand_id"].to_numpy()
+        qids = right["query_id"].to_numpy()
+        out_q, out_c, out_s = [], [], []
+        for j in range(len(qids)):
+            m = cids != qids[j]
+            if not m.any():
+                continue
+            idx = np.flatnonzero(m)
+            take = idx[np.lexsort((cids[idx], -sc[j, idx]))[:k]]
+            out_q.extend([qids[j]] * len(take))
+            out_c.extend(cids[take])
+            out_s.extend(sc[j, take])
+        return pd.DataFrame(
+            {"query_id": out_q, "cand_id": out_c, "score": out_s}
+        )
+
+    scored = (
+        cells.groupby("cent_id")
+        .cogroup(probes.groupby("cent_id"))
+        .applyInPandas(score_bucket, schema)
+    )
+    top = topk_per_group(
+        scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k
+    )
+    return top.select(
+        "query_id", "cand_id", F.round("score", 8).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -874,9 +874,10 @@ def embedding_norm_stats(spark, sf_dir):
     )
 
 
-@declare(
-    "ann_join_ivf",
-    oracle=f"""
+#: shared by ann_join_ivf and ann_join_persisted — the persisted-cells
+#: serve path is bit-identical by construction (same stored codebook,
+#: same integer scores), so both declare the SAME DuckDB replay.
+_ANN_JOIN_ORACLE = f"""
     WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
          cent AS (SELECT vec_id AS cent_id, qv AS cv
                   FROM qn WHERE vec_id % 2 = 0 AND vec_id < 32),
@@ -900,8 +901,10 @@ def embedding_norm_stats(spark, sf_dir):
                FROM s)
     SELECT query_id, cand_id, ROUND(score, 8) AS score, CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= 3
-    """,
-)
+    """
+
+
+@declare("ann_join_ivf", oracle=_ANN_JOIN_ORACLE)
 def ann_join_ivf(spark, sf_dir):
     """ANN JOIN — retrieval enrichment where the query side is a full
     table (every odd-id vector finds its top-3 even-id neighbors), not
@@ -924,6 +927,39 @@ def ann_join_ivf(spark, sf_dir):
         k=3,
         nprobe=4,
         codebook=codebook,
+    )
+
+
+@declare("ann_join_persisted", oracle=_ANN_JOIN_ORACLE)
+def ann_join_persisted_q(spark, sf_dir):
+    """The same full-table ANN join served from the PERSISTED cells
+    (functions/ivf_index.ann_join_persisted): the corpus side's
+    assignment + quantization were paid at build time; query rows take
+    their probe buckets in-row against the stored codebook and meet the
+    stored integer cells in the cogroup. Bit-identical to
+    `ann_join_ivf` (same oracle, hash-adjudicated)."""
+    import hashlib
+    import os
+
+    from ..functions.ivf_index import (
+        ann_join_persisted, default_index_root, ivf_index_ensure,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    codebook = corpus.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = ivf_index_ensure(
+        corpus,
+        os.path.join(default_index_root(), f"ivf_even_{tag}_c16"),
+        n_centroids=16,
+        codebook=codebook,
+    )
+    return ann_join_persisted(
+        spark, idx, emb.filter(F.col("vec_id") % 2 == 1), k=3, nprobe=4
     )
 
 

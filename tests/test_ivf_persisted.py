@@ -144,3 +144,28 @@ def test_ivf_index_append_equals_full_rebuild(spark, tmp_path):
     want = ivf_persisted_topk(spark, full_idx, queries, k=3, nprobe=4)
     inq = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4, codebook=cb)
     assert _rows(got) == _rows(want) == _rows(inq)
+
+
+def test_ann_join_persisted_matches_in_query(spark, tmp_path):
+    """Full-table ANN join served from the persisted cells must equal
+    ann_join_ivf with the same (stored) codebook — stored (qv, qn2)
+    integers are the same ints the in-query kernel derives."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ann_join_persisted,
+    )
+    from real_time_trip_processing_spark.functions.similarity import (
+        ann_join_ivf,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") % 2 == 1)
+    cb = [(int(r[0]), list(r[1]))
+          for r in corpus.filter(F.col("vec_id") < 32)
+          .select("vec_id", F.col("embedding").cast("array<double>")).collect()]
+    idx = str(tmp_path / "ajidx")
+    ivf_index_build(corpus, idx, n_centroids=16, codebook=cb)
+    got = ann_join_persisted(spark, idx, queries, k=3, nprobe=4)
+    want = ann_join_ivf(corpus, queries, k=3, nprobe=4, codebook=cb)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
