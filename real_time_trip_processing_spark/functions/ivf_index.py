@@ -61,6 +61,7 @@ __all__ = [
     "ivf_index_build", "ivf_index_is_fresh", "ivf_index_ensure",
     "ivf_index_append", "ivf_persisted_topk", "default_index_root",
     "ivfpq_index_build", "ivfpq_index_ensure", "ivfpq_persisted_topk",
+    "ivfpq_index_append",
     "ann_join_persisted",
 ]
 
@@ -560,3 +561,58 @@ def ann_join_persisted(
         "query_id", "cand_id", F.round("score", 8).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def ivfpq_index_append(
+    corpus_delta: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Grow-by-append for the IVF-PQ layout: the delta is assigned and
+    PQ-encoded against the STORED centroids and STORED books (never a
+    retrained book — old codes and new codes must share their decoder),
+    appended to `cells_pq`, and the manifest advances. O(delta), like
+    `ivf_index_append`."""
+    from .pq import assign_encode_kernel
+
+    spark = corpus_delta.sparkSession
+    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
+    rows: CentroidRows = [
+        (int(r["cent_id"]), list(r["centroid"])) for r in cent.collect()
+    ]
+    brows = spark.read.parquet(os.path.join(index_dir, "books")).collect()
+    m = 1 + max(r["subspace"] for r in brows)
+    kk = 1 + max(r["code"] for r in brows)
+    books = [[None] * kk for _ in range(m)]
+    for r in brows:
+        books[r["subspace"]][r["code"]] = list(r["centroid"])
+    dim = int(
+        spark.read.parquet(os.path.join(index_dir, "manifest"))
+        .collect()[0]["dim"]
+    )
+    kernel = assign_encode_kernel(rows, books, dim)
+    cells = corpus_delta.select(
+        F.col(id_col).alias("cand_id"),
+        kernel(F.col(vec_col).cast("array<double>")).alias("ae"),
+    ).select(
+        "cand_id",
+        F.col("ae.cent_id").alias("cent_id"),
+        F.col("ae.codes").alias("codes"),
+    )
+    cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
+        "cent_id"
+    ).mode("append").parquet(os.path.join(index_dir, "cells_pq"))
+    old = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
+    dn, ds = _corpus_stats(corpus_delta, id_col)
+    manifest = {
+        "n_rows": int(old["n_rows"]) + dn,
+        "id_sum": int(old["id_sum"]) + ds,
+        "n_centroids": int(old["n_centroids"]),
+        "dim": dim,
+    }
+    spark.createDataFrame(
+        [tuple(manifest.values())],
+        "n_rows long, id_sum long, n_centroids int, dim int",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+    return manifest

@@ -169,3 +169,33 @@ def test_ann_join_persisted_matches_in_query(spark, tmp_path):
     want = ann_join_ivf(corpus, queries, k=3, nprobe=4, codebook=cb)
     assert _rows(got) == _rows(want)
     assert len(_rows(got)) > 0
+
+
+def test_ivfpq_index_append_equals_full_rebuild(spark, tmp_path):
+    """IVF-PQ grow-by-append: the delta is encoded with the STORED
+    books, so build(half) + append(half) serves identically to a
+    from-scratch build over the union with the same books."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivfpq_index_append,
+        ivfpq_index_build,
+        ivfpq_persisted_topk,
+    )
+    from real_time_trip_processing_spark.functions.pq import pq_train
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    delta = emb.filter(F.col("vec_id") >= 60)
+    queries = emb.filter(F.col("vec_id") < 5)
+    books = pq_train(base, m=8, k=16, iters=1)
+
+    idx = str(tmp_path / "pq_grow")
+    ivfpq_index_build(base, idx, books, n_centroids=8)
+    ivfpq_index_append(delta, idx)
+    full_idx = str(tmp_path / "pq_full")
+    cb = [(int(r[0]), list(r[1])) for r in base.filter(F.col("vec_id") < 8)
+          .select("vec_id", F.col("embedding").cast("array<double>")).collect()]
+    ivfpq_index_build(emb, full_idx, books, n_centroids=8, codebook=cb)
+    got = ivfpq_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivfpq_persisted_topk(spark, full_idx, queries, k=3, nprobe=4)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) == 15
