@@ -20,11 +20,13 @@ really computes the same thing). A twin that passes only via the
 bridge is still a real twin — same query, same values, different
 surface spelling — and the per-query mode is visible in the test id.
 
-Oracles using constructs Spark genuinely lacks (DuckDB ``ASOF JOIN``,
-list comprehensions, hex-string→BIGINT casts, ``regexp_replace`` 'g'
-flags inside token counting, per-engine datetime format languages) are
-recorded as skips with the engine error — the honest boundary of the
-twin claim. A query that PARSES but returns different values is a real
+The four remaining skips are constructs Spark genuinely lacks:
+DuckDB's ``ASOF JOIN`` (the reason `operators/asof.py` exists),
+recursive CTEs whose fixpoint uses ``UNION``-dedup (Spark 4 requires
+``UNION ALL`` — the dedup IS the clustering algorithm), and the
+parallel-unnest-over-comprehensions-with-struct_pack zip in
+`chunk_documents`. Each is recorded as a skip with the engine error —
+the honest boundary of the twin claim. A query that PARSES but returns different values is a real
 failure unless listed in EXPECTED_DIVERGENT with a documented
 engine-semantics reason.
 """
@@ -98,6 +100,59 @@ def _split_top_level(args: str) -> list[str]:
     return parts
 
 
+def _rewrite_index_ops(e: str) -> str:
+    e = re.sub(
+        r"(\w+)\[(\w+):\2\+(\d+)\]",
+        lambda m: f"slice({m.group(1)}, {m.group(2)}, {int(m.group(3)) + 1})",
+        e,
+    )
+    return re.sub(r"(\w+)\[(\w+(?:\+\d+)?)\]", r"element_at(\1, \2)", e)
+
+
+def _rewrite_comprehensions(sql: str) -> str:
+    out, i = [], 0
+    while True:
+        j = sql.find("[", i)
+        if j == -1:
+            out.append(sql[i:])
+            return "".join(out)
+        depth, k2 = 1, j + 1
+        while k2 < len(sql) and depth:
+            depth += sql[k2] == "["
+            depth -= sql[k2] == "]"
+            k2 += 1
+        body = sql[j + 1 : k2 - 1]
+        m = re.search(r"\sFOR\s+(\w+)\s+IN\s+range\(", body)
+        if not m:
+            # a bracketed all-string-literal list is an array literal
+            if re.fullmatch(r"\s*'[^']*'(\s*,\s*'[^']*')*\s*", body):
+                out.append(sql[i:j] + f"array({body})")
+            else:
+                out.append(sql[i:k2])
+            i = k2
+            continue
+        expr = _rewrite_index_ops(body[: m.start()].strip())
+        var = m.group(1)
+        depth2, p = 1, m.end()
+        while depth2:
+            depth2 += body[p] == "("
+            depth2 -= body[p] == ")"
+            p += 1
+        parts = _split_top_level(body[m.end() : p - 1])
+        if len(parts) != 2:
+            out.append(sql[i:k2])
+            i = k2
+            continue
+        lo, hi = parts
+        out.append(sql[i:j])
+        out.append(
+            f"transform(filter(sequence(({lo}), "
+            f"greatest(({hi}) - 1, ({lo}))), __s -> __s < ({hi})), "
+            f"{var} -> {expr})"
+        )
+        i = k2
+
+
 #: (duck spelling, spark spelling) — same function, different name.
 _RENAMES = [
     ("date_diff('day',", "date_diff(DAY,"),
@@ -106,6 +161,8 @@ _RENAMES = [
     ("list_distinct(", "array_distinct("),
     ("list_max(", "array_max("),
     ("list_sort(", "sort_array("),
+    ("list_intersect(", "array_intersect("),
+    ("list_filter(", "filter("),
     ("array_to_string(", "array_join("),
     # DuckDB integer division operator; `div` is Spark's
     (" // ", " div "),
@@ -133,6 +190,12 @@ def bridge_to_spark(sql: str) -> str:
     # 's'); DuckDB/ANSI strings keep it literal. Double them so regex
     # literals survive the Spark parser unchanged.
     sql = sql.replace("\\", "\\\\")
+    # DuckDB list comprehensions are Spark's transform over a sequence:
+    # [EXPR FOR i IN range(a, b)] → transform(sequence(a, (b)-1), i ->
+    # EXPR), with the body's 1-based-inclusive slice l[i:i+K] →
+    # slice(l, i, K+1) and index l[i] → element_at(l, i) (Spark's bare
+    # l[i] is 0-based — it must not survive the bridge).
+    sql = _rewrite_comprehensions(sql)
     # DuckDB's PARALLEL unnests zip (the posexplode idiom:
     # `unnest(v) AS x, unnest(range(1, len(v)+1)) AS j`); two Spark
     # explodes would cross-product, so this one maps structurally.
@@ -143,6 +206,15 @@ def bridge_to_spark(sql: str) -> str:
         r"FROM (SELECT \1, posexplode(\2) FROM \5)",
         sql,
     )
+    # same zip, generate_subscripts flavor: value + 1-based ordinal
+    sql = re.sub(
+        r"SELECT ([\w.]+),\s*unnest\((.+?)\) AS (\w+),\s*"
+        r"generate_subscripts\(\w+, 1\) AS (\w+)\s+FROM (\w+)",
+        r"SELECT \1, col AS \3, pos + 1 AS \4 "
+        r"FROM (SELECT \1, posexplode(\2) FROM \5)",
+        sql,
+        flags=re.S,
+    )
     for duck, spark_ in _RENAMES:
         sql = sql.replace(duck, spark_)
     sql = re.sub(r"\blen\(", "size(", sql)
@@ -151,6 +223,17 @@ def bridge_to_spark(sql: str) -> str:
         sql, "isinf", lambda a: f"(abs({a}) = CAST('Infinity' AS DOUBLE))"
     )
     sql = _rewrite_call(sql, "xor", lambda a: "({} ^ {})".format(*_split_top_level(a)))
+    # DuckDB's 1-arg encode(str) is UTF-8 str→blob; Spark needs the
+    # charset spelled out
+    sql = _rewrite_call(
+        sql,
+        "encode",
+        lambda a: (
+            f"encode({a}, 'UTF-8')"
+            if len(_split_top_level(a)) == 1
+            else f"encode({a})"
+        ),
+    )
     # locate's args are strpos's swapped; BIGINT keeps downstream
     # arithmetic out of ANSI int overflow (DuckDB promotes silently)
     sql = _rewrite_call(
@@ -174,7 +257,7 @@ def bridge_to_spark(sql: str) -> str:
 
     def _string_agg(a: str) -> str:
         # DuckDB in-call ORDER BY → Spark listagg WITHIN GROUP
-        m = re.match(r"(.+?), (.+?) ORDER BY (.+)$", a, re.S)
+        m = re.match(r"(.+?),\s*(.+?) ORDER BY (.+)$", a, re.S)
         if not m:
             return f"string_agg({a})"
         return (
@@ -253,13 +336,27 @@ def bridge_to_spark(sql: str) -> str:
     sql = re.sub(r"\b(FROM|JOIN)(\s+)range\(", r"\1\2__RANGE_TF__(", sql)
 
     def _range(a: str) -> str:
+        # duck range is EXCLUSIVE of stop and empty when stop <= start;
+        # Spark sequence is inclusive and auto-reverses — clamp the top
+        # at start and filter the overshoot so empties stay empty
         parts = _split_top_level(a)
         if len(parts) == 2:
-            return f"sequence({parts[0]}, ({parts[1]}) - 1)"
-        if len(parts) == 3:
+            lo, hi = parts
             return (
-                f"sequence({parts[0]}, ({parts[1]}) - ({parts[2]}),"
-                f" {parts[2]})"
+                f"filter(sequence(({lo}), greatest(({hi}) - 1, ({lo}))), "
+                f"__s -> __s < ({hi}))"
+            )
+        if len(parts) == 3:
+            # integer top is hi-1 (keeps the last sub-step value);
+            # timestamp top must subtract the STEP (hi - 1 is untyped)
+            lo, hi, st = parts
+            top = (
+                f"({hi}) - ({st})" if "INTERVAL" in st.upper()
+                else f"({hi}) - 1"
+            )
+            return (
+                f"filter(sequence(({lo}), greatest({top}, ({lo})), "
+                f"({st})), __s -> __s < ({hi}))"
             )
         return f"range({a})"
 
