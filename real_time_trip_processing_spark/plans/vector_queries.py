@@ -910,9 +910,12 @@ def ann_join_ivf(spark, sf_dir):
     table (every odd-id vector finds its top-3 even-id neighbors), not
     a broadcastable probe set. Both sides stay distributed: in-row
     centroid assignment on the corpus, in-row nprobe bucket explosion
-    on the queries, ONE cent_id equi-join (AQE skew-split handles hot
-    buckets), Arrow pair-kernel scoring — no collect of the query side
-    anywhere (functions/similarity.ann_join_ivf)."""
+    on the queries, cogrouped bucket matmuls — no collect of the query
+    side anywhere (functions/similarity.ann_join_ivf). ``max_bucket``
+    keeps the hot-centroid SALTING path on the driver's correctness
+    gate, not just unit-pinned: buckets wider than 50 rows split into
+    hash-salted sub-buckets, bit-identically (the oracle is the same
+    either way)."""
     from ..functions.similarity import ann_join_ivf as _aj
 
     emb = table(spark, sf_dir, "embeddings")
@@ -927,6 +930,7 @@ def ann_join_ivf(spark, sf_dir):
         k=3,
         nprobe=4,
         codebook=codebook,
+        max_bucket=50,
     )
 
 

@@ -336,3 +336,26 @@ def test_dataset_split_stable_under_corpus_growth(spark):
     a, b = split_of(small), split_of(big)
     assert all(b[k] == v for k, v in a.items())
     assert set(b.values()) == {"train", "val", "test"}
+
+
+def test_pack_sequences_string_ids_bucketed_equals_single(spark):
+    """The non-numeric id path: bucketing uses the byte-prefix proxy
+    (monotone under binary string order), so the bucketed prefix sum
+    must still be bit-identical to the single-window formulation."""
+    from pyspark.sql import Row
+
+    from real_time_trip_processing_spark.functions import curation as C
+
+    rows = [
+        Row(doc_id=f"doc_{i:04d}", text=" ".join(f"w{j}" for j in range(i % 7 + 1)),
+            lang=["en", "de"][i % 2])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    a = C.pack_sequences(df, budget=5, n_buckets=1)
+    b = C.pack_sequences(df, budget=5, n_buckets=4)
+    cols = ["doc_id", "lang", "n_tokens", "tok_offset", "seq_id"]
+    got_a = sorted(tuple(r) for r in a.select(cols).collect())
+    got_b = sorted(tuple(r) for r in b.select(cols).collect())
+    assert got_a == got_b
+    assert len(got_a) == 200
