@@ -353,7 +353,16 @@ def ivfpq_index_ensure(
     build actually runs (PQ training is the expensive step — a fresh
     index must not pay it)."""
     spark = corpus.sparkSession
-    if not ivf_index_is_fresh(spark, corpus, index_dir, n_centroids, id_col):
+    fresh = ivf_index_is_fresh(spark, corpus, index_dir, n_centroids, id_col)
+    if fresh:
+        # the shared manifest doesn't know WHICH layout was built —
+        # an IVF-only dir must not satisfy the IVF-PQ ensure
+        try:
+            spark.read.parquet(os.path.join(index_dir, "books")).first()
+            spark.read.parquet(os.path.join(index_dir, "cells_pq")).schema
+        except Exception:
+            fresh = False
+    if not fresh:
         ivfpq_index_build(
             corpus, index_dir, books_factory(), n_centroids,
             id_col, vec_col, dim, codebook,

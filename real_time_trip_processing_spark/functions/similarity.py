@@ -598,8 +598,9 @@ def ann_join_ivf(
     buckets stay ~√N wide. A hot centroid is shuffle skew: the pairs
     flavor leaves it to AQE's skew-join split, but the cogroup flavor's
     group is atomic — one Python worker owns the whole bucket. Pass
-    ``max_bucket`` to bound that: bucket sizes are counted once
-    (≤ n_centroids rows collected — codebook discipline), any bucket
+    ``max_bucket`` to bound that: one extra assignment pass over the
+    corpus counts bucket sizes (only ≤ n_centroids count rows ever
+    reach the driver — codebook discipline), any bucket
     wider than ``max_bucket`` splits into ceil(width/max_bucket)
     hash-salted sub-buckets (corpus rows pick ONE salt by id hash;
     probing queries replicate to ALL that bucket's salts), and scoring

@@ -12,7 +12,7 @@ Where the two engines have NO common spelling for the same function
 (``sha256`` vs ``sha2(x,256)``, ``epoch_us`` vs ``unix_micros``,
 ``unnest`` vs ``explode``, ``len`` vs ``size`` on lists, DuckDB's
 ``DOUBLE[]`` cast vs Spark's ``ARRAY<DOUBLE>``, …) the oracle cannot be
-a single intersection-dialect string. For those, ``DIALECT_BRIDGE``
+a single intersection-dialect string. For those, ``bridge_to_spark``
 applies a PURE-RENAME mapping — each rule swaps one engine's name for
 the other engine's name for the IDENTICAL function (no semantic
 rewrites; the value comparison below is what proves each bridged twin
