@@ -167,6 +167,11 @@ def pack_sequences(
 
     Precondition: ``(part_col, id_col)`` identifies rows uniquely —
     already required for the packing order itself to be well-defined.
+
+    The ledger cache is evictable (MEMORY_AND_DISK, deterministic to
+    recompute) but not auto-unpersisted — each call pins one narrow
+    cached frame for the session; long-lived sessions packing many
+    corpora should ``spark.catalog.clearCache()`` between jobs.
     """
     n_toks = token_count(F.col(text_col))
     if n_buckets <= 1:
@@ -187,20 +192,33 @@ def pack_sequences(
 
     numeric = (
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-        T.FloatType, T.DoubleType, T.DecimalType, T.DateType,
-        T.TimestampType,
+        T.FloatType, T.DoubleType, T.DecimalType, T.TimestampType,
     )
-    if isinstance(docs.schema[id_col].dataType, numeric):
+    id_type = docs.schema[id_col].dataType
+    if isinstance(id_type, numeric):
         proxy = F.col(id_col).cast("double")
+    elif isinstance(id_type, T.DateType):
+        # DATE has no direct DOUBLE cast — epoch-day count is monotone
+        proxy = F.unix_date(F.col(id_col)).cast("double")
     else:
         # Order-preserving numeric surrogate for non-numeric ids: the
-        # first 7 UTF-8 bytes as a base-16 integer is monotone
-        # non-decreasing under Spark's binary string collation; ids that
-        # collide on the prefix simply share a bucket (slightly uneven
-        # buckets, never a wrong offset).
+        # first 7 UTF-8 bytes as a base-16 integer, RIGHT-PADDED to a
+        # fixed 14 hex digits — without the pad, a short id's value
+        # ('b' → 0x62) compares against a longer id's higher-place
+        # digits ('ab' → 0x6162) and the proxy inverts binary string
+        # order. Padded, it is monotone non-decreasing under Spark's
+        # binary collation; ids that collide on the 7-byte prefix
+        # simply share a bucket (slightly uneven buckets, never a
+        # wrong offset).
         proxy = F.conv(
-            F.substring(
-                F.hex(F.encode(F.col(id_col).cast("string"), "UTF-8")), 1, 14
+            F.rpad(
+                F.substring(
+                    F.hex(F.encode(F.col(id_col).cast("string"), "UTF-8")),
+                    1,
+                    14,
+                ),
+                14,
+                "0",
             ),
             16,
             10,

@@ -74,14 +74,106 @@ def default_index_root() -> str:
     )
 
 
-def _corpus_stats(corpus: DataFrame, id_col: str) -> tuple[int, int]:
-    """Cheap content fingerprint: (row count, id sum) — one partial
-    aggregate over the id column only (no vectors move)."""
+def _corpus_stats(
+    corpus: DataFrame, id_col: str, vec_col: str = "embedding"
+) -> tuple[int, int]:
+    """Content fingerprint: (row count, Σ xxhash64(id ':' vector)) — one
+    partial-aggregated scan, no shuffle, additive over rows (so appends
+    can advance it by the delta alone). Hashing the VECTOR content, not
+    just ids, means a re-embedded corpus with unchanged ids correctly
+    reads as stale; hashing the id as a string works for any key type
+    (a long-cast would null string ids and degrade to count-only)."""
     r = corpus.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.col(id_col).cast("long")), F.lit(0)).alias("s"),
+        F.coalesce(
+            # DECIMAL(38,0) accumulation: a long sum of xxhash64 values
+            # overflows under ANSI mode
+            F.sum(
+                F.xxhash64(
+                    F.concat_ws(
+                        ":",
+                        F.col(id_col).cast("string"),
+                        F.col(vec_col).cast("array<double>").cast("string"),
+                    )
+                ).cast("decimal(38,0)")
+            ),
+            F.lit(0),
+        ).alias("s"),
     ).collect()[0]
-    return int(r["n"]), int(r["s"])
+    return int(r["n"]), int(r["s"]) % _FP_MOD
+
+
+#: fingerprint modulus — keeps the stored value a LONG while preserving
+#: additivity ((a+b) mod M == ((a mod M)+(b mod M)) mod M), which the
+#: append paths rely on.
+_FP_MOD = 2**61 - 1
+
+
+def _load_centroids(spark: SparkSession, index_dir: str) -> CentroidRows:
+    return [
+        (int(r["cent_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(
+            os.path.join(index_dir, "centroids")
+        ).collect()
+    ]
+
+
+def _load_books(spark: SparkSession, index_dir: str):
+    """(books, dim) from the persisted PQ codebooks + manifest."""
+    brows = spark.read.parquet(os.path.join(index_dir, "books")).collect()
+    m = 1 + max(r["subspace"] for r in brows)
+    kk = 1 + max(r["code"] for r in brows)
+    books = [[None] * kk for _ in range(m)]
+    for r in brows:
+        books[r["subspace"]][r["code"]] = list(r["centroid"])
+    dim = int(
+        spark.read.parquet(os.path.join(index_dir, "manifest"))
+        .collect()[0]["dim"]
+    )
+    return books, dim
+
+
+def _write_manifest(spark: SparkSession, index_dir: str, manifest: dict) -> None:
+    spark.createDataFrame(
+        [tuple(manifest.values())],
+        "n_rows long, fingerprint long, n_centroids int, dim int",
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+
+
+def _quant_cells_frame(
+    corpus: DataFrame, rows: CentroidRows, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, qv, qn2, cent_id) — the IVF cell rows; shared by build and
+    append so the two paths cannot drift."""
+    assign = nearest_centroid_kernel(rows)
+    return (
+        corpus.select(
+            F.col(id_col),
+            quant_vec(F.col(vec_col)).alias("qv"),
+            assign(F.col(vec_col).cast("array<double>")).alias("cent_id"),
+        )
+        .withColumn("qn2", qdot(F.col("qv"), F.col("qv")))
+        .select(id_col, "qv", "qn2", "cent_id")
+    )
+
+
+def _pq_cells_frame(
+    corpus: DataFrame, rows: CentroidRows, books, dim: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(cand_id, cent_id, codes) — the IVF-PQ cell rows; shared by
+    build and append."""
+    from .pq import assign_encode_kernel
+
+    kernel = assign_encode_kernel(rows, books, dim)
+    return corpus.select(
+        F.col(id_col).alias("cand_id"),
+        kernel(F.col(vec_col).cast("array<double>")).alias("ae"),
+    ).select(
+        "cand_id",
+        F.col("ae.cent_id").alias("cent_id"),
+        F.col("ae.codes").alias("codes"),
+    )
 
 
 def ivf_index_build(
@@ -102,16 +194,7 @@ def ivf_index_build(
     spark = corpus.sparkSession
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
     dim = len(rows[0][1]) if rows else 0
-    assign = nearest_centroid_kernel(rows)
-    cells = (
-        corpus.select(
-            F.col(id_col),
-            quant_vec(F.col(vec_col)).alias("qv"),
-            assign(F.col(vec_col).cast("array<double>")).alias("cent_id"),
-        )
-        .withColumn("qn2", qdot(F.col("qv"), F.col("qv")))
-        .select(id_col, "qv", "qn2", "cent_id")
-    )
+    cells = _quant_cells_frame(corpus, rows, id_col, vec_col)
     # One clustering shuffle at build time so each cell is ONE compact
     # file, not one-per-upstream-task (256 cells × 32 tasks = 8k tiny
     # files otherwise — measured to cost the serve path more than the
@@ -125,14 +208,12 @@ def ivf_index_build(
         [(int(c), [float(x) for x in v]) for c, v in rows],
         "cent_id int, centroid array<double>",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
-    n, s = _corpus_stats(corpus, id_col)
+    n, fp = _corpus_stats(corpus, id_col, vec_col)
     manifest = {
-        "n_rows": n, "id_sum": s, "n_centroids": int(n_centroids), "dim": dim,
+        "n_rows": n, "fingerprint": fp, "n_centroids": int(n_centroids),
+        "dim": dim,
     }
-    spark.createDataFrame(
-        [tuple(manifest.values())],
-        "n_rows long, id_sum long, n_centroids int, dim int",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+    _write_manifest(spark, index_dir, manifest)
     return manifest
 
 
@@ -142,20 +223,19 @@ def ivf_index_is_fresh(
     index_dir: str,
     n_centroids: int,
     id_col: str = "vec_id",
+    vec_col: str = "embedding",
 ) -> bool:
     """True iff a manifest exists and matches the live corpus's
-    (row count, id checksum, n_centroids) — content-addressed staleness
-    so regenerated testdata (or a grown corpus) forces a rebuild."""
+    (row count, id+vector content hash, n_centroids) — content-addressed
+    staleness, so regenerated testdata, a grown corpus, OR a
+    re-embedded corpus with unchanged ids all force a rebuild."""
     try:
         m = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
-    except Exception:
+        stored = (int(m["n_rows"]), int(m["fingerprint"]), int(m["n_centroids"]))
+    except Exception:  # missing dir OR a pre-fingerprint manifest layout
         return False
-    n, s = _corpus_stats(corpus, id_col)
-    return (
-        int(m["n_rows"]) == n
-        and int(m["id_sum"]) == s
-        and int(m["n_centroids"]) == int(n_centroids)
-    )
+    n, fp = _corpus_stats(corpus, id_col, vec_col)
+    return stored == (n, fp, int(n_centroids))
 
 
 def ivf_index_ensure(
@@ -168,7 +248,9 @@ def ivf_index_ensure(
 ) -> str:
     """Build the index iff absent or stale; returns ``index_dir``."""
     spark = corpus.sparkSession
-    if not ivf_index_is_fresh(spark, corpus, index_dir, n_centroids, id_col):
+    if not ivf_index_is_fresh(
+        spark, corpus, index_dir, n_centroids, id_col, vec_col
+    ):
         ivf_index_build(
             corpus, index_dir, n_centroids, id_col, vec_col, codebook
         )
@@ -198,10 +280,7 @@ def ivf_persisted_topk(
     """
     from ..operators.sorts import topk_per_group
 
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    rows: CentroidRows = [
-        (int(r["cent_id"]), list(r["centroid"])) for r in cent.collect()
-    ]
+    rows = _load_centroids(spark, index_dir)
     qrows = _quant_codebook(rows)  # cent_id-ascending
     ct = np.array([q for _, q, _ in qrows], dtype=np.float64).T  # dim × k
     cn = np.array([n for _, _, n in qrows])
@@ -299,19 +378,9 @@ def ivfpq_index_build(
     WITH the index so serving always scores codes with the books that
     encoded them (training is a float fixpoint; a retrained book must
     not meet old codes)."""
-    from .pq import assign_encode_kernel
-
     spark = corpus.sparkSession
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
-    kernel = assign_encode_kernel(rows, books, dim)
-    cells = corpus.select(
-        F.col(id_col).alias("cand_id"),
-        kernel(F.col(vec_col).cast("array<double>")).alias("ae"),
-    ).select(
-        "cand_id",
-        F.col("ae.cent_id").alias("cent_id"),
-        F.col("ae.codes").alias("codes"),
-    )
+    cells = _pq_cells_frame(corpus, rows, books, dim, id_col, vec_col)
     cells.repartition(max(1, int(n_centroids)), "cent_id").write.partitionBy(
         "cent_id"
     ).mode("overwrite").parquet(os.path.join(index_dir, "cells_pq"))
@@ -327,15 +396,12 @@ def ivfpq_index_build(
         ],
         "subspace int, code int, centroid array<double>",
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
-    n, s = _corpus_stats(corpus, id_col)
+    n, fp = _corpus_stats(corpus, id_col, vec_col)
     manifest = {
-        "n_rows": n, "id_sum": s, "n_centroids": int(n_centroids),
+        "n_rows": n, "fingerprint": fp, "n_centroids": int(n_centroids),
         "dim": dim,
     }
-    spark.createDataFrame(
-        [tuple(manifest.values())],
-        "n_rows long, id_sum long, n_centroids int, dim int",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+    _write_manifest(spark, index_dir, manifest)
     return manifest
 
 
@@ -348,18 +414,38 @@ def ivfpq_index_ensure(
     vec_col: str = "embedding",
     dim: int = 64,
     codebook: DataFrame | CentroidRows | None = None,
+    m: int | None = None,
+    k: int | None = None,
 ) -> str:
     """Build iff absent/stale. ``books_factory`` is called ONLY when a
     build actually runs (PQ training is the expensive step — a fresh
-    index must not pay it)."""
+    index must not pay it). Pass ``m``/``k`` to also invalidate when
+    the stored books' shape differs from what the caller's factory
+    would train (the factory itself can't be consulted without paying
+    the training)."""
     spark = corpus.sparkSession
-    fresh = ivf_index_is_fresh(spark, corpus, index_dir, n_centroids, id_col)
+    fresh = ivf_index_is_fresh(
+        spark, corpus, index_dir, n_centroids, id_col, vec_col
+    )
     if fresh:
         # the shared manifest doesn't know WHICH layout was built —
-        # an IVF-only dir must not satisfy the IVF-PQ ensure
+        # an IVF-only dir must not satisfy the IVF-PQ ensure; and the
+        # stored dim / books shape must match the caller's expectation
         try:
-            spark.read.parquet(os.path.join(index_dir, "books")).first()
+            mrow = spark.read.parquet(
+                os.path.join(index_dir, "manifest")
+            ).collect()[0]
+            if int(mrow["dim"]) != int(dim):
+                fresh = False
             spark.read.parquet(os.path.join(index_dir, "cells_pq")).schema
+            if fresh and (m is not None or k is not None):
+                books, _ = _load_books(spark, index_dir)
+                if m is not None and len(books) != m:
+                    fresh = False
+                if k is not None and books and len(books[0]) != k:
+                    fresh = False
+            elif fresh:
+                spark.read.parquet(os.path.join(index_dir, "books")).first()
         except Exception:
             fresh = False
     if not fresh:
@@ -387,32 +473,22 @@ def ivfpq_persisted_topk(
     stored codes — no embedding is ever read at serve time."""
     from .pq import _adc_score, _rank_topk, probe_luts
 
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    rows: CentroidRows = [
-        (int(r["cent_id"]), list(r["centroid"])) for r in cent.collect()
-    ]
-    brows = spark.read.parquet(os.path.join(index_dir, "books")).collect()
-    m = 1 + max(r["subspace"] for r in brows)
-    kk = 1 + max(r["code"] for r in brows)
-    books = [[None] * kk for _ in range(m)]
-    for r in brows:
-        books[r["subspace"]][r["code"]] = list(r["centroid"])
-    dim = int(
-        spark.read.parquet(os.path.join(index_dir, "manifest"))
-        .collect()[0]["dim"]
-    )
+    rows = _load_centroids(spark, index_dir)
+    books, dim = _load_books(spark, index_dir)
 
     q_rows = queries.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
     lut_rows = probe_luts(rows, books, q_rows, nprobe, dim, id_col)
-    q_lut = spark.createDataFrame(
-        lut_rows,
-        "query_id LONG, cent_id INT, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
-    )
     probed = sorted({r[1] for r in lut_rows})
     cells = spark.read.parquet(os.path.join(index_dir, "cells_pq")).filter(
         F.col("cent_id").isin(probed)  # partition pruning
+    )
+    id_type = dict(cells.dtypes)["cand_id"]  # not hard-coded: string ids work
+    q_lut = spark.createDataFrame(
+        lut_rows,
+        f"query_id {id_type}, cent_id INT, q_norm DOUBLE,"
+        " dot_lut ARRAY<ARRAY<DOUBLE>>",
     )
     scored = (
         cells.join(F.broadcast(q_lut), "cent_id")
@@ -431,7 +507,8 @@ def ivf_index_append(
     """Incremental maintenance: assign + quantize ONLY the new vectors
     against the index's STORED centroids and append them to their
     cells; the existing corpus is never rescanned or rewritten. The
-    manifest advances by the delta's (count, id-sum), so a subsequent
+    manifest advances by the delta's (count, content hash; the
+    fingerprint is additive over rows) — so a subsequent
     `ivf_index_ensure` over the grown corpus sees a fresh index.
 
     At 100 TB this is the difference between an O(delta) nightly append
@@ -445,35 +522,20 @@ def ivf_index_append(
     the strict (score desc, cand_id asc) key.
     """
     spark = corpus_delta.sparkSession
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    rows: CentroidRows = [
-        (int(r["cent_id"]), list(r["centroid"])) for r in cent.collect()
-    ]
-    assign = nearest_centroid_kernel(rows)
-    cells = (
-        corpus_delta.select(
-            F.col(id_col),
-            quant_vec(F.col(vec_col)).alias("qv"),
-            assign(F.col(vec_col).cast("array<double>")).alias("cent_id"),
-        )
-        .withColumn("qn2", qdot(F.col("qv"), F.col("qv")))
-        .select(id_col, "qv", "qn2", "cent_id")
-    )
+    rows = _load_centroids(spark, index_dir)
+    cells = _quant_cells_frame(corpus_delta, rows, id_col, vec_col)
     cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
         "cent_id"
     ).mode("append").parquet(os.path.join(index_dir, "cells"))
-    old = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
-    dn, ds = _corpus_stats(corpus_delta, id_col)
+    prev = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
+    dn, dfp = _corpus_stats(corpus_delta, id_col, vec_col)
     manifest = {
-        "n_rows": int(old["n_rows"]) + dn,
-        "id_sum": int(old["id_sum"]) + ds,
-        "n_centroids": int(old["n_centroids"]),
-        "dim": int(old["dim"]),
+        "n_rows": int(prev["n_rows"]) + dn,
+        "fingerprint": (int(prev["fingerprint"]) + dfp) % _FP_MOD,
+        "n_centroids": int(prev["n_centroids"]),
+        "dim": int(prev["dim"]),
     }
-    spark.createDataFrame(
-        [tuple(manifest.values())],
-        "n_rows long, id_sum long, n_centroids int, dim int",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+    _write_manifest(spark, index_dir, manifest)
     return manifest
 
 
@@ -506,10 +568,7 @@ def ann_join_persisted(
         qnorm,
     )
 
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    rows: CentroidRows = [
-        (int(r["cent_id"]), list(r["centroid"])) for r in cent.collect()
-    ]
+    rows = _load_centroids(spark, index_dir)
     _, cid_arr, _ = _qcent_literals(rows)
 
     q = queries.select(
@@ -583,45 +642,20 @@ def ivfpq_index_append(
     retrained book — old codes and new codes must share their decoder),
     appended to `cells_pq`, and the manifest advances. O(delta), like
     `ivf_index_append`."""
-    from .pq import assign_encode_kernel
-
     spark = corpus_delta.sparkSession
-    cent = spark.read.parquet(os.path.join(index_dir, "centroids"))
-    rows: CentroidRows = [
-        (int(r["cent_id"]), list(r["centroid"])) for r in cent.collect()
-    ]
-    brows = spark.read.parquet(os.path.join(index_dir, "books")).collect()
-    m = 1 + max(r["subspace"] for r in brows)
-    kk = 1 + max(r["code"] for r in brows)
-    books = [[None] * kk for _ in range(m)]
-    for r in brows:
-        books[r["subspace"]][r["code"]] = list(r["centroid"])
-    dim = int(
-        spark.read.parquet(os.path.join(index_dir, "manifest"))
-        .collect()[0]["dim"]
-    )
-    kernel = assign_encode_kernel(rows, books, dim)
-    cells = corpus_delta.select(
-        F.col(id_col).alias("cand_id"),
-        kernel(F.col(vec_col).cast("array<double>")).alias("ae"),
-    ).select(
-        "cand_id",
-        F.col("ae.cent_id").alias("cent_id"),
-        F.col("ae.codes").alias("codes"),
-    )
+    rows = _load_centroids(spark, index_dir)
+    books, dim = _load_books(spark, index_dir)
+    cells = _pq_cells_frame(corpus_delta, rows, books, dim, id_col, vec_col)
     cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
         "cent_id"
     ).mode("append").parquet(os.path.join(index_dir, "cells_pq"))
-    old = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
-    dn, ds = _corpus_stats(corpus_delta, id_col)
+    prev = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
+    dn, dfp = _corpus_stats(corpus_delta, id_col, vec_col)
     manifest = {
-        "n_rows": int(old["n_rows"]) + dn,
-        "id_sum": int(old["id_sum"]) + ds,
-        "n_centroids": int(old["n_centroids"]),
+        "n_rows": int(prev["n_rows"]) + dn,
+        "fingerprint": (int(prev["fingerprint"]) + dfp) % _FP_MOD,
+        "n_centroids": int(prev["n_centroids"]),
         "dim": dim,
     }
-    spark.createDataFrame(
-        [tuple(manifest.values())],
-        "n_rows long, id_sum long, n_centroids int, dim int",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+    _write_manifest(spark, index_dir, manifest)
     return manifest

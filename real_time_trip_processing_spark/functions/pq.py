@@ -173,12 +173,13 @@ def pq_adc_topk(
     q_rows = queries.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
+    id_type = dict(corpus_codes.dtypes)["cand_id"]
     q_lut = spark.createDataFrame(
         [
             (qr[id_col],) + _query_lut(qr["v"], books, dim)
             for qr in q_rows
         ],
-        "query_id LONG, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
+        f"query_id {id_type}, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
     )
     scored = (
         corpus_codes.crossJoin(F.broadcast(q_lut))
@@ -282,9 +283,11 @@ def ivfpq_topk(
     q_rows = queries.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
+    id_type = dict(emb.dtypes)[id_col]  # not hard-coded: string ids work
     q_lut = emb.sparkSession.createDataFrame(
         probe_luts(rows, books, q_rows, nprobe, dim, id_col),
-        "query_id LONG, cent_id INT, q_norm DOUBLE, dot_lut ARRAY<ARRAY<DOUBLE>>",
+        f"query_id {id_type}, cent_id INT, q_norm DOUBLE,"
+        " dot_lut ARRAY<ARRAY<DOUBLE>>",
     )
 
     scored = (

@@ -570,6 +570,8 @@ def sim_ivfpq_persisted(spark, sf_dir):
         os.path.join(default_index_root(), f"ivfpq_emb_{tag}_c8"),
         books_factory=lambda: pq_train(emb, m=32, k=16, iters=2),
         n_centroids=8,
+        m=32,
+        k=16,
     )
     ivfpq = ivfpq_persisted_topk(
         spark, idx, queries, k=3, nprobe=4

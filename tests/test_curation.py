@@ -359,3 +359,52 @@ def test_pack_sequences_string_ids_bucketed_equals_single(spark):
     got_b = sorted(tuple(r) for r in b.select(cols).collect())
     assert got_a == got_b
     assert len(got_a) == 200
+
+
+def test_pack_sequences_variable_length_string_ids(spark):
+    """The review-found monotonicity bug, pinned: VARIABLE-length ids
+    ('b' vs 'ab') invert an un-padded hex-prefix proxy ('b'→0x62 <
+    'ab'→0x6162 numerically, but 'ab' < 'b' in binary string order).
+    The rpad'ed proxy must keep the bucketed path bit-identical to the
+    single window."""
+    from pyspark.sql import Row
+
+    from real_time_trip_processing_spark.functions import curation as C
+
+    ids = ["a", "aaa", "ab", "b", "ba", "c", "ca", "cc", "d", "z", "za",
+           "zz", "m", "mm", "mmm", "x"]
+    rows = [
+        Row(doc_id=i, text=" ".join(f"w{j}" for j in range(n % 5 + 1)),
+            lang="en")
+        for n, i in enumerate(ids)
+    ]
+    df = spark.createDataFrame(rows)
+    cols = ["doc_id", "n_tokens", "tok_offset", "seq_id"]
+    a = sorted(tuple(r) for r in
+               C.pack_sequences(df, budget=3, n_buckets=1).select(cols).collect())
+    b = sorted(tuple(r) for r in
+               C.pack_sequences(df, budget=3, n_buckets=4).select(cols).collect())
+    assert a == b
+
+
+def test_pack_sequences_date_ids(spark):
+    """DateType id_col: the epoch-day proxy (DATE has no DOUBLE cast)
+    must bucket without error and match the single-window path."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from real_time_trip_processing_spark.functions import curation as C
+
+    rows = [
+        Row(doc_id=dt.date(2024, 1, 1) + dt.timedelta(days=i),
+            text=" ".join(f"w{j}" for j in range(i % 4 + 1)), lang="en")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    cols = ["doc_id", "n_tokens", "tok_offset", "seq_id"]
+    a = sorted(tuple(r) for r in
+               C.pack_sequences(df, budget=4, n_buckets=1).select(cols).collect())
+    b = sorted(tuple(r) for r in
+               C.pack_sequences(df, budget=4, n_buckets=3).select(cols).collect())
+    assert a == b
