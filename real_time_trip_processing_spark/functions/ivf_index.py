@@ -32,8 +32,9 @@ At 100 TB: the build is one scan + one partitioned write (each vector
 moves once, shuffled only by the partitioned-write's cent_id split);
 queries are `O(N · nprobe / n_centroids)` scan-bytes with pruning done
 by the parquet source, not a filter operator. The manifest makes
-rebuilds content-addressed: serve paths verify (row count, id
-checksum) against the live corpus and rebuild only on drift.
+rebuilds content-addressed: serve paths verify (row count, id+vector
+content hash) against the live corpus and rebuild only on drift —
+including a re-embedded corpus whose ids did not change.
 
 Reference parity: the reference has no vector surface; this extends
 the mandated training-data-pipeline layer (ANN serving path).
@@ -189,7 +190,7 @@ def ivf_index_build(
     quantizes it; one partitioned write lays the cells out by
     ``cent_id`` so serve-time probes become parquet partition pruning.
 
-    Returns the manifest dict (row count, id checksum, shape).
+    Returns the manifest dict (row count, content fingerprint, shape).
     """
     spark = corpus.sparkSession
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)

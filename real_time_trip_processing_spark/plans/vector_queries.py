@@ -306,7 +306,7 @@ def sim_ivf_persisted(spark, sf_dir):
     index (functions/ivf_index.py). The build step — assignment +
     quantization of every corpus vector, the part SCALE.md measured as
     dominating `sim_ivf_topk`'s wall — runs once (content-addressed: a
-    (row count, id checksum) manifest skips rebuilds until the corpus
+    (row count, id+vector content hash) manifest skips rebuilds until the corpus
     drifts) and lays cells out as parquet partitioned by cent_id;
     serving reads ONLY the probed cells via parquet partition pruning
     and scores stored integer vectors. Bit-identical to `sim_ivf_topk`
