@@ -16,7 +16,8 @@ Layout under ``index_dir``::
     cells_pq/cent_id=<c>/*.parquet (id, codes array<int>) — IVF-PQ flavor
     centroids/*.parquet            (cent_id int, centroid array<double>)
     books/*.parquet                (subspace, code, centroid) — PQ books
-    manifest/*.parquet             (n_rows, id_sum, n_centroids, dim)
+    manifest_ivf/*.parquet         per-layout freshness manifests
+    manifest_pq/*.parquet          (n_rows, fingerprint, n_centroids, dim)
 
 Lifecycle: `*_build` (full), `ivf_index_append` (O(delta) growth —
 assign the delta against stored centroids, append to cells, advance
@@ -119,26 +120,45 @@ def _load_centroids(spark: SparkSession, index_dir: str) -> CentroidRows:
     ]
 
 
-def _load_books(spark: SparkSession, index_dir: str):
-    """(books, dim) from the persisted PQ codebooks + manifest."""
+def _load_books(spark: SparkSession, index_dir: str, dim: int | None = None):
+    """(books, dim) from the persisted PQ codebooks (+ the PQ manifest
+    when the caller doesn't already hold ``dim``)."""
     brows = spark.read.parquet(os.path.join(index_dir, "books")).collect()
     m = 1 + max(r["subspace"] for r in brows)
     kk = 1 + max(r["code"] for r in brows)
     books = [[None] * kk for _ in range(m)]
     for r in brows:
         books[r["subspace"]][r["code"]] = list(r["centroid"])
-    dim = int(
-        spark.read.parquet(os.path.join(index_dir, "manifest"))
-        .collect()[0]["dim"]
-    )
+    if dim is None:
+        dim = int(_read_manifest(spark, index_dir, "pq")["dim"])
     return books, dim
 
 
-def _write_manifest(spark: SparkSession, index_dir: str, manifest: dict) -> None:
+def _manifest_path(index_dir: str, layout: str) -> str:
+    # one manifest PER LAYOUT: a dir holding both an IVF and an IVF-PQ
+    # index must track their freshness independently (an IVF rebuild
+    # must not vouch for stale PQ cells, and vice versa)
+    return os.path.join(index_dir, f"manifest_{layout}")
+
+
+def _read_manifest(spark: SparkSession, index_dir: str, layout: str):
+    return spark.read.parquet(_manifest_path(index_dir, layout)).collect()[0]
+
+
+def _write_manifest(
+    spark: SparkSession, index_dir: str, manifest: dict, layout: str
+) -> None:
     spark.createDataFrame(
-        [tuple(manifest.values())],
+        # explicit by-name tuple: positional values() would silently
+        # mis-map columns if a caller's dict order ever drifted
+        [(
+            int(manifest["n_rows"]),
+            int(manifest["fingerprint"]),
+            int(manifest["n_centroids"]),
+            int(manifest["dim"]),
+        )],
         "n_rows long, fingerprint long, n_centroids int, dim int",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "manifest"))
+    ).write.mode("overwrite").parquet(_manifest_path(index_dir, layout))
 
 
 def _quant_cells_frame(
@@ -214,7 +234,7 @@ def ivf_index_build(
         "n_rows": n, "fingerprint": fp, "n_centroids": int(n_centroids),
         "dim": dim,
     }
-    _write_manifest(spark, index_dir, manifest)
+    _write_manifest(spark, index_dir, manifest, "ivf")
     return manifest
 
 
@@ -225,13 +245,16 @@ def ivf_index_is_fresh(
     n_centroids: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    layout: str = "ivf",
 ) -> bool:
-    """True iff a manifest exists and matches the live corpus's
-    (row count, id+vector content hash, n_centroids) — content-addressed
-    staleness, so regenerated testdata, a grown corpus, OR a
-    re-embedded corpus with unchanged ids all force a rebuild."""
+    """True iff THIS LAYOUT's manifest exists and matches the live
+    corpus's (row count, id+vector content hash, n_centroids) —
+    content-addressed staleness, so regenerated testdata, a grown
+    corpus, OR a re-embedded corpus with unchanged ids all force a
+    rebuild. Per-layout manifests mean an IVF rebuild never vouches
+    for the PQ cells (or vice versa)."""
     try:
-        m = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
+        m = _read_manifest(spark, index_dir, layout)
         stored = (int(m["n_rows"]), int(m["fingerprint"]), int(m["n_centroids"]))
     except Exception:  # missing dir OR a pre-fingerprint manifest layout
         return False
@@ -402,7 +425,7 @@ def ivfpq_index_build(
         "n_rows": n, "fingerprint": fp, "n_centroids": int(n_centroids),
         "dim": dim,
     }
-    _write_manifest(spark, index_dir, manifest)
+    _write_manifest(spark, index_dir, manifest, "pq")
     return manifest
 
 
@@ -425,30 +448,25 @@ def ivfpq_index_ensure(
     would train (the factory itself can't be consulted without paying
     the training)."""
     spark = corpus.sparkSession
-    fresh = ivf_index_is_fresh(
-        spark, corpus, index_dir, n_centroids, id_col, vec_col
-    )
-    if fresh:
-        # the shared manifest doesn't know WHICH layout was built —
-        # an IVF-only dir must not satisfy the IVF-PQ ensure; and the
-        # stored dim / books shape must match the caller's expectation
-        try:
-            mrow = spark.read.parquet(
-                os.path.join(index_dir, "manifest")
-            ).collect()[0]
-            if int(mrow["dim"]) != int(dim):
+    # ONE manifest read covers existence, layout (the PQ manifest is
+    # written only by the PQ build) and the stored dim; corpus parity
+    # and books shape follow
+    fresh = False
+    try:
+        mrow = _read_manifest(spark, index_dir, "pq")
+        if int(mrow["dim"]) == int(dim) and int(
+            mrow["n_centroids"]
+        ) == int(n_centroids):
+            n, fp = _corpus_stats(corpus, id_col, vec_col)
+            fresh = (int(mrow["n_rows"]), int(mrow["fingerprint"])) == (n, fp)
+        if fresh and (m is not None or k is not None):
+            books, _ = _load_books(spark, index_dir, dim)
+            if m is not None and len(books) != m:
                 fresh = False
-            spark.read.parquet(os.path.join(index_dir, "cells_pq")).schema
-            if fresh and (m is not None or k is not None):
-                books, _ = _load_books(spark, index_dir)
-                if m is not None and len(books) != m:
-                    fresh = False
-                if k is not None and books and len(books[0]) != k:
-                    fresh = False
-            elif fresh:
-                spark.read.parquet(os.path.join(index_dir, "books")).first()
-        except Exception:
-            fresh = False
+            if k is not None and books and len(books[0]) != k:
+                fresh = False
+    except Exception:
+        fresh = False
     if not fresh:
         ivfpq_index_build(
             corpus, index_dir, books_factory(), n_centroids,
@@ -523,12 +541,16 @@ def ivf_index_append(
     the strict (score desc, cand_id asc) key.
     """
     spark = corpus_delta.sparkSession
+    # read + validate the manifest BEFORE mutating cells: if this read
+    # fails AFTER an append-mode write, the delta is half-applied and a
+    # retry would duplicate it
+    prev = _read_manifest(spark, index_dir, "ivf")
+    int(prev["fingerprint"])  # reject pre-fingerprint layouts up front
     rows = _load_centroids(spark, index_dir)
     cells = _quant_cells_frame(corpus_delta, rows, id_col, vec_col)
     cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
         "cent_id"
     ).mode("append").parquet(os.path.join(index_dir, "cells"))
-    prev = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
     dn, dfp = _corpus_stats(corpus_delta, id_col, vec_col)
     manifest = {
         "n_rows": int(prev["n_rows"]) + dn,
@@ -536,7 +558,7 @@ def ivf_index_append(
         "n_centroids": int(prev["n_centroids"]),
         "dim": int(prev["dim"]),
     }
-    _write_manifest(spark, index_dir, manifest)
+    _write_manifest(spark, index_dir, manifest, "ivf")
     return manifest
 
 
@@ -644,13 +666,16 @@ def ivfpq_index_append(
     appended to `cells_pq`, and the manifest advances. O(delta), like
     `ivf_index_append`."""
     spark = corpus_delta.sparkSession
+    # manifest first — see ivf_index_append's half-applied-delta note
+    prev = _read_manifest(spark, index_dir, "pq")
+    int(prev["fingerprint"])
+    dim = int(prev["dim"])
     rows = _load_centroids(spark, index_dir)
-    books, dim = _load_books(spark, index_dir)
+    books, dim = _load_books(spark, index_dir, dim)
     cells = _pq_cells_frame(corpus_delta, rows, books, dim, id_col, vec_col)
     cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
         "cent_id"
     ).mode("append").parquet(os.path.join(index_dir, "cells_pq"))
-    prev = spark.read.parquet(os.path.join(index_dir, "manifest")).collect()[0]
     dn, dfp = _corpus_stats(corpus_delta, id_col, vec_col)
     manifest = {
         "n_rows": int(prev["n_rows"]) + dn,
@@ -658,5 +683,5 @@ def ivfpq_index_append(
         "n_centroids": int(prev["n_centroids"]),
         "dim": dim,
     }
-    _write_manifest(spark, index_dir, manifest)
+    _write_manifest(spark, index_dir, manifest, "pq")
     return manifest

@@ -199,3 +199,40 @@ def test_ivfpq_index_append_equals_full_rebuild(spark, tmp_path):
     want = ivfpq_persisted_topk(spark, full_idx, queries, k=3, nprobe=4)
     assert _rows(got) == _rows(want)
     assert len(_rows(got)) == 15
+
+
+def test_layout_manifests_are_independent(spark, tmp_path):
+    """The review scenario, pinned: with BOTH layouts in one dir, an
+    IVF rebuild after corpus drift must NOT vouch for the stale PQ
+    cells — each layout tracks its own manifest. Also: an IVF-PQ-only
+    dir never satisfies the plain-IVF ensure."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivfpq_index_build,
+        ivfpq_index_ensure,
+    )
+    from real_time_trip_processing_spark.functions.pq import pq_train
+
+    emb = table(spark, SF_DIR, "embeddings")
+    books = pq_train(emb, m=8, k=16, iters=1)
+
+    # IVF-PQ-only dir: plain-IVF freshness must be False
+    pq_only = str(tmp_path / "pq_only")
+    ivfpq_index_build(emb, pq_only, books, n_centroids=8)
+    assert not ivf_index_is_fresh(spark, emb, pq_only, 8)
+
+    # both layouts; corpus drifts; rebuild ONLY the IVF layout
+    both = str(tmp_path / "both")
+    drifted = emb.filter(F.col("vec_id") % 3 != 0)
+    ivf_index_build(drifted, both, n_centroids=8)
+    ivfpq_index_build(drifted, both, books, n_centroids=8)
+    ivf_index_build(emb, both, n_centroids=8)  # fresh IVF over full corpus
+    assert ivf_index_is_fresh(spark, emb, both, 8)
+    # ...but the PQ layout must still read stale and re-train on ensure
+    calls = []
+
+    def factory():
+        calls.append(1)
+        return books
+
+    ivfpq_index_ensure(emb, both, books_factory=factory, n_centroids=8)
+    assert calls, "stale PQ layout was served off the fresh IVF manifest"

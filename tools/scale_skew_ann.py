@@ -77,8 +77,9 @@ def main() -> None:
     full = spark.read.parquet(OUT)
     corpus = full.filter(F.col("vec_id") % 50 != 0)
     queries = full.filter(F.col("vec_id") % 50 == 0)
-    # codebook: 128 corpus rows, guaranteed to include a hot-cluster
-    # member (ids ≡ 0..2 mod 10 are hot)
+    # codebook: the 126 corpus rows with id < 129 (ids ≡ 0 mod 50 sit
+    # on the query side), guaranteed to include hot-cluster members
+    # (ids ≡ 0..2 mod 10 are hot)
     cb = [
         (int(r[0]), list(r[1]))
         for r in corpus.filter(F.col("vec_id") < 129)
