@@ -64,7 +64,7 @@ __all__ = [
     "ivf_index_append", "ivf_persisted_topk", "default_index_root",
     "ivfpq_index_build", "ivfpq_index_ensure", "ivfpq_persisted_topk",
     "ivfpq_index_append",
-    "ann_join_persisted",
+    "ann_join_persisted", "streaming_index_append", "read_index_cells",
 ]
 
 
@@ -330,8 +330,10 @@ def ivf_persisted_topk(
         cent_ids[i] for i in np.flatnonzero(probe_bool.any(axis=0))
     )
 
-    cells = spark.read.parquet(os.path.join(index_dir, "cells")).filter(
-        F.col("cent_id").isin(probed_cents)  # partition pruning
+    # read_index_cells unions any stream-appended cells; the cent_id
+    # predicate prunes partitions on BOTH layouts
+    cells = read_index_cells(spark, index_dir).filter(
+        F.col("cent_id").isin(probed_cents)
     )
     id_type = dict(cells.dtypes)[id_col]
     schema = f"query_id {id_type}, cand_id {id_type}, score double"
@@ -610,7 +612,7 @@ def ann_join_persisted(
         F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
     ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
 
-    cells = spark.read.parquet(os.path.join(index_dir, "cells")).select(
+    cells = read_index_cells(spark, index_dir).select(
         F.col(id_col).alias("cand_id"), "qv", "qn2", "cent_id"
     )
     id_type = dict(cells.dtypes)["cand_id"]
@@ -685,3 +687,89 @@ def ivfpq_index_append(
     }
     _write_manifest(spark, index_dir, manifest, "pq")
     return manifest
+
+
+def streaming_index_append(index_dir: str, id_col: str = "vec_id",
+                           vec_col: str = "embedding"):
+    """foreachBatch sink that streams NEW vectors into a persisted IVF
+    index — the serving layer fed by the streaming spine.
+
+    Each micro-batch assigns its vectors against the STORED centroids
+    (O(batch), the `ivf_index_append` math) and stages them under
+    ``cells_stream/__stream_batch=<id>/cent_id=<c>/``. Exactly-once
+    across restarts without any non-idempotent step:
+
+    1. the per-batch ledger (``applied_batches``, partitioned by
+       batch_id) is checked — an already-committed batch returns
+       immediately;
+    2. the batch's cells land in ITS OWN ``__stream_batch`` partition
+       via dynamic partition overwrite — a replay after a crash
+       replaces that partition instead of duplicating rows;
+    3. the ledger row (batch_id, rows, fingerprint delta) is written
+       LAST, also dynamic-overwrite — the commit point.
+
+    A crash between any two steps replays the batch and every step
+    redoes idempotently. The base ``manifest_ivf`` is NOT mutated — it
+    keeps describing the batch-built base corpus; the ledger carries
+    the streamed extent (Σ rows / fingerprint deltas), and serve paths
+    see streamed vectors through `read_index_cells`.
+
+    Usage::
+
+        q = (vec_stream.writeStream.foreachBatch(
+                 streaming_index_append(idx))
+             .option("checkpointLocation", ckpt).start())
+    """
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        ledger_dir = os.path.join(index_dir, "applied_batches")
+        try:
+            applied = {
+                int(r["batch_id"])
+                for r in spark.read.parquet(ledger_dir).collect()
+            }
+        except Exception:
+            applied = set()
+        if int(batch_id) in applied:
+            return  # replayed batch — already fully committed
+        rows = _load_centroids(spark, index_dir)
+        cells = _quant_cells_frame(batch_df, rows, id_col, vec_col)
+        (
+            cells.withColumn("__stream_batch", F.lit(int(batch_id)))
+            .repartition(max(1, len(rows)), "cent_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__stream_batch", "cent_id")
+            .parquet(os.path.join(index_dir, "cells_stream"))
+        )
+        dn, dfp = _corpus_stats(batch_df, id_col, vec_col)
+        (
+            spark.createDataFrame(
+                [(int(batch_id), dn, dfp)],
+                "batch_id long, n_rows long, fingerprint_delta long",
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(ledger_dir)
+        )
+
+    return apply_batch
+
+
+def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The index's full cell set: batch-built cells plus any
+    stream-appended cells (the ``cells_stream`` staging layout), with a
+    uniform schema. Serve paths that must see streamed vectors read
+    through this instead of ``cells/`` directly."""
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    try:
+        streamed = (
+            spark.read.parquet(os.path.join(index_dir, "cells_stream"))
+            .drop("__stream_batch")
+            .select(*cells.columns)
+        )
+    except Exception:
+        return cells
+    return cells.unionByName(streamed)

@@ -236,3 +236,53 @@ def test_layout_manifests_are_independent(spark, tmp_path):
 
     ivfpq_index_ensure(emb, both, books_factory=factory, n_centroids=8)
     assert calls, "stale PQ layout was served off the fresh IVF manifest"
+
+
+def test_streaming_index_append_exactly_once_and_served(spark, tmp_path):
+    """Stream new vectors into a persisted index: a real availableNow
+    file stream appends micro-batches through the foreachBatch sink;
+    serving then equals the in-query ivf_topk over the UNION corpus
+    (with the stored codebook), and a manually replayed batch_id is a
+    no-op — no duplicate rows, same top-k."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    delta = emb.filter(F.col("vec_id") >= 60)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = [(int(r[0]), list(r[1])) for r in base.filter(F.col("vec_id") < 16)
+          .select("vec_id", F.col("embedding").cast("array<double>")).collect()]
+
+    idx = str(tmp_path / "sidx")
+    ivf_index_build(base, idx, n_centroids=16, codebook=cb)
+    n_base = read_index_cells(spark, idx).count()
+
+    feed = str(tmp_path / "feed")
+    delta.repartition(2).write.parquet(feed)
+    stream = spark.readStream.schema(
+        spark.read.parquet(feed).schema
+    ).option("maxFilesPerTrigger", 1).parquet(feed)
+    q = (
+        stream.writeStream.foreachBatch(streaming_index_append(idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    n_delta = delta.count()
+    assert read_index_cells(spark, idx).count() == n_base + n_delta
+
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4, codebook=cb)
+    assert _rows(got) == _rows(want)
+
+    # manual replay of an applied batch: ledger short-circuits, counts
+    # and results unchanged
+    streaming_index_append(idx)(delta.limit(7), 0)
+    assert read_index_cells(spark, idx).count() == n_base + n_delta
+    again = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    assert _rows(again) == _rows(want)
