@@ -121,13 +121,22 @@ def ngram_decontaminate(
     )
 
 
+#: measured crossover (tools/scale_pack.py, SCALE.md): below ~40k docs
+#: in the largest stream, the bucketed two-phase prefix sum's fixed
+#: overhead (eager percentile-ladder job + ledger persist + two extra
+#: joins, ~+0.35 s at sf0.1) exceeds what it saves; above it, the
+#: single-window path's one-task-per-stream sort is the 100 TB ceiling
+#: the bucketed path removes (49.1 s -> 4.8 s at 8M docs/stream).
+PACK_BUCKETED_CROSSOVER = 40_000
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 512,
     part_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = 32,
+    n_buckets: int | str = "auto",
 ) -> DataFrame:
     """Concat-then-chunk sequence packing: within each ``part_col``
     stream, documents are concatenated in ``id_col`` order and split into
@@ -172,7 +181,21 @@ def pack_sequences(
     recompute) but not auto-unpersisted — each call pins one narrow
     cached frame for the session; long-lived sessions packing many
     corpora should ``spark.catalog.clearCache()`` between jobs.
+
+    ``n_buckets="auto"`` (default) picks the path itself: one narrow
+    count job (``part_col`` only — column-pruned, partial-aggregated)
+    sizes the largest stream and takes the single-window branch below
+    `PACK_BUCKETED_CROSSOVER` rows, the 32-bucket branch above it —
+    callers shouldn't have to know the crossover. Pass an explicit int
+    to pin a path (tests and the scale harness do). Both branches are
+    bit-identical by the exact-long-arithmetic argument above.
     """
+    if n_buckets == "auto":
+        mx = (
+            docs.groupBy(part_col).count()
+            .agg(F.max("count")).collect()[0][0]
+        )
+        n_buckets = 1 if (mx or 0) < PACK_BUCKETED_CROSSOVER else 32
     n_toks = token_count(F.col(text_col))
     if n_buckets <= 1:
         w = (

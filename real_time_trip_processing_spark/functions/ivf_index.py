@@ -14,14 +14,30 @@ Layout under ``index_dir``::
 
     cells/cent_id=<c>/*.parquet    (id, qv array<long>, qn2 long)
     cells_pq/cent_id=<c>/*.parquet (id, codes array<int>) — IVF-PQ flavor
-    centroids/*.parquet            (cent_id int, centroid array<double>)
+    centroids_ivf/*.parquet        (cent_id int, centroid array<double>)
+    centroids_pq/*.parquet         per-LAYOUT codebooks — co-located
+                                   layouts may be built with different
+                                   coarse codebooks; a shared dir would
+                                   let the second build silently replace
+                                   the first layout's probe geometry
     books/*.parquet                (subspace, code, centroid) — PQ books
     manifest_ivf/*.parquet         per-layout freshness manifests
-    manifest_pq/*.parquet          (n_rows, fingerprint, n_centroids, dim)
+    manifest_pq/*.parquet          (n_rows, fingerprint, n_centroids,
+                                   dim, codebook_fp)
 
 Lifecycle: `*_build` (full), `ivf_index_append` (O(delta) growth —
 assign the delta against stored centroids, append to cells, advance
 the manifest), `*_ensure` (content-addressed skip/rebuild).
+
+Single-index concurrency: every mutating entry point (builds, appends,
+the streaming sink's per-batch apply) serializes on an O_CREAT|O_EXCL
+lock file in ``index_dir`` (`_index_write_lock`) and re-reads the
+manifest INSIDE the critical section — two appends, or an append racing
+a streaming micro-batch, apply one after the other against the manifest
+the other just advanced, never against a stale parent. The lock is
+advisory and local-FS/NFSv4-grade; on an object store swap it for a
+conditional-put manifest CAS (same structure: the manifest write is the
+commit point). Readers never take the lock.
 
 ``qv`` is the shared SRP_QUANT integer quantization and ``qn2`` the
 exact integer squared norm, so serve-time scores are bit-identical to
@@ -43,7 +59,12 @@ the mandated training-data-pipeline layer (ANN serving path).
 
 from __future__ import annotations
 
+import contextlib
+import hashlib
 import os
+import shutil
+import struct
+import time
 
 import numpy as np
 import pandas as pd
@@ -111,13 +132,100 @@ def _corpus_stats(
 _FP_MOD = 2**61 - 1
 
 
-def _load_centroids(spark: SparkSession, index_dir: str) -> CentroidRows:
+def _codebook_fp(rows: CentroidRows) -> int:
+    """Deterministic content hash of a resolved codebook (cent_id order
+    + exact float64 bit patterns). Stored in the manifest so a freshness
+    check against an explicitly-passed codebook can tell 'same corpus,
+    retrained centroids' from 'fresh' — without it, an index built with
+    old centroids keeps serving while probe selection silently diverges
+    from the caller's new codebook."""
+    h = hashlib.blake2b(digest_size=8)
+    for cid, vec in sorted(rows, key=lambda r: r[0]):
+        h.update(struct.pack("<q", int(cid)))
+        h.update(struct.pack(f"<{len(vec)}d", *[float(x) for x in vec]))
+    return int.from_bytes(h.digest(), "little") % _FP_MOD
+
+
+@contextlib.contextmanager
+def _index_write_lock(
+    index_dir: str, timeout_sec: float = 120.0, stale_sec: float = 600.0
+):
+    """Advisory single-writer lock for one index directory.
+
+    O_CREAT|O_EXCL is atomic on POSIX local filesystems (and NFSv4), so
+    exactly one writer holds the lock; contenders poll until the holder
+    releases, honoring ``timeout_sec``. A lock file older than
+    ``stale_sec`` is presumed orphaned by a dead writer and broken —
+    the holder writes (pid, wall time) into it for post-mortems. All
+    mutating paths re-read the manifest INSIDE this section, which is
+    what makes interleaved appends apply against each other's advanced
+    manifest instead of a shared stale parent. On an object store,
+    replace with a conditional-put (if-match) manifest swap."""
+    os.makedirs(index_dir, exist_ok=True)
+    lock = os.path.join(index_dir, ".write_lock")
+    deadline = time.monotonic() + timeout_sec
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock).st_mtime > stale_sec:
+                    os.unlink(lock)  # orphaned by a crashed writer
+                    continue
+            except FileNotFoundError:
+                continue  # holder released between open and stat
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"index write lock busy > {timeout_sec}s: {lock} "
+                    "(another writer is mutating this index; if its "
+                    "process is dead, remove the lock file)"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _centroids_path(index_dir: str, layout: str) -> str:
+    # per-LAYOUT codebook dirs: an IVF and an IVF-PQ index co-located in
+    # one dir may legitimately use different coarse codebooks; a shared
+    # centroids/ would let whichever build ran second silently replace
+    # the other layout's probe geometry while its manifest still read
+    # fresh.
+    return os.path.join(index_dir, f"centroids_{layout}")
+
+
+def _load_centroids(
+    spark: SparkSession, index_dir: str, layout: str = "ivf"
+) -> CentroidRows:
+    path = _centroids_path(index_dir, layout)
+    if not _dir_exists(spark, path):
+        # pre-round-5 indexes stored a single shared centroids/ dir;
+        # read it so an existing on-disk index keeps serving (it is
+        # correct as long as only one layout was ever built there —
+        # new builds always write the per-layout dir)
+        path = os.path.join(index_dir, "centroids")
     return [
         (int(r["cent_id"]), list(r["centroid"]))
-        for r in spark.read.parquet(
-            os.path.join(index_dir, "centroids")
-        ).collect()
+        for r in spark.read.parquet(path).collect()
     ]
+
+
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Existence through the Hadoop FS API so object-store URIs resolve
+    the same way the reader will — an os.path check would silently
+    report False for s3://... and drop data."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def _load_books(spark: SparkSession, index_dir: str, dim: int | None = None):
@@ -156,8 +264,10 @@ def _write_manifest(
             int(manifest["fingerprint"]),
             int(manifest["n_centroids"]),
             int(manifest["dim"]),
+            int(manifest.get("codebook_fp", 0)),
         )],
-        "n_rows long, fingerprint long, n_centroids int, dim int",
+        "n_rows long, fingerprint long, n_centroids int, dim int,"
+        " codebook_fp long",
     ).write.mode("overwrite").parquet(_manifest_path(index_dir, layout))
 
 
@@ -210,31 +320,53 @@ def ivf_index_build(
     quantizes it; one partitioned write lays the cells out by
     ``cent_id`` so serve-time probes become parquet partition pruning.
 
+    Rebuild-after-stream: a build is a FULL re-derivation over the live
+    corpus, which includes any vectors that previously arrived through
+    `streaming_index_append` — so the stream staging (``cells_stream``)
+    and its ledger (``applied_batches``) are cleared inside the same
+    locked section. Leaving them would double-serve every streamed
+    vector (the new base cells AND the stale staging partitions) and
+    make a fresh stream's batches 0..N silently skip as already
+    applied. Rebuild with a LIVE stream attached is still undefined
+    (stop the stream first): the stream's own checkpoint may replay a
+    pre-rebuild batch whose rows the new base already contains.
+
     Returns the manifest dict (row count, content fingerprint, shape).
     """
     spark = corpus.sparkSession
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
     dim = len(rows[0][1]) if rows else 0
     cells = _quant_cells_frame(corpus, rows, id_col, vec_col)
-    # One clustering shuffle at build time so each cell is ONE compact
-    # file, not one-per-upstream-task (256 cells × 32 tasks = 8k tiny
-    # files otherwise — measured to cost the serve path more than the
-    # pruning saves at 1M rows). At 100 TB swap the fixed width for
-    # repartitionByRange on (cent_id, id) if single cells outgrow a
-    # task.
-    cells.repartition(max(1, int(n_centroids)), "cent_id").write.partitionBy(
-        "cent_id"
-    ).mode("overwrite").parquet(os.path.join(index_dir, "cells"))
-    spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in rows],
-        "cent_id int, centroid array<double>",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
-    n, fp = _corpus_stats(corpus, id_col, vec_col)
-    manifest = {
-        "n_rows": n, "fingerprint": fp, "n_centroids": int(n_centroids),
-        "dim": dim,
-    }
-    _write_manifest(spark, index_dir, manifest, "ivf")
+    with _index_write_lock(index_dir):
+        # One clustering shuffle at build time so each cell is ONE
+        # compact file, not one-per-upstream-task (256 cells × 32 tasks
+        # = 8k tiny files otherwise — measured to cost the serve path
+        # more than the pruning saves at 1M rows). At 100 TB swap the
+        # fixed width for repartitionByRange on (cent_id, id) if single
+        # cells outgrow a task.
+        cells.repartition(
+            max(1, int(n_centroids)), "cent_id"
+        ).write.partitionBy("cent_id").mode("overwrite").parquet(
+            os.path.join(index_dir, "cells")
+        )
+        # the streamed extent is folded into the new base by the full
+        # corpus scan above — drop the staging AND the ledger before the
+        # manifest commit point (a crash in between leaves a stale
+        # manifest, which reads as stale and rebuilds)
+        for staging in ("cells_stream", "applied_batches"):
+            p = os.path.join(index_dir, staging)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in rows],
+            "cent_id int, centroid array<double>",
+        ).write.mode("overwrite").parquet(_centroids_path(index_dir, "ivf"))
+        n, fp = _corpus_stats(corpus, id_col, vec_col)
+        manifest = {
+            "n_rows": n, "fingerprint": fp, "n_centroids": int(n_centroids),
+            "dim": dim, "codebook_fp": _codebook_fp(rows),
+        }
+        _write_manifest(spark, index_dir, manifest, "ivf")
     return manifest
 
 
@@ -246,18 +378,33 @@ def ivf_index_is_fresh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     layout: str = "ivf",
+    codebook: DataFrame | CentroidRows | None = None,
 ) -> bool:
     """True iff THIS LAYOUT's manifest exists and matches the live
     corpus's (row count, id+vector content hash, n_centroids) —
     content-addressed staleness, so regenerated testdata, a grown
     corpus, OR a re-embedded corpus with unchanged ids all force a
     rebuild. Per-layout manifests mean an IVF rebuild never vouches
-    for the PQ cells (or vice versa)."""
+    for the PQ cells (or vice versa).
+
+    When the caller holds an explicit ``codebook``, its content hash is
+    compared against the manifest's ``codebook_fp`` too: same corpus +
+    same n_centroids + RETRAINED centroids must read stale (the stored
+    cells were assigned under the old geometry). ``codebook=None``
+    skips the check — trained-from-corpus centroids are a deterministic
+    function of (corpus, n_centroids), both already fingerprinted."""
     try:
         m = _read_manifest(spark, index_dir, layout)
         stored = (int(m["n_rows"]), int(m["fingerprint"]), int(m["n_centroids"]))
     except Exception:  # missing dir OR a pre-fingerprint manifest layout
         return False
+    if codebook is not None:
+        stored_cb = int(m.asDict().get("codebook_fp") or 0)
+        want_cb = _codebook_fp(
+            _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
+        )
+        if stored_cb != want_cb:  # covers pre-codebook_fp manifests too
+            return False
     n, fp = _corpus_stats(corpus, id_col, vec_col)
     return stored == (n, fp, int(n_centroids))
 
@@ -273,7 +420,8 @@ def ivf_index_ensure(
     """Build the index iff absent or stale; returns ``index_dir``."""
     spark = corpus.sparkSession
     if not ivf_index_is_fresh(
-        spark, corpus, index_dir, n_centroids, id_col, vec_col
+        spark, corpus, index_dir, n_centroids, id_col, vec_col,
+        codebook=codebook,
     ):
         ivf_index_build(
             corpus, index_dir, n_centroids, id_col, vec_col, codebook
@@ -407,27 +555,30 @@ def ivfpq_index_build(
     spark = corpus.sparkSession
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
     cells = _pq_cells_frame(corpus, rows, books, dim, id_col, vec_col)
-    cells.repartition(max(1, int(n_centroids)), "cent_id").write.partitionBy(
-        "cent_id"
-    ).mode("overwrite").parquet(os.path.join(index_dir, "cells_pq"))
-    spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in rows],
-        "cent_id int, centroid array<double>",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "centroids"))
-    spark.createDataFrame(
-        [
-            (j, c, [float(x) for x in books[j][c]])
-            for j in range(len(books))
-            for c in range(len(books[j]))
-        ],
-        "subspace int, code int, centroid array<double>",
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
-    n, fp = _corpus_stats(corpus, id_col, vec_col)
-    manifest = {
-        "n_rows": n, "fingerprint": fp, "n_centroids": int(n_centroids),
-        "dim": dim,
-    }
-    _write_manifest(spark, index_dir, manifest, "pq")
+    with _index_write_lock(index_dir):
+        cells.repartition(
+            max(1, int(n_centroids)), "cent_id"
+        ).write.partitionBy("cent_id").mode("overwrite").parquet(
+            os.path.join(index_dir, "cells_pq")
+        )
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in rows],
+            "cent_id int, centroid array<double>",
+        ).write.mode("overwrite").parquet(_centroids_path(index_dir, "pq"))
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in books[j][c]])
+                for j in range(len(books))
+                for c in range(len(books[j]))
+            ],
+            "subspace int, code int, centroid array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(index_dir, "books"))
+        n, fp = _corpus_stats(corpus, id_col, vec_col)
+        manifest = {
+            "n_rows": n, "fingerprint": fp, "n_centroids": int(n_centroids),
+            "dim": dim, "codebook_fp": _codebook_fp(rows),
+        }
+        _write_manifest(spark, index_dir, manifest, "pq")
     return manifest
 
 
@@ -461,6 +612,15 @@ def ivfpq_index_ensure(
         ) == int(n_centroids):
             n, fp = _corpus_stats(corpus, id_col, vec_col)
             fresh = (int(mrow["n_rows"]), int(mrow["fingerprint"])) == (n, fp)
+        if fresh and codebook is not None:
+            # retrained coarse centroids over an unchanged corpus must
+            # invalidate — the stored codes were assigned under the old
+            # geometry (same rule as ivf_index_is_fresh)
+            fresh = int(mrow.asDict().get("codebook_fp") or 0) == _codebook_fp(
+                _resolve_centroids(
+                    corpus, codebook, n_centroids, id_col, vec_col
+                )
+            )
         if fresh and (m is not None or k is not None):
             books, _ = _load_books(spark, index_dir, dim)
             if m is not None and len(books) != m:
@@ -494,7 +654,7 @@ def ivfpq_persisted_topk(
     stored codes — no embedding is ever read at serve time."""
     from .pq import _adc_score, _rank_topk, probe_luts
 
-    rows = _load_centroids(spark, index_dir)
+    rows = _load_centroids(spark, index_dir, "pq")
     books, dim = _load_books(spark, index_dir)
 
     q_rows = queries.select(
@@ -543,25 +703,51 @@ def ivf_index_append(
     the strict (score desc, cand_id asc) key.
     """
     spark = corpus_delta.sparkSession
-    # read + validate the manifest BEFORE mutating cells: if this read
-    # fails AFTER an append-mode write, the delta is half-applied and a
-    # retry would duplicate it
-    prev = _read_manifest(spark, index_dir, "ivf")
-    int(prev["fingerprint"])  # reject pre-fingerprint layouts up front
-    rows = _load_centroids(spark, index_dir)
-    cells = _quant_cells_frame(corpus_delta, rows, id_col, vec_col)
-    cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
-        "cent_id"
-    ).mode("append").parquet(os.path.join(index_dir, "cells"))
-    dn, dfp = _corpus_stats(corpus_delta, id_col, vec_col)
-    manifest = {
-        "n_rows": int(prev["n_rows"]) + dn,
-        "fingerprint": (int(prev["fingerprint"]) + dfp) % _FP_MOD,
-        "n_centroids": int(prev["n_centroids"]),
-        "dim": int(prev["dim"]),
-    }
-    _write_manifest(spark, index_dir, manifest, "ivf")
+    with _index_write_lock(index_dir):
+        # manifest is read INSIDE the lock: a concurrent append/stream
+        # batch that just advanced it is fully visible, never a stale
+        # parent (the CAS discipline from the module docstring)
+        prev = _read_manifest(spark, index_dir, "ivf")
+        int(prev["fingerprint"])  # reject pre-fingerprint layouts up front
+        _check_cells_parity(spark, index_dir, "cells", int(prev["n_rows"]))
+        rows = _load_centroids(spark, index_dir)
+        cells = _quant_cells_frame(corpus_delta, rows, id_col, vec_col)
+        cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
+            "cent_id"
+        ).mode("append").parquet(os.path.join(index_dir, "cells"))
+        dn, dfp = _corpus_stats(corpus_delta, id_col, vec_col)
+        manifest = {
+            "n_rows": int(prev["n_rows"]) + dn,
+            "fingerprint": (int(prev["fingerprint"]) + dfp) % _FP_MOD,
+            "n_centroids": int(prev["n_centroids"]),
+            "dim": int(prev["dim"]),
+            "codebook_fp": int(prev.asDict().get("codebook_fp") or 0),
+        }
+        _write_manifest(spark, index_dir, manifest, "ivf")
     return manifest
+
+
+def _check_cells_parity(
+    spark: SparkSession, index_dir: str, cells_name: str, manifest_rows: int
+) -> None:
+    """Half-applied-delta guard for the append paths: a crash AFTER the
+    mode('append') cells write but BEFORE the manifest advance leaves
+    cells rows the manifest doesn't account for; a blind retry would
+    append the delta AGAIN and the duplicates would be permanently
+    invisible (freshness compares manifest↔corpus, never manifest↔
+    cells). Appends therefore verify cells row count == manifest row
+    count up front and fail LOUDLY on drift with the repair (rebuild).
+    Cost: a zero-column parquet count over the cells — footer-bound,
+    O(files), not O(bytes)."""
+    actual = spark.read.parquet(os.path.join(index_dir, cells_name)).count()
+    if int(actual) != int(manifest_rows):
+        raise RuntimeError(
+            f"{cells_name} holds {actual} rows but the manifest records "
+            f"{manifest_rows} — a previous append crashed between the "
+            "cells write and the manifest advance. Rebuild the index "
+            "(ivf[pq]_index_build) over the full corpus to repair; "
+            "appending now would duplicate the half-applied delta."
+        )
 
 
 def ann_join_persisted(
@@ -668,24 +854,30 @@ def ivfpq_index_append(
     appended to `cells_pq`, and the manifest advances. O(delta), like
     `ivf_index_append`."""
     spark = corpus_delta.sparkSession
-    # manifest first — see ivf_index_append's half-applied-delta note
-    prev = _read_manifest(spark, index_dir, "pq")
-    int(prev["fingerprint"])
-    dim = int(prev["dim"])
-    rows = _load_centroids(spark, index_dir)
-    books, dim = _load_books(spark, index_dir, dim)
-    cells = _pq_cells_frame(corpus_delta, rows, books, dim, id_col, vec_col)
-    cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
-        "cent_id"
-    ).mode("append").parquet(os.path.join(index_dir, "cells_pq"))
-    dn, dfp = _corpus_stats(corpus_delta, id_col, vec_col)
-    manifest = {
-        "n_rows": int(prev["n_rows"]) + dn,
-        "fingerprint": (int(prev["fingerprint"]) + dfp) % _FP_MOD,
-        "n_centroids": int(prev["n_centroids"]),
-        "dim": dim,
-    }
-    _write_manifest(spark, index_dir, manifest, "pq")
+    with _index_write_lock(index_dir):
+        # manifest inside the lock + half-applied guard — see
+        # ivf_index_append
+        prev = _read_manifest(spark, index_dir, "pq")
+        int(prev["fingerprint"])
+        _check_cells_parity(spark, index_dir, "cells_pq", int(prev["n_rows"]))
+        dim = int(prev["dim"])
+        rows = _load_centroids(spark, index_dir, "pq")
+        books, dim = _load_books(spark, index_dir, dim)
+        cells = _pq_cells_frame(
+            corpus_delta, rows, books, dim, id_col, vec_col
+        )
+        cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
+            "cent_id"
+        ).mode("append").parquet(os.path.join(index_dir, "cells_pq"))
+        dn, dfp = _corpus_stats(corpus_delta, id_col, vec_col)
+        manifest = {
+            "n_rows": int(prev["n_rows"]) + dn,
+            "fingerprint": (int(prev["fingerprint"]) + dfp) % _FP_MOD,
+            "n_centroids": int(prev["n_centroids"]),
+            "dim": dim,
+            "codebook_fp": int(prev.asDict().get("codebook_fp") or 0),
+        }
+        _write_manifest(spark, index_dir, manifest, "pq")
     return manifest
 
 
@@ -724,36 +916,41 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         ledger_dir = os.path.join(index_dir, "applied_batches")
-        try:
-            applied = {
-                int(r["batch_id"])
-                for r in spark.read.parquet(ledger_dir).collect()
-            }
-        except Exception:
-            applied = set()
-        if int(batch_id) in applied:
-            return  # replayed batch — already fully committed
-        rows = _load_centroids(spark, index_dir)
-        cells = _quant_cells_frame(batch_df, rows, id_col, vec_col)
-        (
-            cells.withColumn("__stream_batch", F.lit(int(batch_id)))
-            .repartition(max(1, len(rows)), "cent_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__stream_batch", "cent_id")
-            .parquet(os.path.join(index_dir, "cells_stream"))
-        )
-        dn, dfp = _corpus_stats(batch_df, id_col, vec_col)
-        (
-            spark.createDataFrame(
-                [(int(batch_id), dn, dfp)],
-                "batch_id long, n_rows long, fingerprint_delta long",
+        # the per-batch lock serializes this micro-batch against a
+        # concurrent ivf_index_append (or a second stream) on the same
+        # index; the ledger check runs INSIDE it so a batch committed by
+        # a racing replica short-circuits here
+        with _index_write_lock(index_dir):
+            if _dir_exists(spark, ledger_dir):
+                applied = {
+                    int(r["batch_id"])
+                    for r in spark.read.parquet(ledger_dir).collect()
+                }
+            else:
+                applied = set()
+            if int(batch_id) in applied:
+                return  # replayed batch — already fully committed
+            rows = _load_centroids(spark, index_dir)
+            cells = _quant_cells_frame(batch_df, rows, id_col, vec_col)
+            (
+                cells.withColumn("__stream_batch", F.lit(int(batch_id)))
+                .repartition(max(1, len(rows)), "cent_id")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__stream_batch", "cent_id")
+                .parquet(os.path.join(index_dir, "cells_stream"))
             )
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(ledger_dir)
-        )
+            dn, dfp = _corpus_stats(batch_df, id_col, vec_col)
+            (
+                spark.createDataFrame(
+                    [(int(batch_id), dn, dfp)],
+                    "batch_id long, n_rows long, fingerprint_delta long",
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(ledger_dir)
+            )
 
     return apply_batch
 
@@ -762,14 +959,20 @@ def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:
     """The index's full cell set: batch-built cells plus any
     stream-appended cells (the ``cells_stream`` staging layout), with a
     uniform schema. Serve paths that must see streamed vectors read
-    through this instead of ``cells/`` directly."""
+    through this instead of ``cells/`` directly.
+
+    The staging union is gated on an EXPLICIT existence check (Hadoop
+    FS API, so object-store URIs resolve too) — a blanket
+    try/except here would also swallow genuine read failures (corrupt
+    parquet, permissions, transient FS errors) and silently serve
+    base-only results; a real error must propagate."""
     cells = spark.read.parquet(os.path.join(index_dir, "cells"))
-    try:
-        streamed = (
-            spark.read.parquet(os.path.join(index_dir, "cells_stream"))
-            .drop("__stream_batch")
-            .select(*cells.columns)
-        )
-    except Exception:
+    stream_dir = os.path.join(index_dir, "cells_stream")
+    if not _dir_exists(spark, stream_dir):
         return cells
+    streamed = (
+        spark.read.parquet(stream_dir)
+        .drop("__stream_batch")
+        .select(*cells.columns)
+    )
     return cells.unionByName(streamed)

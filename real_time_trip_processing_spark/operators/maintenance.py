@@ -8,6 +8,17 @@ task-schedule per file. The standard fix is a periodic rewrite into
 target-sized files, optionally range-clustered on a filter column so
 parquet row-group min/max statistics (and partition-level file
 pruning) actually skip data.
+
+Concurrency contract: every op here is SINGLE-WRITER per directory —
+an in-place rewrite (compaction, purge, retention) racing another
+writer on the same partition can interleave file sets with no
+transaction log to arbitrate. Where the engine owns both writers it
+serializes them the way the persisted ANN index does
+(`functions/ivf_index._index_write_lock`: O_CREAT|O_EXCL lock file +
+re-read state inside the critical section — see that module's
+docstring); at 100 TB under a real multi-writer scheduler, put a table
+format with a transaction log (manifest compare-and-swap) under these
+ops instead of raw parquet dirs.
 """
 
 from __future__ import annotations

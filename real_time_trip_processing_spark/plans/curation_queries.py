@@ -66,9 +66,44 @@ def decontaminate_ngrams(spark, sf_dir):
 def pack_sequences_q(spark, sf_dir):
     """Concat-then-chunk sequence packing: per-lang doc streams split
     into 512-token training sequences; each doc tagged with the sequence
-    holding its first token (exactly LLM context-window chunking)."""
+    holding its first token (exactly LLM context-window chunking).
+    ``n_buckets="auto"`` — the operator sizes the largest stream and
+    picks the single-window path below the measured crossover (the
+    test-sf case), the distributed two-phase prefix sum above it; the
+    bucketed path stays on the correctness gate via
+    `pack_sequences_bucketed` below."""
     return C.pack_sequences(
         table(spark, sf_dir, "documents"), budget=_PACK_BUDGET, part_col="lang"
+    ).select("doc_id", "lang", "n_tokens", "tok_offset", "seq_id")
+
+
+@declare(
+    "pack_sequences_bucketed",
+    oracle=rf"""
+    WITH t AS (SELECT doc_id, lang,
+                      CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
+                        AS n_tokens
+               FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                AS BIGINT) AS tok_offset,
+           CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                / {_PACK_BUDGET}) AS BIGINT) AS seq_id
+    FROM t
+    """,
+)
+def pack_sequences_bucketed_q(spark, sf_dir):
+    """The 100 TB path of `pack_sequences`, pinned explicitly on the
+    correctness gate: n_buckets=32 forces the two-phase distributed
+    prefix sum (percentile-ladder bucketing, per-(stream,bucket) local
+    prefix, broadcast cumulative bases) regardless of corpus size. Same
+    oracle as `pack_sequences` — the two paths are bit-identical by the
+    exact-long-arithmetic argument in `functions/curation.py`."""
+    return C.pack_sequences(
+        table(spark, sf_dir, "documents"), budget=_PACK_BUDGET,
+        part_col="lang", n_buckets=32,
     ).select("doc_id", "lang", "n_tokens", "tok_offset", "seq_id")
 
 

@@ -286,3 +286,213 @@ def test_streaming_index_append_exactly_once_and_served(spark, tmp_path):
     assert read_index_cells(spark, idx).count() == n_base + n_delta
     again = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
     assert _rows(again) == _rows(want)
+
+
+def test_rebuild_after_stream_clears_staging(spark, tmp_path):
+    """Review scenario, pinned: after streaming appends, a full
+    content-addressed REBUILD over the grown corpus re-derives every
+    vector into the new base cells — the stream staging and its ledger
+    must be cleared, or (a) every streamed vector is served twice
+    (new base + stale staging) and (b) a fresh stream's batches 0..N
+    silently skip as 'already applied'."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    delta = emb.filter(F.col("vec_id") >= 60)
+    cb = [(int(r[0]), list(r[1])) for r in base.filter(F.col("vec_id") < 16)
+          .select("vec_id", F.col("embedding").cast("array<double>")).collect()]
+    idx = str(tmp_path / "idx")
+    ivf_index_build(base, idx, n_centroids=16, codebook=cb)
+    streaming_index_append(idx)(delta, 0)
+    n_total = emb.count()
+    assert read_index_cells(spark, idx).count() == n_total
+
+    # rebuild over the grown corpus (stream stopped): no double-serving
+    ivf_index_build(emb, idx, n_centroids=16, codebook=cb)
+    assert read_index_cells(spark, idx).count() == n_total
+    assert not os.path.isdir(os.path.join(idx, "cells_stream"))
+    assert not os.path.isdir(os.path.join(idx, "applied_batches"))
+
+    # a FRESH stream reusing batch_id 0 must apply, not skip
+    extra = delta.limit(5).withColumn("vec_id", F.col("vec_id") + 100000)
+    streaming_index_append(idx)(extra, 0)
+    assert read_index_cells(spark, idx).count() == n_total + 5
+
+    # serving after the rebuild equals the in-query path on the union
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivf_topk(
+        emb.unionByName(extra), queries, k=3, n_centroids=16, nprobe=4,
+        codebook=cb,
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_per_layout_centroids_do_not_collide(spark, tmp_path):
+    """Review scenario, pinned: IVF and IVF-PQ co-located in ONE dir but
+    built with DIFFERENT coarse codebooks — each layout must serve from
+    its own centroids (per-layout centroid dirs). With a shared
+    centroids/ path the second build silently replaced the first
+    layout's probe geometry while its manifest still read fresh."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivfpq_index_build,
+        ivfpq_persisted_topk,
+    )
+    from real_time_trip_processing_spark.functions.pq import ivfpq_topk, pq_train
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb_ivf = [(int(r[0]), list(r[1])) for r in emb.filter(F.col("vec_id") < 16)
+              .select("vec_id", F.col("embedding").cast("array<double>")).collect()]
+    cb_pq = [(int(r[0]) - 20, list(r[1]))
+             for r in emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 28))
+             .select("vec_id", F.col("embedding").cast("array<double>")).collect()]
+    books = pq_train(emb, m=8, k=16, iters=1)
+
+    both = str(tmp_path / "both")
+    ivf_index_build(emb, both, n_centroids=16, codebook=cb_ivf)
+    ivfpq_index_build(emb, both, books, n_centroids=8, codebook=cb_pq)
+
+    got_ivf = ivf_persisted_topk(spark, both, queries, k=3, nprobe=4)
+    want_ivf = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4,
+                        codebook=cb_ivf)
+    assert _rows(got_ivf) == _rows(want_ivf)
+
+    from real_time_trip_processing_spark.functions.pq import ivfpq_topk
+
+    got_pq = ivfpq_persisted_topk(spark, both, queries, k=3, nprobe=4)
+    want_pq = ivfpq_topk(emb, queries, books, k=3, n_centroids=8, nprobe=4,
+                         codebook=cb_pq)
+    assert _rows(got_pq) == _rows(want_pq)
+
+
+def test_append_detects_half_applied_delta(spark, tmp_path):
+    """Crash-window guard: simulate a failure AFTER the cells append but
+    BEFORE the manifest advance (extra cells rows the manifest doesn't
+    account for); the next append must refuse loudly instead of
+    appending the delta again into permanent, undetectable duplicates."""
+    import pytest
+
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    delta = emb.filter(F.col("vec_id") >= 60)
+    idx = str(tmp_path / "idx")
+    ivf_index_build(base, idx, n_centroids=16)
+
+    # crash simulation: the delta's cells land, the manifest does not
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _load_centroids,
+        _quant_cells_frame,
+    )
+
+    rows = _load_centroids(spark, idx)
+    _quant_cells_frame(delta, rows, "vec_id", "embedding").write.partitionBy(
+        "cent_id"
+    ).mode("append").parquet(os.path.join(idx, "cells"))
+
+    with pytest.raises(RuntimeError, match="manifest"):
+        ivf_index_append(delta, idx)
+
+    # repair = rebuild; appends work again afterwards
+    ivf_index_build(base, idx, n_centroids=16)
+    ivf_index_append(delta, idx)
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_is_fresh,
+    )
+
+    assert ivf_index_is_fresh(spark, emb, idx, 16)
+
+
+def test_retrained_codebook_invalidates(spark, tmp_path):
+    """Review scenario, pinned: same corpus + same n_centroids + a
+    DIFFERENT explicit codebook must read stale (manifest codebook_fp),
+    and ensure() must rebuild so probe selection and stored cells agree
+    with the caller's new geometry."""
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def cb(lo):
+        return [(int(r[0]) - lo, list(r[1]))
+                for r in emb.filter((F.col("vec_id") >= lo)
+                                    & (F.col("vec_id") < lo + 16))
+                .select("vec_id", F.col("embedding").cast("array<double>"))
+                .collect()]
+
+    cb_a, cb_b = cb(0), cb(30)
+    idx = str(tmp_path / "idx")
+    ivf_index_ensure(emb, idx, n_centroids=16, codebook=cb_a)
+    assert ivf_index_is_fresh(spark, emb, idx, 16, codebook=cb_a)
+    assert not ivf_index_is_fresh(spark, emb, idx, 16, codebook=cb_b)
+    # codebook-agnostic check still passes (old behavior preserved)
+    assert ivf_index_is_fresh(spark, emb, idx, 16)
+
+    ivf_index_ensure(emb, idx, n_centroids=16, codebook=cb_b)
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4, codebook=cb_b)
+    assert _rows(got) == _rows(want)
+
+
+def test_concurrent_append_and_stream_serialize(spark, tmp_path):
+    """Two writers racing on one index — a batch append and a streaming
+    micro-batch — must serialize on the index write lock: the final
+    manifest accounts for BOTH deltas and serving equals a from-scratch
+    build over the union (no lost update, no duplicate rows)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_append,
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 40)
+    d1 = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 70))
+    d2 = emb.filter(F.col("vec_id") >= 70)
+    cb = [(int(r[0]), list(r[1])) for r in base.filter(F.col("vec_id") < 16)
+          .select("vec_id", F.col("embedding").cast("array<double>")).collect()]
+    idx = str(tmp_path / "race")
+    ivf_index_build(base, idx, n_centroids=16, codebook=cb)
+
+    with ThreadPoolExecutor(2) as pool:
+        f1 = pool.submit(ivf_index_append, d1, idx)
+        f2 = pool.submit(streaming_index_append(idx), d2, 0)
+        f1.result(timeout=300)
+        f2.result(timeout=300)
+
+    n_total = emb.count()
+    assert read_index_cells(spark, idx).count() == n_total
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4, codebook=cb)
+    assert _rows(got) == _rows(want)
+    assert not os.path.exists(os.path.join(idx, ".write_lock"))
+
+
+def test_read_index_cells_propagates_stream_read_errors(spark, tmp_path):
+    """A corrupt stream staging must FAIL the read, not silently serve
+    base-only results (the old blanket except Exception dropped every
+    streamed vector on any read error)."""
+    import pytest
+
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        read_index_cells,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "idx")
+    ivf_index_build(emb, idx, n_centroids=8)
+    sdir = os.path.join(idx, "cells_stream")
+    os.makedirs(sdir)
+    with open(os.path.join(sdir, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        read_index_cells(spark, idx).count()

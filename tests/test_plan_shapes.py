@@ -487,18 +487,32 @@ def test_bloom_prefilter_sits_below_semi_join(spark):
 
 
 def test_pack_sequences_no_single_task_stream_window(spark):
-    """The round-3 scale flaw, pinned closed: the prefix sum must never
-    run as Window.partitionBy(lang).orderBy(doc_id) over the full
-    stream (ONE task sorts an entire language). The big window
-    partitions by (lang, _bkt); the only lang-partitioned window runs
-    over the tiny per-bucket subtotal frame (ordered by _bkt, bounded
-    at n_buckets rows per stream)."""
+    """The round-3 scale flaw, pinned closed on the declared BUCKETED
+    query: the prefix sum must never run as
+    Window.partitionBy(lang).orderBy(doc_id) over the full stream (ONE
+    task sorts an entire language). The big window partitions by
+    (lang, _bkt); the only lang-partitioned window runs over the tiny
+    per-bucket subtotal frame (ordered by _bkt, bounded at n_buckets
+    rows per stream)."""
     import re as _re
 
-    plan = plan_of(spark, "pack_sequences")
+    plan = plan_of(spark, "pack_sequences_bucketed")
     # the hazardous shape: partition lang, order doc_id directly
     assert not _re.search(r"windowspecdefinition\(lang#\d+, doc_id#", plan), plan
     # the fixed shape: bucket in the partition spec ahead of doc_id
     assert _re.search(
         r"windowspecdefinition\(lang#\d+, _bkt#\d+, doc_id#", plan
     ), plan
+
+
+def test_pack_sequences_auto_picks_single_window_below_crossover(spark):
+    """n_buckets='auto' must take the cheap single-window branch at
+    test scale (largest stream far below PACK_BUCKETED_CROSSOVER): no
+    percentile-ladder machinery, no _bkt column in the plan — the
+    fixed-overhead price of the distributed path is only paid when a
+    stream is big enough to need it."""
+    import re as _re
+
+    plan = plan_of(spark, "pack_sequences")
+    assert "_bkt" not in plan, plan
+    assert _re.search(r"windowspecdefinition\(lang#\d+, doc_id#", plan), plan
