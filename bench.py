@@ -233,15 +233,13 @@ def bench_streaming(spark) -> dict | None:
         )
         # the file source orders micro-batches by MODIFICATION TIME;
         # stamp ascending mtimes in range order so replay is event-time
-        # ordered (see tools/scale_streaming.py — out-of-order files
-        # past the watermark drop silently)
-        parts = sorted(
-            f for f in os.listdir(replay)
-            if f.startswith("part-") and f.endswith(".json")
+        # ordered (see stream_trip_events' hazard note — out-of-order
+        # files past the watermark drop silently)
+        from real_time_trip_processing_spark.streaming import (
+            stamp_ascending_mtimes,
         )
-        t_base = time.time() - len(parts) - 60
-        for i, f in enumerate(parts):
-            os.utime(os.path.join(replay, f), (t_base + i, t_base + i))
+
+        stamp_ascending_mtimes(replay, suffix=".json")
         n_events = spark.read.json(replay).count()
 
         def one_pass(i: int) -> tuple[float, float, int, int]:

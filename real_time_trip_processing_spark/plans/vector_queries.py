@@ -330,6 +330,99 @@ def sim_ivf_persisted(spark, sf_dir):
     )
 
 
+#: declared recall floor for sim_ivf_recall (k=10, nprobe=4 of 16
+#: centroids, 20 probes). Measured recall@10 on the driver testdata:
+#: 0.830 (sf0.001), 0.805 (sf0.01), 0.895 (sf0.1) — the 0.70 band sits
+#: comfortably under all three, so a pass means the index geometry is
+#: sound, and a centroid/pruning regression (recall collapse) flips
+#: recall_ok and fails the hash compare. The oracle ALSO replays both
+#: sides exactly (IVF replay + exact top-k in SQL), so even a recall
+#: change WITHIN the band is caught as a value mismatch on n_hit.
+_RECALL_BAND = 0.70
+
+_RECALL_ORACLE = f"""
+    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+         cent AS (SELECT vec_id AS cent_id, qv AS cv
+                  FROM qn WHERE vec_id < 16),
+         c AS (SELECT vec_id AS cand_id, qv AS c_vec FROM qn),
+         q AS (SELECT vec_id AS query_id, qv AS q_vec
+               FROM qn WHERE vec_id < 20),
+         asg AS (SELECT cand_id, c_vec, cent_id,
+                        row_number() OVER (PARTITION BY cand_id
+                                           ORDER BY {_IVF_COS("c_vec", "cv")} DESC, cent_id) AS rn
+                 FROM c CROSS JOIN cent),
+         probes AS (SELECT query_id, q_vec, cent_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY {_IVF_COS("q_vec", "cv")} DESC, cent_id) AS rn
+                    FROM q CROSS JOIN cent),
+         s AS (SELECT p.query_id, a.cand_id, {_IVF_COS("p.q_vec", "a.c_vec")} AS score
+               FROM probes p JOIN asg a ON p.cent_id = a.cent_id
+               WHERE a.rn = 1 AND p.rn <= 4 AND a.cand_id <> p.query_id),
+         approx AS (SELECT query_id, cand_id FROM (
+               SELECT query_id, cand_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, cand_id) AS rank
+               FROM s) WHERE rank <= 10),
+         ex_s AS (SELECT q.query_id, c.cand_id,
+                         {_IVF_COS("q.q_vec", "c.c_vec")} AS score
+                  FROM q CROSS JOIN c WHERE c.cand_id <> q.query_id),
+         exact AS (SELECT query_id, cand_id FROM (
+               SELECT query_id, cand_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, cand_id) AS rank
+               FROM ex_s) WHERE rank <= 10),
+         agg AS (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+                        CAST(COUNT(*) AS BIGINT) AS n_expected
+                 FROM exact),
+         hagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+                  FROM exact e JOIN approx a
+                  ON e.query_id = a.query_id AND e.cand_id = a.cand_id)
+    SELECT n_queries, CAST(10 AS INT) AS k, CAST(4 AS INT) AS nprobe,
+           n_expected, n_hit,
+           ROUND(CAST(n_hit AS DOUBLE) / n_expected, 8) AS recall,
+           (CAST(n_hit AS DOUBLE) / n_expected >= {_RECALL_BAND}) AS recall_ok
+    FROM agg CROSS JOIN hagg
+    """
+
+
+@declare("sim_ivf_recall", oracle=_RECALL_ORACLE)
+def sim_ivf_recall(spark, sf_dir):
+    """X3 quality CONTRACT: recall@10 of the IVF path against exact
+    brute force, as a declared query — an index regression (bad
+    centroids, broken cell pruning, probe-selection drift) now fails
+    CORRECTNESS instead of only a tool nobody re-runs
+    (tools/recall_ann.py measures the nprobe↔recall dial; this pins
+    one point of the curve plus the `recall_ok >= _RECALL_BAND` floor).
+    Both sides compute recall independently — Spark via
+    ivf_topk/cosine_topk, DuckDB by replaying IVF and exact top-k in
+    SQL — so the hash compare adjudicates the exact n_hit, not just
+    the band."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, probes, k=10).select("query_id", "cand_id")
+    approx = ivf_topk(
+        emb, probes, k=10, n_centroids=16, nprobe=4
+    ).select("query_id", "cand_id")
+    agg = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_expected"),
+    )
+    hagg = exact.join(approx, ["query_id", "cand_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return agg.crossJoin(hagg).select(
+        "n_queries",
+        F.lit(10).cast("int").alias("k"),
+        F.lit(4).cast("int").alias("nprobe"),
+        "n_expected",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_expected"), 8).alias("recall"),
+        (F.col("n_hit") / F.col("n_expected") >= _RECALL_BAND).alias(
+            "recall_ok"
+        ),
+    )
+
+
 @declare(
     "multimodal_features",
     oracle="""

@@ -12,6 +12,8 @@ changes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import schemas
@@ -26,11 +28,54 @@ def stream_trip_events(
 ) -> DataFrame:
     """S2: stream the interleaved trip-event envelope (TRIP_EVENT union
     schema) from a directory. Rate control ≡ the producer's 0.1 s sleep
-    (reference scripts/to_kinesis.py:100) via maxFilesPerTrigger."""
+    (reference scripts/to_kinesis.py:100) via maxFilesPerTrigger.
+
+    KNOWN HAZARD (measured, tools/scale_streaming.py + SCALE.md): the
+    file source orders micro-batches by file MODIFICATION TIME, not by
+    name or content. A writer that lands files with scrambled mtimes
+    (parallel writers, object-store copy tools, clock skew) can put a
+    late-range file into an early micro-batch — and with a watermark
+    downstream, every event in a file that surfaces after the watermark
+    has passed it is dropped SILENTLY (no error, no metric). Guards,
+    in preference order: (1) in production use an offset-ordered
+    transport (Kafka — offsets subsume arrival order; the jar-gated
+    `write_kafka`/readStream path); (2) where this engine controls the
+    writes it stamps ascending mtimes in event-time order —
+    `stamp_ascending_mtimes` below, used by bench.py's replay and the
+    scale harness; (3) keep a single sequential writer per streamed
+    directory."""
     reader = spark.readStream.schema(schemas.TRIP_EVENT).format(fmt)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(path)
+
+
+def stamp_ascending_mtimes(
+    path: str, suffix: str | None = None, base: float | None = None
+) -> list[str]:
+    """Re-stamp every data file under ``path`` with mtimes ascending in
+    LEXICOGRAPHIC NAME order (Spark part-file numbering == write order
+    == event-time range order for range-partitioned writes), one second
+    apart, ending in the past. This pins micro-batch admission order to
+    the order the writer intended, closing the silent-late-drop window
+    documented on `stream_trip_events`. Returns the stamped paths in
+    order. Local-FS only — object stores don't let you set mtimes;
+    there, use an offset-ordered transport instead."""
+    import time
+
+    names = sorted(
+        f
+        for f in os.listdir(path)
+        if not f.startswith(("_", "."))
+        and (suffix is None or f.endswith(suffix))
+    )
+    t0 = (time.time() - len(names) - 60) if base is None else base
+    out = []
+    for i, name in enumerate(names):
+        p = os.path.join(path, name)
+        os.utime(p, (t0 + i, t0 + i))
+        out.append(p)
+    return out
 
 
 def parse_kafka_like(raw: DataFrame) -> DataFrame:

@@ -1031,3 +1031,84 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_mtime_guard_restores_event_time_admission(spark, tmp_path):
+    """The file-source mtime hazard (stream_trip_events' docstring,
+    measured in tools/scale_streaming.py): micro-batch admission
+    follows file MODIFICATION TIME, so a scrambled-mtime directory can
+    surface an early-event-time file after the watermark has passed it
+    and a watermarked append-mode aggregation drops those events with
+    no error. `stamp_ascending_mtimes` re-pins admission to name order
+    (= the writer's event-time range order); after stamping, the same
+    stream is complete."""
+    import json as _json
+    import os
+    import time as _time
+
+    from real_time_trip_processing_spark.streaming import (
+        stamp_ascending_mtimes,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    day1 = [f"2024-01-01T0{h}:00:00" for h in range(4)]
+    day2 = ["2024-01-03T00:00:00", "2024-01-03T01:00:00"]
+
+    def write(name, stamps):
+        p = src / name
+        with open(p, "w") as f:
+            for s in stamps:
+                f.write(_json.dumps({"ts": s, "v": 1}) + "\n")
+        return p
+
+    a = write("a.json", day1[:2])
+    b = write("b.json", day1[2:])
+    c = write("c.json", day2)
+    # scrambled mtimes: the day-2 file looks OLDEST, so it is admitted
+    # FIRST and the watermark (1 hour behind day 2) passes day 1 before
+    # the day-1 files ever surface
+    now = _time.time()
+    for i, p in enumerate((c, b, a)):
+        os.utime(p, (now - 300 + i, now - 300 + i))
+
+    def run(tag):
+        stream = (
+            spark.readStream.schema("ts timestamp, v int")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.sum("v").alias("n"))
+            .select(F.col("w.start").alias("day"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"mtime_guard_{tag}")
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{tag}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return {
+            r["day"].strftime("%Y-%m-%d"): r["n"]
+            for r in spark.sql(
+                f"SELECT * FROM mtime_guard_{tag}"
+            ).collect()
+        }
+
+    scrambled = run("scrambled")
+    # the hazard, reproduced: day-1 events are lost silently
+    assert scrambled.get("2024-01-01", 0) < 4, scrambled
+
+    stamped = stamp_ascending_mtimes(str(src), suffix=".json")
+    assert [os.path.basename(p) for p in stamped] == [
+        "a.json", "b.json", "c.json",
+    ]
+    complete = run("stamped")
+    assert complete.get("2024-01-01") == 4, complete
