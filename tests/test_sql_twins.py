@@ -20,12 +20,14 @@ really computes the same thing). A twin that passes only via the
 bridge is still a real twin — same query, same values, different
 surface spelling — and the per-query mode is visible in the test id.
 
-The four remaining skips are constructs Spark genuinely lacks:
-DuckDB's ``ASOF JOIN`` (the reason `operators/asof.py` exists),
+The remaining skips are constructs Spark genuinely lacks:
 recursive CTEs whose fixpoint uses ``UNION``-dedup (Spark 4 requires
 ``UNION ALL`` — the dedup IS the clustering algorithm), and the
 parallel-unnest-over-comprehensions-with-struct_pack zip in
-`chunk_documents`. Each is recorded as a skip with the engine error —
+`chunk_documents`. (DuckDB's ``ASOF JOIN`` bridges structurally since
+round 5: a correlated LATERAL top-1 states the same per-row semantics,
+so `asof_join` is a bridged twin, no longer a skip.)
+Each remaining skip is recorded with the engine error —
 the honest boundary of the twin claim. A query that PARSES but returns different values is a real
 failure unless listed in EXPECTED_DIVERGENT with a documented
 engine-semantics reason.
@@ -212,6 +214,20 @@ def bridge_to_spark(sql: str) -> str:
         r"generate_subscripts\(\w+, 1\) AS (\w+)\s+FROM (\w+)",
         r"SELECT \1, col AS \3, pos + 1 AS \4 "
         r"FROM (SELECT \1, posexplode(\2) FROM \5)",
+        sql,
+        flags=re.S,
+    )
+    # DuckDB's ASOF LEFT JOIN (per left row: the right row with the
+    # greatest right-ts <= left-ts within the equality key) maps
+    # structurally to a correlated LATERAL top-1 — Spark has no ASOF
+    # join (the reason operators/asof.py exists), but its lateral
+    # correlated subquery with ORDER BY ... LIMIT 1 states the exact
+    # same per-row semantics.
+    sql = re.sub(
+        r"FROM\s+(\w+)\s+ASOF\s+LEFT\s+JOIN\s+(\w+)\s+ON\s+"
+        r"(\w+\.\w+)\s*=\s*(\w+\.\w+)\s+AND\s+(\w+\.\w+)\s*>=\s*(\w+\.\w+)",
+        r"FROM \1 LEFT JOIN LATERAL (SELECT * FROM \2 WHERE \3 = \4 "
+        r"AND \5 >= \6 ORDER BY \6 DESC LIMIT 1) AS \2 ON true",
         sql,
         flags=re.S,
     )

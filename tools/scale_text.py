@@ -1,14 +1,16 @@
 """Scale-proof of the text/dedup pipeline on a real corpus size.
 
 sf0.1 carries ~10k documents — the text queries there are dominated by
-fixed overhead. This harness generates a deterministic 200k-document
-corpus (zipfian vocabulary, ~5% planted exact dups, ~5% planted
-near-dups via word-level mutation) as a 32-file parquet directory,
-then times the headline text/dedup ops at 25k / 100k / 200k docs and
-prints the scaling curve as JSON (1 cold + 2 steady runs per op,
-steady median reported). Results go in SCALE.md.
+fixed overhead. This harness generates a deterministic corpus (zipfian
+vocabulary, ~5% planted exact dups, ~5% planted near-dups via
+word-level mutation) as a 32-file parquet directory, then times the
+headline text/dedup/LM ops at 25k → 2M docs and prints the scaling
+curve as JSON (1 cold + 2 steady runs per op, steady median reported).
+Results go in SCALE.md — the round-5 goal is the ≥2M-doc rows that put
+the text suite's gram-shuffle designs on the same measured footing as
+the vector suite's 1M-row curves.
 
-Usage: python tools/scale_text.py [--docs 200000] [--skip-gen]
+Usage: python tools/scale_text.py [--docs 2000000] [--skip-gen]
 """
 
 from __future__ import annotations
@@ -29,7 +31,7 @@ N_FILES = 32
 MEAN_WORDS = 80
 VOCAB = 30_000
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   ".scale", "documents_200k")
+                   ".scale", "documents_big")
 
 
 def generate(n_docs: int, out_dir: str) -> None:
@@ -50,22 +52,29 @@ def generate(n_docs: int, out_dir: str) -> None:
 
     per = n_docs // N_FILES
     start = 0
-    prev_words: list[str] | None = None
+    prev_words = None
     for f in range(N_FILES):
         rows = per if f < N_FILES - 1 else n_docs - per * (N_FILES - 1)
+        # vectorized bulk sampling (one zipfian draw per FILE, not per
+        # doc) — the per-doc rng.choice of the original harness made
+        # >800k-doc generation the bottleneck, not the measurement
+        lens = np.maximum(
+            8, rng.exponential(MEAN_WORDS, size=rows).astype(np.int64)
+        )
+        flat = vocab[rng.choice(VOCAB, size=int(lens.sum()), p=probs)]
+        offs = np.concatenate(([0], np.cumsum(lens)))
         ids, texts = [], []
         for local in range(rows):
             gid = start + local
-            n_words = max(8, int(rng.exponential(MEAN_WORDS)))
-            words = list(vocab[rng.choice(VOCAB, size=n_words, p=probs)])
+            words = flat[offs[local]:offs[local + 1]]
             if gid % 19 == 7 and prev_words is not None:
-                words = list(prev_words)          # planted EXACT dup
+                words = prev_words                # planted EXACT dup
             elif gid % 19 == 8 and prev_words is not None:
-                words = list(prev_words)          # planted NEAR dup:
+                words = prev_words.copy()         # planted NEAR dup:
                 for _ in range(max(1, len(words) // 25)):  # ~4% mutated
-                    words[int(rng.integers(len(words)))] = str(
-                        vocab[int(rng.integers(VOCAB))]
-                    )
+                    words[int(rng.integers(len(words)))] = vocab[
+                        int(rng.integers(VOCAB))
+                    ]
             prev_words = words
             ids.append(gid)
             texts.append(" ".join(words))
@@ -84,6 +93,7 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
 
     from real_time_trip_processing_spark.functions import curation as C
     from real_time_trip_processing_spark.functions.minhash import minhash_lsh_pairs
+    from real_time_trip_processing_spark.functions.text import doc_lm_score
     from real_time_trip_processing_spark.operators.dedup import dedup_exact_text
 
     full = spark.read.parquet(corpus_dir)
@@ -118,6 +128,7 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
         timed("decontaminate_ngrams", size,
               lambda: C.ngram_decontaminate(
                   docs, bench_pred=F.col("doc_id") % 97 == 0, n=4))
+        timed("doc_lm_score", size, lambda: doc_lm_score(docs))
         timed("dataset_split_audit", size, lambda: docs.groupBy(
             (F.conv(F.substring(F.md5(F.concat(F.lit("split:v1:"),
              F.col("doc_id").cast("string"))), 1, 8), 16, 10)
@@ -128,7 +139,7 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=200_000)
+    ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--skip-gen", action="store_true")
     args = ap.parse_args()
 
@@ -141,7 +152,10 @@ def main() -> None:
     from real_time_trip_processing_spark.session import get_spark
 
     spark = get_spark()
-    sizes = [s for s in (25_000, 100_000, 200_000) if s <= args.docs]
+    sizes = [
+        s for s in (25_000, 100_000, 200_000, 800_000, 2_000_000)
+        if s <= args.docs
+    ]
     res = bench(spark, OUT, sizes)
     print(json.dumps({"seed": SEED, "sizes": sizes, "results": res}))
 
