@@ -54,6 +54,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     det: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (a, b, inter, jaccard) via MinHash-LSH candidates
     + exact-Jaccard verification on the hashed shingle sets.
@@ -64,7 +65,33 @@ def minhash_lsh_pairs(
     signature-value strings — ~same plan, marginally more CPU, but
     every intermediate is reproducible in ANY engine with md5, which is
     what lets the DuckDB oracle replay the whole LSH pipeline and
-    hash-match the declared query (plans/vector_queries.py)."""
+    hash-match the declared query (plans/vector_queries.py).
+
+    ``max_bucket`` — the hot-bucket dial (the LSH twin of
+    `similarity.ann_join_ivf(max_bucket=...)`): the banded self-join's
+    cost is Σ K² over bucket widths K, and on head-heavy corpora the
+    widest buckets GROW WITH THE CORPUS (measured on the zipfian
+    2M-doc harness corpus: max width 1,752 → 4,383 and candidate pairs
+    67.6M → 426M from 800k → 2M docs — a quadratic term that turned a
+    15 s run into 324 s; SCALE.md). With ``max_bucket=K`` set, buckets
+    wider than K contribute:
+
+    - LINEAR star edges between docs sharing the FULL num_perm
+      signature (sorted-min hub per signature group) — identical and
+      heavily-duplicated content keeps its cluster CONNECTIVITY (the
+      downstream dedup use) at O(group) cost instead of O(group²);
+    - NO cross-signature pairs — in an over-wide bucket those are
+      overwhelmingly band-collision false positives that verification
+      would reject anyway (the measured mass above), and dropping them
+      is the standard production-dedup cap. Bounded, documented recall
+      loss: a genuine near-dup pair (different full signatures) inside
+      an over-wide bucket is missed unless another of its bands lands
+      in a narrow bucket — raise ``max_bucket`` or rows-per-band if
+      that matters for the corpus.
+
+    Narrow buckets are EXACTLY unchanged, and ``max_bucket=None``
+    (default, the declared-query configuration) disables the cap
+    entirely — the oracle replay stays bit-for-bit."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
@@ -104,17 +131,48 @@ def minhash_lsh_pairs(
         F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
         for b in range(bands)
     ]
-    bucketed = sig.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
-        "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    full_sig = F.xxhash64(*[F.col(f"sig_{i}") for i in range(num_perm)])
+    bucketed = sig.select(
+        "doc",
+        full_sig.alias("fs"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(
+        "doc", "fs", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
 
+    if max_bucket is None:
+        pair_src = bucketed
+        hot_edges = None
+    else:
+        # bucket widths: one aggregate over the (doc, band) rows —
+        # cheap next to the K² join it bounds
+        widths = bucketed.groupBy("band", "bh").agg(
+            F.count(F.lit(1)).alias("_k")
+        )
+        tagged = bucketed.join(widths, ["band", "bh"])
+        pair_src = tagged.filter(F.col("_k") <= max_bucket).drop("_k")
+        hot = tagged.filter(F.col("_k") > max_bucket).drop("_k")
+        # linear star edges inside each (bucket, full-signature) group:
+        # hub = min doc, one edge per other member — connectivity
+        # preserved at O(group), then verified like any candidate
+        hubs = hot.groupBy("band", "bh", "fs").agg(
+            F.min("doc").alias("_hub")
+        )
+        hot_edges = (
+            hot.join(hubs, ["band", "bh", "fs"])
+            .filter(F.col("doc") != F.col("_hub"))
+            .select(F.col("_hub").alias("a"), F.col("doc").alias("b"))
+        )
+
     candidates = (
-        bucketed.alias("l")
-        .join(bucketed.alias("r"), ["band", "bh"])
+        pair_src.alias("l")
+        .join(pair_src.alias("r"), ["band", "bh"])
         .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
         .filter(F.col("a") < F.col("b"))
-        .distinct()
     )
+    if hot_edges is not None:
+        candidates = candidates.unionByName(hot_edges)
+    candidates = candidates.distinct()
 
     hs_a = sig.select(F.col("doc").alias("a"), F.col("hs").alias("hs_a"))
     hs_b = sig.select(F.col("doc").alias("b"), F.col("hs").alias("hs_b"))

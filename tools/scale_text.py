@@ -106,6 +106,12 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
             t0 = time.monotonic()
             n = df.count()
             runs.append(round(time.monotonic() - t0, 2))
+            # per-run isolation (same rule as bench.py): ops that
+            # persist internally (the LSH signature+shingle-set frame
+            # is ~GBs at 2M docs) must not stack cached copies across
+            # runs/sizes — without this the 2M minhash run measured
+            # eviction thrash, not the operator (324s vs 36s real)
+            spark.catalog.clearCache()
         dt = sorted(runs[1:])[len(runs[1:]) // 2]
         results.setdefault(name, {})[str(size)] = {
             "sec": dt, "cold_sec": runs[0], "runs": runs, "rows": n,
@@ -120,6 +126,12 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
         timed("dedup_near_minhash_lsh", size,
               lambda: minhash_lsh_pairs(docs, n=3, num_perm=32, bands=8,
                                         threshold=0.5))
+        # the hot-bucket dial: star edges for full-signature groups in
+        # over-wide buckets, cross-signature pairs dropped there (the
+        # measured quadratic term) — compare against the row above
+        timed("dedup_near_minhash_capped", size,
+              lambda: minhash_lsh_pairs(docs, n=3, num_perm=32, bands=8,
+                                        threshold=0.5, max_bucket=500))
         timed("repeated_substrings_hashed", size,
               lambda: C.repeated_ngrams(docs, n=8, min_docs=2,
                                         hash_grams=True))
@@ -141,6 +153,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--sizes", type=str, default=None,
+                    help="comma-separated corpus sizes to measure")
     args = ap.parse_args()
 
     if not args.skip_gen:
@@ -152,10 +166,13 @@ def main() -> None:
     from real_time_trip_processing_spark.session import get_spark
 
     spark = get_spark()
-    sizes = [
-        s for s in (25_000, 100_000, 200_000, 800_000, 2_000_000)
-        if s <= args.docs
-    ]
+    if args.sizes:
+        sizes = [int(s) for s in args.sizes.split(",")]
+    else:
+        sizes = [
+            s for s in (25_000, 100_000, 200_000, 800_000, 2_000_000)
+            if s <= args.docs
+        ]
     res = bench(spark, OUT, sizes)
     print(json.dumps({"seed": SEED, "sizes": sizes, "results": res}))
 
