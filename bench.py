@@ -79,6 +79,10 @@ HEADLINE = [
     "sim_ivf_topk",
     "decontaminate_ngrams",
     "pack_sequences",
+    # the forced 100 TB path, benched separately so the distributed
+    # prefix sum's fixed overhead stays visible while the auto path
+    # above takes the cheap single-window branch at bench scale
+    "pack_sequences_bucketed",
     "dataset_split",
     # round-4: persisted-IVF serving (build amortized behind a manifest;
     # steady runs measure the probed-cell serve path)

@@ -59,17 +59,16 @@ the mandated training-data-pipeline layer (ANN serving path).
 
 from __future__ import annotations
 
-import contextlib
 import hashlib
 import os
 import shutil
 import struct
-import time
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..locking import dir_write_lock
 from .similarity import (
     CentroidRows,
     _quant_codebook,
@@ -84,7 +83,7 @@ __all__ = [
     "ivf_index_build", "ivf_index_is_fresh", "ivf_index_ensure",
     "ivf_index_append", "ivf_persisted_topk", "default_index_root",
     "ivfpq_index_build", "ivfpq_index_ensure", "ivfpq_persisted_topk",
-    "ivfpq_index_append",
+    "ivfpq_index_append", "ivf_index_compact_stream",
     "ann_join_persisted", "streaming_index_append", "read_index_cells",
 ]
 
@@ -146,51 +145,13 @@ def _codebook_fp(rows: CentroidRows) -> int:
     return int.from_bytes(h.digest(), "little") % _FP_MOD
 
 
-@contextlib.contextmanager
-def _index_write_lock(
-    index_dir: str, timeout_sec: float = 120.0, stale_sec: float = 600.0
-):
-    """Advisory single-writer lock for one index directory.
-
-    O_CREAT|O_EXCL is atomic on POSIX local filesystems (and NFSv4), so
-    exactly one writer holds the lock; contenders poll until the holder
-    releases, honoring ``timeout_sec``. A lock file older than
-    ``stale_sec`` is presumed orphaned by a dead writer and broken —
-    the holder writes (pid, wall time) into it for post-mortems. All
-    mutating paths re-read the manifest INSIDE this section, which is
-    what makes interleaved appends apply against each other's advanced
-    manifest instead of a shared stale parent. On an object store,
-    replace with a conditional-put (if-match) manifest swap."""
-    os.makedirs(index_dir, exist_ok=True)
-    lock = os.path.join(index_dir, ".write_lock")
-    deadline = time.monotonic() + timeout_sec
-    while True:
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}".encode())
-            os.close(fd)
-            break
-        except FileExistsError:
-            try:
-                if time.time() - os.stat(lock).st_mtime > stale_sec:
-                    os.unlink(lock)  # orphaned by a crashed writer
-                    continue
-            except FileNotFoundError:
-                continue  # holder released between open and stat
-            if time.monotonic() > deadline:
-                raise TimeoutError(
-                    f"index write lock busy > {timeout_sec}s: {lock} "
-                    "(another writer is mutating this index; if its "
-                    "process is dead, remove the lock file)"
-                )
-            time.sleep(0.05)
-    try:
-        yield
-    finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+#: single-writer lock for one index directory (shared engine-wide
+#: helper — see locking.py for semantics, staleness and the
+#: object-store CAS note). All mutating paths here re-read the manifest
+#: INSIDE the locked section, which is what makes interleaved appends
+#: apply against each other's advanced manifest instead of a shared
+#: stale parent.
+_index_write_lock = dir_write_lock
 
 
 def _centroids_path(index_dir: str, layout: str) -> str:
@@ -953,6 +914,109 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
             )
 
     return apply_batch
+
+
+def ivf_index_compact_stream(
+    spark: SparkSession, index_dir: str
+) -> dict | None:
+    """Fold stream-staged cells into the base layout — O(streamed), not
+    O(corpus).
+
+    A long-running ingest stream leaves one ``__stream_batch``
+    partition per micro-batch under ``cells_stream`` (thousands of
+    small files after a day of batches), and every serve pays their
+    file-open/footer costs. A full rebuild folds them but rescans the
+    whole corpus; this op moves ONLY the staged rows (one clustering
+    shuffle of the streamed delta into the base cells) and advances the
+    manifest by the ledger's recorded extent — the staged data itself is
+    never re-fingerprinted, the ledger already carries each batch's
+    (rows, fingerprint delta) from commit time.
+
+    Crash-safe sequencing under the index write lock, in double-serve-
+    impossible order (every rerun either completes the fold or fails
+    loudly — never silently duplicates):
+
+    1. rename ``cells_stream`` → ``cells_stream.folding`` — from this
+       instant serve paths see base cells only (staged rows are briefly
+       invisible: a compaction-window read serves the pre-compaction
+       base, never duplicates);
+    2. parity-check cells == manifest, then append the staged rows into
+       ``cells/`` and drop an ``.appended`` marker in the folding dir;
+    3. advance the manifest by the ledger totals — idempotent: a rerun
+       compares the manifest against the post-append cells count and
+       only advances if it still describes the pre-fold base;
+    4. remove the folding dir and the ledger.
+
+    Rerun-after-crash matrix: before the marker, the parity guard
+    either passes (nothing appended — redo) or fails loudly (partial
+    append — rebuild repairs); after the marker, the append is skipped
+    and steps 3-4 re-run idempotently. Run with the ingest stream
+    STOPPED (same single-writer discipline as rebuild — a batch
+    replayed after the ledger clears would re-apply).
+
+    Returns the advanced manifest, or None if there was nothing staged.
+    """
+    with _index_write_lock(index_dir):
+        stream_dir = os.path.join(index_dir, "cells_stream")
+        folding = stream_dir + ".folding"
+        ledger_dir = os.path.join(index_dir, "applied_batches")
+        if os.path.isdir(stream_dir):
+            os.rename(stream_dir, folding)
+        if not os.path.isdir(folding):
+            return None  # nothing staged
+        marker = os.path.join(folding, ".appended")
+        prev = _read_manifest(spark, index_dir, "ivf")
+        if os.path.isdir(ledger_dir):
+            lrows = spark.read.parquet(ledger_dir).collect()
+            committed = [int(r["batch_id"]) for r in lrows]
+            dn = sum(int(r["n_rows"]) for r in lrows)
+            dfp = sum(int(r["fingerprint_delta"]) for r in lrows) % _FP_MOD
+        else:
+            committed, dn, dfp = [], 0, 0
+        if not os.path.exists(marker):
+            _check_cells_parity(
+                spark, index_dir, "cells", int(prev["n_rows"])
+            )
+            # fold ONLY ledger-committed batches: a partition from a
+            # batch that crashed before its ledger row belongs to the
+            # stream's replay (dynamic overwrite on restart), not to
+            # the base — it is dropped with the staging dir
+            staged = (
+                spark.read.parquet(folding)
+                .filter(F.col("__stream_batch").isin(committed))
+                .drop("__stream_batch")
+            )
+            n_cent = max(1, int(prev["n_centroids"]))
+            staged.repartition(n_cent, "cent_id").write.partitionBy(
+                "cent_id"
+            ).mode("append").parquet(os.path.join(index_dir, "cells"))
+            with open(marker, "w") as f:
+                f.write("appended")
+        cells_count = int(
+            spark.read.parquet(os.path.join(index_dir, "cells")).count()
+        )
+        if int(prev["n_rows"]) == cells_count - dn:
+            manifest = {
+                "n_rows": int(prev["n_rows"]) + dn,
+                "fingerprint": (int(prev["fingerprint"]) + dfp) % _FP_MOD,
+                "n_centroids": int(prev["n_centroids"]),
+                "dim": int(prev["dim"]),
+                "codebook_fp": int(prev.asDict().get("codebook_fp") or 0),
+            }
+            _write_manifest(spark, index_dir, manifest, "ivf")
+        elif int(prev["n_rows"]) == cells_count:
+            manifest = dict(prev.asDict())  # rerun after a 3-4 crash
+        else:
+            raise RuntimeError(
+                f"cells holds {cells_count} rows; manifest records "
+                f"{int(prev['n_rows'])} with a staged extent of {dn} — "
+                "an earlier fold or append half-applied. Rebuild the "
+                "index (ivf_index_build) over the full corpus to repair."
+            )
+        shutil.rmtree(folding)
+        if os.path.isdir(ledger_dir):
+            shutil.rmtree(ledger_dir)
+    return manifest
 
 
 def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -12,13 +12,15 @@ pruning) actually skip data.
 Concurrency contract: every op here is SINGLE-WRITER per directory —
 an in-place rewrite (compaction, purge, retention) racing another
 writer on the same partition can interleave file sets with no
-transaction log to arbitrate. Where the engine owns both writers it
-serializes them the way the persisted ANN index does
-(`functions/ivf_index._index_write_lock`: O_CREAT|O_EXCL lock file +
-re-read state inside the critical section — see that module's
-docstring); at 100 TB under a real multi-writer scheduler, put a table
-format with a transaction log (manifest compare-and-swap) under these
-ops instead of raw parquet dirs.
+transaction log to arbitrate. The IN-PLACE mutators
+(`delete_keys_from_lake`, `expire_partitions`) hold the engine-wide
+`locking.dir_write_lock` on the lake root for their rewrite window —
+the same O_CREAT|O_EXCL + re-read-inside-the-critical-section
+discipline as the persisted ANN index lifecycle; copy-rewrites
+(`compact_parquet_dir`, `zorder_parquet_dir`) write to a NEW directory
+and need no lock on the source. At 100 TB under a real multi-writer
+scheduler, put a table format with a transaction log (manifest
+compare-and-swap) under these ops instead of raw parquet dirs.
 """
 
 from __future__ import annotations
@@ -26,6 +28,8 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ..locking import dir_write_lock
 
 
 def dir_bytes(spark: SparkSession, path: str) -> int:
@@ -218,7 +222,19 @@ def delete_keys_from_lake(
     partitions (partition-pruned scan) and overwrites them via dynamic
     partition overwrite — at 100 TB a single user's erasure touches the
     handful of date partitions they appear in, not the lake.
+
+    Holds the lake root's `dir_write_lock` for the whole
+    discover-rewrite-drop window (module concurrency contract) —
+    discovery re-reads the lake INSIDE the lock, so a purge never
+    rewrites partitions from a view another writer has since replaced.
     """
+    with dir_write_lock(path):
+        return _delete_keys_locked(spark, path, key_col, keys, partition_cols)
+
+
+def _delete_keys_locked(
+    spark, path, key_col, keys, partition_cols
+) -> int:
     from pyspark.sql import functions as F
 
     # Partition values must round-trip EXACTLY (day=01 inferred as int 1
@@ -293,15 +309,23 @@ def expire_partitions(
     no data rewrite at all (the cheap half of lake lifecycle; targeted
     in-partition erasure is `delete_keys_from_lake`). Returns the
     number of partitions dropped. Works on any supported scheme
-    (file://, hdfs://, s3a://)."""
+    (file://, hdfs://, s3a://). Holds the lake root's `dir_write_lock`
+    across the list-and-delete window so a concurrent purge/rewrite
+    can't interleave with the directory drops (lock is local-FS
+    advisory — see locking.py for the object-store note)."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     keep = {f"{partition_col}={v}" for v in keep_values}
     dropped = 0
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if status.isDirectory() and name.startswith(f"{partition_col}=") and name not in keep:
-            fs.delete(status.getPath(), True)
-            dropped += 1
+    with dir_write_lock(path):
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if (
+                status.isDirectory()
+                and name.startswith(f"{partition_col}=")
+                and name not in keep
+            ):
+                fs.delete(status.getPath(), True)
+                dropped += 1
     return dropped

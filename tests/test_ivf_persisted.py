@@ -496,3 +496,147 @@ def test_read_index_cells_propagates_stream_read_errors(spark, tmp_path):
         f.write(b"this is not a parquet file")
     with pytest.raises(Exception):
         read_index_cells(spark, idx).count()
+
+
+def test_compact_stream_folds_staging_into_base(spark, tmp_path):
+    """ivf_index_compact_stream: after streamed batches, compaction
+    moves ONLY the staged rows into the base cells (O(streamed)),
+    advances the manifest by the ledger extent (the grown corpus then
+    reads FRESH — no rebuild), clears the staging + ledger, and serving
+    is unchanged. Batches that never committed a ledger row are dropped
+    for the stream's replay, not folded."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_append,
+        ivf_index_compact_stream,
+        ivf_index_is_fresh,
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 40)
+    d1 = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 70))
+    d2 = emb.filter(F.col("vec_id") >= 70)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = [(int(r[0]), list(r[1])) for r in base.filter(F.col("vec_id") < 16)
+          .select("vec_id", F.col("embedding").cast("array<double>")).collect()]
+
+    idx = str(tmp_path / "cidx")
+    ivf_index_build(base, idx, n_centroids=16, codebook=cb)
+    streaming_index_append(idx)(d1, 0)
+    streaming_index_append(idx)(d2, 1)
+    n_total = emb.count()
+    before = sorted(
+        tuple(r)
+        for r in ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+        .collect()
+    )
+
+    m = ivf_index_compact_stream(spark, idx)
+    assert m is not None and m["n_rows"] == n_total
+    assert not os.path.isdir(os.path.join(idx, "cells_stream"))
+    assert not os.path.isdir(os.path.join(idx, "applied_batches"))
+    assert read_index_cells(spark, idx).count() == n_total
+    # the grown corpus is FRESH post-compact — the manifest advance
+    assert ivf_index_is_fresh(spark, emb, idx, 16)
+    after = sorted(
+        tuple(r)
+        for r in ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+        .collect()
+    )
+    assert after == before
+    # nothing staged -> no-op
+    assert ivf_index_compact_stream(spark, idx) is None
+    # batch appends still work against the folded base
+    extra = emb.limit(3).withColumn("vec_id", F.col("vec_id") + 500000)
+    ivf_index_append(extra, idx)
+    assert read_index_cells(spark, idx).count() == n_total + 3
+
+
+def test_compact_stream_drops_uncommitted_batch(spark, tmp_path):
+    """A staged partition whose batch never committed its ledger row
+    (crash before the commit point) must NOT fold into the base — it
+    belongs to the stream's replay."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _load_centroids,
+        _quant_cells_frame,
+        ivf_index_compact_stream,
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    d1 = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80))
+    orphan = emb.filter(F.col("vec_id") >= 80)
+    idx = str(tmp_path / "oidx")
+    ivf_index_build(base, idx, n_centroids=16)
+    streaming_index_append(idx)(d1, 0)
+    # crash simulation: batch 1's cells land, its ledger row does not
+    rows = _load_centroids(spark, idx)
+    (
+        _quant_cells_frame(orphan, rows, "vec_id", "embedding")
+        .withColumn("__stream_batch", F.lit(1))
+        .write.mode("append")
+        .partitionBy("__stream_batch", "cent_id")
+        .parquet(os.path.join(idx, "cells_stream"))
+    )
+
+    m = ivf_index_compact_stream(spark, idx)
+    n_committed = base.count() + d1.count()
+    assert m["n_rows"] == n_committed
+    assert read_index_cells(spark, idx).count() == n_committed
+
+
+def test_compact_stream_rerun_after_manifest_crash(spark, tmp_path):
+    """Crash between the manifest advance and the cleanup (the .appended
+    marker is present, cells already hold the fold): a rerun must NOT
+    re-append — it re-runs steps 3-4 idempotently and converges."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_compact_stream,
+        ivf_index_is_fresh,
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    d1 = emb.filter(F.col("vec_id") >= 60)
+    idx = str(tmp_path / "ridx")
+    ivf_index_build(base, idx, n_centroids=16)
+    streaming_index_append(idx)(d1, 0)
+
+    # manually construct the 'crashed between append and cleanup'
+    # state: staged rows already appended to cells, marker written,
+    # manifest advanced, staging + ledger NOT yet removed
+    folding = os.path.join(idx, "cells_stream.folding")
+    os.rename(os.path.join(idx, "cells_stream"), folding)
+    staged = spark.read.parquet(folding).drop("__stream_batch")
+    staged.repartition(16, "cent_id").write.partitionBy("cent_id").mode(
+        "append"
+    ).parquet(os.path.join(idx, "cells"))
+    with open(os.path.join(folding, ".appended"), "w") as f:
+        f.write("appended")
+    # manifest was advanced by the crashed run too
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _FP_MOD,
+        _corpus_stats,
+        _read_manifest,
+        _write_manifest,
+    )
+
+    prev = _read_manifest(spark, idx, "ivf")
+    dn, dfp = _corpus_stats(d1, "vec_id", "embedding")
+    _write_manifest(spark, idx, {
+        "n_rows": int(prev["n_rows"]) + dn,
+        "fingerprint": (int(prev["fingerprint"]) + dfp) % _FP_MOD,
+        "n_centroids": 16, "dim": int(prev["dim"]),
+        "codebook_fp": int(prev.asDict().get("codebook_fp") or 0),
+    }, "ivf")
+
+    n_total = emb.count()
+    m = ivf_index_compact_stream(spark, idx)  # the rerun
+    assert m["n_rows"] == n_total
+    assert read_index_cells(spark, idx).count() == n_total  # no dupes
+    assert not os.path.isdir(folding)
+    assert ivf_index_is_fresh(spark, emb, idx, 16)

@@ -24,6 +24,9 @@ Claims checked:
 - ivf_index: persisted-index serve is bit-identical to the in-query
              path, and append == rebuild (the O(delta) maintenance
              claim) on the testdata corpus.
+- lsh_cap:   minhash_lsh_pairs(max_bucket) keeps duplicate clusters
+             connected and is a no-op when no bucket exceeds the cap
+             (the 2M-doc quadratic-term fix, SCALE.md round 5).
 
 Usage: python tools/reproduce_claims.py  [--full]
 (--full runs the pack/skew claims at the SCALE.md sizes instead of the
@@ -204,6 +207,52 @@ def claim_ivf_index(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def claim_lsh_cap(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.functions.minhash import (
+        minhash_lsh_pairs,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta iota kap")
+            for i in range(100)]
+    rows += [(100 + i, f"u{i} f{i} w{i} a{i} o{i} s{i} t{i} k{i}")
+             for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = minhash_lsh_pairs(
+        docs, n=3, num_perm=32, bands=8, threshold=0.5, max_bucket=10
+    ).collect()
+    parent = list(range(100))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in capped:
+        if r["a"] < 100 and r["b"] < 100:
+            parent[find(int(r["a"]))] = find(int(r["b"]))
+    n_comp = len({find(i) for i in range(100)})
+    dup_edges = sum(1 for r in capped if r["a"] < 100 and r["b"] < 100)
+    base = minhash_lsh_pairs(
+        docs, n=3, num_perm=32, bands=8, threshold=0.5,
+        max_bucket=10_000_000,
+    )
+    full = minhash_lsh_pairs(docs, n=3, num_perm=32, bands=8, threshold=0.5)
+    noop_equal = sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    spark.catalog.clearCache()
+    return {
+        "ok": n_comp == 1 and dup_edges < 500 and noop_equal,
+        "dup_components": n_comp,
+        "dup_edges_capped": dup_edges,
+        "noop_cap_equal": noop_equal,
+        "claim": "LSH hot-bucket cap keeps clusters connected, linear",
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--full", action="store_true")
@@ -223,6 +272,7 @@ def main() -> None:
         ("streaming", lambda: claim_streaming(spark, stream_n)),
         ("recall", lambda: claim_recall(spark)),
         ("ivf_index", lambda: claim_ivf_index(spark)),
+        ("lsh_cap", lambda: claim_lsh_cap(spark)),
     ):
         t0 = time.monotonic()
         try:

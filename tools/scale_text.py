@@ -109,8 +109,9 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
             # per-run isolation (same rule as bench.py): ops that
             # persist internally (the LSH signature+shingle-set frame
             # is ~GBs at 2M docs) must not stack cached copies across
-            # runs/sizes — without this the 2M minhash run measured
-            # eviction thrash, not the operator (324s vs 36s real)
+            # runs/sizes and pressure later measurements. (Ruled out as
+            # the cause of the 2M minhash wall — that is the hot-bucket
+            # quadratic, measured and bounded via max_bucket.)
             spark.catalog.clearCache()
         dt = sorted(runs[1:])[len(runs[1:]) // 2]
         results.setdefault(name, {})[str(size)] = {
