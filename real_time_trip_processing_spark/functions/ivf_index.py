@@ -232,20 +232,36 @@ def _write_manifest(
     ).write.mode("overwrite").parquet(_manifest_path(index_dir, layout))
 
 
+def _row_fp_col(id_col: str, vec_col: str):
+    """Per-row content-hash term — EXACTLY the summand of
+    `_corpus_stats`'s fingerprint. Stored in every cell row so deletes
+    can subtract the erased rows' contribution from the manifest
+    fingerprint (additivity works both ways) without the raw vectors,
+    which the cells do not keep."""
+    return F.xxhash64(
+        F.concat_ws(
+            ":",
+            F.col(id_col).cast("string"),
+            F.col(vec_col).cast("array<double>").cast("string"),
+        )
+    )
+
+
 def _quant_cells_frame(
     corpus: DataFrame, rows: CentroidRows, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, qv, qn2, cent_id) — the IVF cell rows; shared by build and
-    append so the two paths cannot drift."""
+    """(id, qv, qn2, row_fp, cent_id) — the IVF cell rows; shared by
+    build and append so the two paths cannot drift."""
     assign = nearest_centroid_kernel(rows)
     return (
         corpus.select(
             F.col(id_col),
             quant_vec(F.col(vec_col)).alias("qv"),
             assign(F.col(vec_col).cast("array<double>")).alias("cent_id"),
+            _row_fp_col(id_col, vec_col).alias("row_fp"),
         )
         .withColumn("qn2", qdot(F.col("qv"), F.col("qv")))
-        .select(id_col, "qv", "qn2", "cent_id")
+        .select(id_col, "qv", "qn2", "row_fp", "cent_id")
     )
 
 
@@ -253,18 +269,20 @@ def _pq_cells_frame(
     corpus: DataFrame, rows: CentroidRows, books, dim: int,
     id_col: str, vec_col: str,
 ) -> DataFrame:
-    """(cand_id, cent_id, codes) — the IVF-PQ cell rows; shared by
-    build and append."""
+    """(cand_id, codes, row_fp, cent_id) — the IVF-PQ cell rows; shared
+    by build and append."""
     from .pq import assign_encode_kernel
 
     kernel = assign_encode_kernel(rows, books, dim)
     return corpus.select(
         F.col(id_col).alias("cand_id"),
         kernel(F.col(vec_col).cast("array<double>")).alias("ae"),
+        _row_fp_col(id_col, vec_col).alias("row_fp"),
     ).select(
         "cand_id",
         F.col("ae.cent_id").alias("cent_id"),
         F.col("ae.codes").alias("codes"),
+        "row_fp",
     )
 
 
