@@ -30,14 +30,21 @@ assign the delta against stored centroids, append to cells, advance
 the manifest), `*_ensure` (content-addressed skip/rebuild).
 
 Single-index concurrency: every mutating entry point (builds, appends,
-the streaming sink's per-batch apply) serializes on an O_CREAT|O_EXCL
+the streaming sink's per-batch apply) serializes on a kernel ``flock``
 lock file in ``index_dir`` (`_index_write_lock`) and re-reads the
 manifest INSIDE the critical section — two appends, or an append racing
 a streaming micro-batch, apply one after the other against the manifest
 the other just advanced, never against a stale parent. The lock is
-advisory and local-FS/NFSv4-grade; on an object store swap it for a
-conditional-put manifest CAS (same structure: the manifest write is the
-commit point). Readers never take the lock.
+advisory and LOCAL-FILESYSTEM-ONLY — and so are the staging lifecycle
+ops (rebuild's staging clear, compaction's rename/marker/cleanup),
+which use os/shutil calls that silently no-op on Hadoop-FS URIs. The
+lock therefore REJECTS URI-scheme index dirs with ``ValueError``, which
+makes every mutator fail loudly up front on ``s3a://…``/``hdfs://…``
+instead of corrupting the staging lifecycle quietly; on an object store
+swap the lock for a conditional-put manifest CAS and route the staging
+ops through the Hadoop FileSystem API (same structure: the manifest
+write is the commit point). Readers resolve through Spark/Hadoop FS and
+work on any scheme; they never take the lock.
 
 ``qv`` is the shared SRP_QUANT integer quantization and ``qn2`` the
 exact integer squared norm, so serve-time scores are bit-identical to
@@ -59,6 +66,7 @@ the mandated training-data-pipeline layer (ANN serving path).
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import shutil
@@ -84,8 +92,37 @@ __all__ = [
     "ivf_index_append", "ivf_persisted_topk", "default_index_root",
     "ivfpq_index_build", "ivfpq_index_ensure", "ivfpq_persisted_topk",
     "ivfpq_index_append", "ivf_index_compact_stream",
+    "ivf_index_reset_stream",
     "ann_join_persisted", "streaming_index_append", "read_index_cells",
 ]
+
+
+def _high_water_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "compacted_through")
+
+
+def _read_high_water(index_dir: str) -> int:
+    """Highest ledger batch_id folded into the base by a compaction, or
+    -1. Compaction deletes the ledger (its idempotency record), so this
+    marker is what stops a micro-batch REPLAYED across the compaction —
+    structured streaming's sink commit and checkpoint commit are not
+    atomic, so the last pre-compaction batch can legitimately re-fire
+    even after a graceful stop — from re-applying rows the fold already
+    moved into the base."""
+    try:
+        with open(_high_water_path(index_dir)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _write_high_water(index_dir: str, batch_id: int) -> None:
+    # single rename-committed write: a crash mid-write leaves the old
+    # marker (or none), never a torn value
+    tmp = _high_water_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(int(batch_id)))
+    os.replace(tmp, _high_water_path(index_dir))
 
 
 def default_index_root() -> str:
@@ -146,8 +183,10 @@ def _codebook_fp(rows: CentroidRows) -> int:
 
 
 #: single-writer lock for one index directory (shared engine-wide
-#: helper — see locking.py for semantics, staleness and the
-#: object-store CAS note). All mutating paths here re-read the manifest
+#: helper — see locking.py for semantics, the crash-release guarantee
+#: and the object-store CAS note; it rejects URI-scheme dirs, which is
+#: the loud-failure gate for every mutator whose staging ops are
+#: local-FS-only). All mutating paths here re-read the manifest
 #: INSIDE the locked section, which is what makes interleaved appends
 #: apply against each other's advanced manifest instead of a shared
 #: stale parent.
@@ -329,13 +368,20 @@ def ivf_index_build(
             os.path.join(index_dir, "cells")
         )
         # the streamed extent is folded into the new base by the full
-        # corpus scan above — drop the staging AND the ledger before the
-        # manifest commit point (a crash in between leaves a stale
-        # manifest, which reads as stale and rebuilds)
+        # corpus scan above — drop the staging, the ledger AND the
+        # compaction high-water before the manifest commit point (a
+        # crash in between leaves a stale manifest, which reads as
+        # stale and rebuilds). Clearing the high-water is what lets a
+        # FRESH stream (new checkpoint, batch ids from 0) attach to the
+        # rebuilt index; the old checkpoint is meaningless against a
+        # re-derived base (module docstring: restart streaming with a
+        # fresh checkpoint after rebuild).
         for staging in ("cells_stream", "applied_batches"):
             p = os.path.join(index_dir, staging)
             if os.path.isdir(p):
                 shutil.rmtree(p)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(_high_water_path(index_dir))
         spark.createDataFrame(
             [(int(c), [float(x) for x in v]) for c, v in rows],
             "cent_id int, centroid array<double>",
@@ -885,6 +931,18 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
     the streamed extent (Σ rows / fingerprint deltas), and serve paths
     see streamed vectors through `read_index_cells`.
 
+    Across a compaction the ledger is gone (the fold consumed it), so
+    idempotency for batches the fold already moved into the base is
+    carried by the ``compacted_through`` high-water marker instead:
+    ``batch_id <= high-water`` short-circuits exactly like a ledger
+    hit. This closes the replay window a graceful stop leaves open
+    (sink commit and checkpoint commit are not atomic — the last
+    pre-compaction batch can re-fire on restart of the SAME stream).
+    Corollary: after a compaction, resume the SAME checkpoint; a FRESH
+    stream (batch ids restarting at 0) must first reset the lifecycle
+    via `ivf_index_reset_stream` or a rebuild, else its first batches
+    would read as already-folded replays.
+
     Usage::
 
         q = (vec_stream.writeStream.foreachBatch(
@@ -909,6 +967,10 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
                 applied = set()
             if int(batch_id) in applied:
                 return  # replayed batch — already fully committed
+            if int(batch_id) <= _read_high_water(index_dir):
+                # replayed across a compaction: the fold consumed this
+                # batch's ledger row after moving its rows into the base
+                return
             rows = _load_centroids(spark, index_dir)
             cells = _quant_cells_frame(batch_df, rows, id_col, vec_col)
             (
@@ -963,14 +1025,30 @@ def ivf_index_compact_stream(
     3. advance the manifest by the ledger totals — idempotent: a rerun
        compares the manifest against the post-append cells count and
        only advances if it still describes the pre-fold base;
-    4. remove the folding dir and the ledger.
+    4. record the highest folded batch_id in the ``compacted_through``
+       high-water marker (rename-committed), so a micro-batch replayed
+       by the stream AFTER the ledger disappears still short-circuits
+       in `streaming_index_append` (graceful stop does not guarantee
+       the last batch won't re-fire — sink and checkpoint commits are
+       not atomic);
+    5. remove the LEDGER, then the folding dir. Ledger first: it is the
+       dangerous artifact — a crash that left the ledger behind with no
+       staging would otherwise make a later fresh stream silently skip
+       its first batches as "already applied". A leftover folding dir
+       without a ledger just re-converges through the marker path on
+       the next run.
 
     Rerun-after-crash matrix: before the marker, the parity guard
     either passes (nothing appended — redo) or fails loudly (partial
     append — rebuild repairs); after the marker, the append is skipped
-    and steps 3-4 re-run idempotently. Run with the ingest stream
-    STOPPED (same single-writer discipline as rebuild — a batch
-    replayed after the ledger clears would re-apply).
+    and steps 3-5 re-run idempotently. A crash in the step-5 window is
+    additionally healed by the nothing-staged path below, which folds
+    any ORPHANED ledger (ledger rows with no staging — only that crash
+    window produces one) into the high-water and deletes it instead of
+    leaving it to poison a future stream. Run with the ingest stream
+    STOPPED; resume the SAME checkpoint afterwards (a fresh checkpoint
+    needs `ivf_index_reset_stream` first — see
+    `streaming_index_append`).
 
     Returns the advanced manifest, or None if there was nothing staged.
     """
@@ -981,6 +1059,20 @@ def ivf_index_compact_stream(
         if os.path.isdir(stream_dir):
             os.rename(stream_dir, folding)
         if not os.path.isdir(folding):
+            if os.path.isdir(ledger_dir):
+                # orphaned ledger from a crash between step-5's two
+                # removals: its batches are already folded into the
+                # base — promote them to the high-water, then clear it
+                lrows = spark.read.parquet(ledger_dir).collect()
+                if lrows:
+                    _write_high_water(
+                        index_dir,
+                        max(
+                            max(int(r["batch_id"]) for r in lrows),
+                            _read_high_water(index_dir),
+                        ),
+                    )
+                shutil.rmtree(ledger_dir)
             return None  # nothing staged
         marker = os.path.join(folding, ".appended")
         prev = _read_manifest(spark, index_dir, "ivf")
@@ -1031,10 +1123,35 @@ def ivf_index_compact_stream(
                 "an earlier fold or append half-applied. Rebuild the "
                 "index (ivf_index_build) over the full corpus to repair."
             )
-        shutil.rmtree(folding)
+        if committed:
+            _write_high_water(
+                index_dir, max(max(committed), _read_high_water(index_dir))
+            )
+        # ledger BEFORE folding dir — see docstring step 5
         if os.path.isdir(ledger_dir):
             shutil.rmtree(ledger_dir)
+        shutil.rmtree(folding)
     return manifest
+
+
+def ivf_index_reset_stream(index_dir: str) -> None:
+    """Reset the streaming lifecycle of an index so a FRESH stream (new
+    checkpoint, batch ids restarting at 0) can attach: clears the
+    staging cells, the batch ledger and the compaction high-water.
+
+    Without this, a fresh stream against a previously-compacted index
+    would have its first ``high-water + 1`` batches silently skipped as
+    already-folded replays (`streaming_index_append` cannot distinguish
+    a replayed old batch 5 from a fresh stream's new batch 5 — only the
+    operator knows which stream is attached). A rebuild performs the
+    same reset implicitly. Run with no stream attached."""
+    with _index_write_lock(index_dir):
+        for staging in ("cells_stream", "applied_batches"):
+            p = os.path.join(index_dir, staging)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(_high_water_path(index_dir))
 
 
 def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -15,8 +15,11 @@ writer on the same partition can interleave file sets with no
 transaction log to arbitrate. The IN-PLACE mutators
 (`delete_keys_from_lake`, `expire_partitions`) hold the engine-wide
 `locking.dir_write_lock` on the lake root for their rewrite window —
-the same O_CREAT|O_EXCL + re-read-inside-the-critical-section
-discipline as the persisted ANN index lifecycle; copy-rewrites
+the same flock + re-read-inside-the-critical-section discipline as
+the persisted ANN index lifecycle (the lock is local-FS-only and
+REJECTS URI-scheme lake roots with ValueError rather than silently
+providing no exclusion for s3a://…/hdfs://… — see locking.py);
+copy-rewrites
 (`compact_parquet_dir`, `zorder_parquet_dir`) write to a NEW directory
 and need no lock on the source. At 100 TB under a real multi-writer
 scheduler, put a table format with a transaction log (manifest

@@ -640,3 +640,177 @@ def test_compact_stream_rerun_after_manifest_crash(spark, tmp_path):
     assert read_index_cells(spark, idx).count() == n_total  # no dupes
     assert not os.path.isdir(folding)
     assert ivf_index_is_fresh(spark, emb, idx, 16)
+
+
+def test_compact_high_water_blocks_replayed_batch(spark, tmp_path):
+    """A micro-batch REPLAYED after compaction (graceful stop does not
+    guarantee the last batch won't re-fire — sink and checkpoint
+    commits are not atomic) must be skipped: the fold consumed its
+    ledger row, so idempotency is carried by the compacted_through
+    high-water instead of the ledger."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _read_high_water,
+        ivf_index_compact_stream,
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    d1 = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80))
+    d2 = emb.filter(F.col("vec_id") >= 80)
+    idx = str(tmp_path / "hw")
+    ivf_index_build(base, idx, n_centroids=16)
+    streaming_index_append(idx)(d1, 0)
+    streaming_index_append(idx)(d2, 1)
+    n_total = emb.count()
+
+    ivf_index_compact_stream(spark, idx)
+    assert _read_high_water(idx) == 1
+    # the stream restarts and replays its last pre-compaction batch —
+    # without the high-water these rows would land in staging AGAIN and
+    # read_index_cells would double-serve them
+    streaming_index_append(idx)(d2, 1)
+    assert read_index_cells(spark, idx).count() == n_total
+    # a genuinely NEW batch of the same stream still applies
+    extra = emb.limit(4).withColumn("vec_id", F.col("vec_id") + 700000)
+    streaming_index_append(idx)(extra, 2)
+    assert read_index_cells(spark, idx).count() == n_total + 4
+
+
+def test_compact_crash_between_cleanup_rmtrees_heals(spark, tmp_path):
+    """Round-6 cleanup order is ledger FIRST, then folding dir. A crash
+    between the two leaves folding-without-ledger, which a rerun
+    converges through the .appended-marker path — no RuntimeError, no
+    duplicate rows, high-water intact."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _read_high_water,
+        ivf_index_compact_stream,
+        ivf_index_is_fresh,
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    d1 = emb.filter(F.col("vec_id") >= 60)
+    idx = str(tmp_path / "cw")
+    ivf_index_build(base, idx, n_centroids=16)
+    streaming_index_append(idx)(d1, 0)
+
+    # run a real compaction, then reconstruct the crash state: the
+    # folding dir reappears (rmtree never ran) while the ledger is gone
+    ivf_index_compact_stream(spark, idx)
+    folding = os.path.join(idx, "cells_stream.folding")
+    os.makedirs(folding)
+    with open(os.path.join(folding, ".appended"), "w") as f:
+        f.write("appended")
+    # stage a parquet shard shaped like the folded batch so the rerun's
+    # reads parse (content irrelevant: the marker skips the append)
+    spark.range(0).selectExpr(
+        "CAST(id AS LONG) vec_id", "array(CAST(1 AS LONG)) qv",
+        "CAST(1 AS LONG) qn2", "CAST(1 AS LONG) row_fp",
+        "CAST(0 AS INT) cent_id", "CAST(0 AS LONG) __stream_batch",
+    ).write.mode("append").partitionBy("__stream_batch", "cent_id").parquet(
+        folding
+    )
+
+    n_total = emb.count()
+    m = ivf_index_compact_stream(spark, idx)  # the rerun
+    assert m is not None and m["n_rows"] == n_total
+    assert read_index_cells(spark, idx).count() == n_total
+    assert not os.path.isdir(folding)
+    assert _read_high_water(idx) == 0
+    assert ivf_index_is_fresh(spark, emb, idx, 16)
+
+
+def test_orphaned_ledger_is_promoted_not_poisonous(spark, tmp_path):
+    """The pre-round-6 crash window left a populated ledger with no
+    staging; a compact rerun then returned None WITHOUT clearing it,
+    and a later stream silently skipped real batches whose ids collided
+    with the stale entries. Now the nothing-staged path promotes the
+    orphan into the high-water and deletes it, and an explicit
+    ivf_index_reset_stream lets a genuinely fresh stream apply batch 0."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _read_high_water,
+        ivf_index_compact_stream,
+        ivf_index_reset_stream,
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    fresh = emb.filter(F.col("vec_id") >= 60)
+    idx = str(tmp_path / "ol")
+    ivf_index_build(base, idx, n_centroids=16)
+    # orphaned ledger: rows for batches 0..2, no cells_stream at all
+    spark.createDataFrame(
+        [(0, 5, 1), (1, 7, 2), (2, 3, 3)],
+        "batch_id long, n_rows long, fingerprint_delta long",
+    ).write.partitionBy("batch_id").parquet(
+        os.path.join(idx, "applied_batches")
+    )
+
+    assert ivf_index_compact_stream(spark, idx) is None
+    assert not os.path.isdir(os.path.join(idx, "applied_batches"))
+    assert _read_high_water(idx) == 2
+
+    # a replayed old batch is still skipped (high-water carries it)...
+    streaming_index_append(idx)(fresh, 2)
+    assert read_index_cells(spark, idx).count() == base.count()
+    # ...and after the explicit reset a FRESH stream's batch 0 applies
+    # instead of being silently dropped
+    ivf_index_reset_stream(idx)
+    assert _read_high_water(idx) == -1
+    streaming_index_append(idx)(fresh, 0)
+    assert read_index_cells(spark, idx).count() == emb.count()
+
+
+def test_rebuild_clears_high_water_for_fresh_stream(spark, tmp_path):
+    """A rebuild resets the whole streaming lifecycle: staging, ledger
+    AND the compaction high-water — so a fresh checkpoint's batch 0
+    applies against the rebuilt base instead of reading as an
+    already-folded replay."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _read_high_water,
+        ivf_index_compact_stream,
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    d1 = emb.filter(F.col("vec_id") >= 60)
+    idx = str(tmp_path / "rb")
+    ivf_index_build(base, idx, n_centroids=16)
+    streaming_index_append(idx)(d1, 0)
+    ivf_index_compact_stream(spark, idx)
+    assert _read_high_water(idx) == 0
+
+    ivf_index_build(emb, idx, n_centroids=16)
+    assert _read_high_water(idx) == -1
+    extra = emb.limit(4).withColumn("vec_id", F.col("vec_id") + 900000)
+    streaming_index_append(idx)(extra, 0)  # fresh checkpoint, batch 0
+    assert read_index_cells(spark, idx).count() == emb.count() + 4
+
+
+def test_mutators_fail_loudly_on_uri_index_dir(spark, tmp_path):
+    """The staging lifecycle (rebuild's staging clear, compaction's
+    rename/marker/cleanup) is local-FS-only; the shared write lock
+    rejects URI-scheme dirs, so every mutator fails at entry on
+    s3a://… instead of silently corrupting the staging lifecycle."""
+    import pytest
+
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_compact_stream,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings").limit(5)
+    with pytest.raises(ValueError, match="local-filesystem"):
+        ivf_index_build(emb, "s3a://bucket/idx", n_centroids=4)
+    with pytest.raises(ValueError, match="local-filesystem"):
+        ivf_index_compact_stream(spark, "hdfs://nn/idx")
+    with pytest.raises(ValueError, match="local-filesystem"):
+        streaming_index_append("s3a://bucket/idx")(emb, 0)
