@@ -60,6 +60,9 @@ HEADLINE = [
     "sessionize",
     "dedup_exact_text",
     "dedup_near_minhash",
+    # round-6: the hot-bucket-capped production configuration, now a
+    # declared oracled query — benched beside the uncapped flavor
+    "dedup_near_minhash_capped",
     "dedup_near_embedding",
     "sim_topk",
     "text_stats",

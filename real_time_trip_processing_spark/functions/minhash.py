@@ -89,9 +89,13 @@ def minhash_lsh_pairs(
       in a narrow bucket — raise ``max_bucket`` or rows-per-band if
       that matters for the corpus.
 
-    Narrow buckets are EXACTLY unchanged, and ``max_bucket=None``
-    (default, the declared-query configuration) disables the cap
-    entirely — the oracle replay stays bit-for-bit."""
+    Narrow buckets are EXACTLY unchanged; ``max_bucket=None`` (default)
+    disables the cap entirely. BOTH flavors are declared, oracled
+    queries (`dedup_near_minhash` uncapped, `dedup_near_minhash_capped`
+    with the cap firing) — the capped star-edge semantics are
+    deterministic SQL (widths a GROUP BY, hubs a MIN per (band, bucket,
+    full-signature) group), so DuckDB hash-adjudicates the production
+    configuration end-to-end, not just the uncapped one."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
 
@@ -131,7 +135,16 @@ def minhash_lsh_pairs(
         F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
         for b in range(bands)
     ]
-    full_sig = F.xxhash64(*[F.col(f"sig_{i}") for i in range(num_perm)])
+    # full-signature group key for the hot-bucket star construction;
+    # in the det flavor it is the plain signature-value string so the
+    # DuckDB oracle can replay hub selection (xxhash64 groups the same
+    # docs — equal signatures — just not portably)
+    if det:
+        full_sig = F.concat_ws(
+            "|", *[F.col(f"sig_{i}").cast("string") for i in range(num_perm)]
+        )
+    else:
+        full_sig = F.xxhash64(*[F.col(f"sig_{i}") for i in range(num_perm)])
     bucketed = sig.select(
         "doc",
         full_sig.alias("fs"),

@@ -26,7 +26,9 @@ Claims checked:
              claim) on the testdata corpus.
 - lsh_cap:   minhash_lsh_pairs(max_bucket) keeps duplicate clusters
              connected and is a no-op when no bucket exceeds the cap
-             (the 2M-doc quadratic-term fix, SCALE.md round 5).
+             (the 2M-doc quadratic-term fix, SCALE.md round 5); the
+             DECLARED capped query (dedup_near_minhash_capped) returns
+             a strict, nonempty subset of the uncapped declared pairs.
 
 Usage: python tools/reproduce_claims.py  [--full]
 (--full runs the pack/skew claims at the SCALE.md sizes instead of the
@@ -243,12 +245,35 @@ def claim_lsh_cap(spark) -> dict:
     noop_equal = sorted(map(tuple, base.collect())) == sorted(
         map(tuple, full.collect())
     )
+    # the DECLARED production configuration (dedup_near_minhash_capped:
+    # det=True, max_bucket=3) only ever DROPS candidates relative to the
+    # uncapped declared query — star edges live inside buckets whose
+    # full pair set the uncapped join generates — so capped ⊆ uncapped
+    # must hold on real data, with the cap actually firing
+    from real_time_trip_processing_spark.plans.registry import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    capped_decl = {
+        (r["a"], r["b"])
+        for r in REGISTRY["dedup_near_minhash_capped"].builder(spark, sf_dir).collect()
+    }
+    uncapped_decl = {
+        (r["a"], r["b"])
+        for r in REGISTRY["dedup_near_minhash"].builder(spark, sf_dir).collect()
+    }
+    declared_subset = capped_decl <= uncapped_decl and 0 < len(
+        capped_decl
+    ) < len(uncapped_decl)
     spark.catalog.clearCache()
     return {
-        "ok": n_comp == 1 and dup_edges < 500 and noop_equal,
+        "ok": n_comp == 1 and dup_edges < 500 and noop_equal
+        and declared_subset,
         "dup_components": n_comp,
         "dup_edges_capped": dup_edges,
         "noop_cap_equal": noop_equal,
+        "declared_capped_subset": declared_subset,
+        "declared_capped_pairs": len(capped_decl),
+        "declared_uncapped_pairs": len(uncapped_decl),
         "claim": "LSH hot-bucket cap keeps clusters connected, linear",
     }
 
