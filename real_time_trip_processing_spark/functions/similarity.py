@@ -890,9 +890,12 @@ def srp_near_dup(
     float32 holds integers ≤ 2^24 exactly, checked in-kernel): that is
     the deliberate trade. At 100 TB it is bands·4·dim bytes per vector
     once, versus a candidate-pair stream that is quadratic per bucket.
-    The repartition carries no explicit N, so AQE sizes the bucket
-    partitions by bytes — sane here because in-kernel work per row is
-    bounded by the bucket width; ``bucket_cap`` is the
+    The bucket repartition pins an EXPLICIT partition count scaled to
+    the cluster (default parallelism) instead of letting AQE size
+    the exchange by bytes: the kernel is compute-dense (m² einsum per
+    bucket), so a bytes advisory coalesces it onto a fraction of the
+    cores (measured: 6 tasks on 32 cores at sf0.1, +30% median and 2×
+    the run-to-run spread — see the inline note). ``bucket_cap`` is the
     degenerate-bucket guard for production skew (a bucket with m
     members costs m² work; capped buckets are dropped — LOUDLY
     deterministic, both engines replay the cap). The declared query
@@ -938,7 +941,21 @@ def srp_near_dup(
         rows = s.select(
             "vid", "qv", F.explode(F.array(*band_cols)).alias("bk")
         ).select("vid", "qv", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-        part = rows.repartition("band", "bh").sortWithinPartitions(
+        # EXPLICIT partition count = one wave of task slots, NOT AQE's
+        # bytes-based advisory: the block kernel is compute-dense (m²
+        # einsum per bucket), so sizing this exchange by bytes
+        # coalesces it onto a fraction of the cores. Measured at
+        # sf0.1/local[32]: AQE coalesced the stage to 6 tasks — median
+        # 0.84–0.96 s with a 0.62–1.6 s run-to-run spread (fat
+        # stragglers + GC sensitivity); pinned to parallelism (32
+        # tasks) the same query runs 0.73–0.79 s median in a 0.68–0.87
+        # band, and 2× parallelism is WORSE again (~1.0 s — 64 Python
+        # worker invocations of fixed Arrow overhead outweigh the
+        # smoothing). The round-4→5 bench "drift" on this query was
+        # session-level draws from the wide coalesced distribution,
+        # not a code change (BENCH_HISTORY note, round 6).
+        n_part = max(1, emb.sparkSession.sparkContext.defaultParallelism)
+        part = rows.repartition(n_part, "band", "bh").sortWithinPartitions(
             "band", "bh", "vid"
         )
 
