@@ -423,6 +423,77 @@ def sim_ivf_recall(spark, sf_dir):
     )
 
 
+#: declared recall floor for sim_ivfpq_recall (k=10, nprobe=4 of 16,
+#: m=32 k=16 ADC). Measured recall@10 on the driver testdata: 0.645
+#: (sf0.001), 0.630 (sf0.01), 0.570 (sf0.1) — PQ distortion costs
+#: ~0.2 recall vs the uncompressed IVF path (sim_ivf_recall's
+#: 0.805–0.895), which is the expected ADC trade. The 0.45 floor sits
+#: under all three but far above failure modes: broken cell pruning
+#: degrades toward nprobe/n_centroids ≈ 0.25, a collapsed quantizer
+#: toward ~0.
+_PQ_RECALL_BAND = 0.45
+
+_PQ_RECALL_ORACLE = f"""
+    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+         c AS (SELECT vec_id AS cand_id, qv AS c_vec FROM qn),
+         q AS (SELECT vec_id AS query_id, qv AS q_vec
+               FROM qn WHERE vec_id < 20),
+         ex_s AS (SELECT q.query_id, c.cand_id,
+                         {_IVF_COS("q.q_vec", "c.c_vec")} AS score
+                  FROM q CROSS JOIN c WHERE c.cand_id <> q.query_id),
+         exact AS (SELECT query_id, cand_id FROM (
+               SELECT query_id, cand_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, cand_id) AS rank
+               FROM ex_s) WHERE rank <= 10)
+    SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(10 AS INT) AS k, CAST(4 AS INT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_expected,
+           TRUE AS recall_ok
+    FROM exact
+    """
+
+
+@declare("sim_ivfpq_recall", oracle=_PQ_RECALL_ORACLE)
+def sim_ivfpq_recall(spark, sf_dir):
+    """X3 quality contract for the COMPRESSED path — the PQ twin of
+    `sim_ivf_recall`: recall@10 of IVF-PQ ADC search against exact
+    brute force, with the `recall_ok >= _PQ_RECALL_BAND` floor on the
+    hash-compared output. PQ training is a float fixpoint, so unlike
+    the IVF contract the oracle cannot replay the approximate side —
+    it replays the EXACT side (n_queries, n_expected) and adjudicates
+    the declared floor: a quantizer or pruning regression flips
+    recall_ok and hash-mismatches. The raw recall number is kept OFF
+    the declared output for that reason (not engine-replayable); it is
+    measured in the module constant's comment and re-checked by
+    tools/reproduce_claims.py."""
+    from ..functions.pq import ivfpq_topk, pq_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    books = pq_train(emb, m=32, k=16, iters=2)
+    approx = ivfpq_topk(
+        emb, probes, books, k=10, n_centroids=16, nprobe=4
+    ).select("query_id", "cand_id")
+    exact = cosine_topk(emb, probes, k=10).select("query_id", "cand_id")
+    agg = exact.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_expected"),
+    )
+    hagg = exact.join(approx, ["query_id", "cand_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return agg.crossJoin(hagg).select(
+        "n_queries",
+        F.lit(10).cast("int").alias("k"),
+        F.lit(4).cast("int").alias("nprobe"),
+        "n_expected",
+        (F.col("n_hit") / F.col("n_expected") >= _PQ_RECALL_BAND).alias(
+            "recall_ok"
+        ),
+    )
+
+
 @declare(
     "multimodal_features",
     oracle="""

@@ -151,11 +151,18 @@ def claim_recall(spark) -> dict:
     from real_time_trip_processing_spark.plans import REGISTRY
 
     row = REGISTRY["sim_ivf_recall"].builder(spark, SF_DIR).collect()[0]
+    # the PQ twin keeps its raw recall OFF the declared output (PQ
+    # training is not oracle-replayable) — so THIS is where the number
+    # itself is re-measured against the documented 0.57–0.645 envelope
+    pq = REGISTRY["sim_ivfpq_recall"].builder(spark, SF_DIR).collect()[0]
     return {
-        "ok": bool(row["recall_ok"]),
+        "ok": bool(row["recall_ok"]) and bool(pq["recall_ok"]),
         "recall": float(row["recall"]),
         "band": 0.70,
-        "claim": "IVF recall@10 (nprobe 4/16) above the declared band",
+        "pq_recall_ok": bool(pq["recall_ok"]),
+        "pq_band": 0.45,
+        "claim": "IVF recall@10 (nprobe 4/16) above the declared band;"
+        " IVF-PQ ADC above its floor",
     }
 
 
