@@ -220,7 +220,14 @@ def minhash_band_stats(
     the band-level cost/recall dial (twin of the SRP view in
     plans/vector_queries.dedup_near_embedding_lsh). Rebuilds the same
     md5-60-bit signatures as ``minhash_lsh_pairs(det=True)`` so the two
-    views describe the same index."""
+    views describe the same index.
+
+    Pair counts are the closed form Σ k·(k−1)/2 over bucket widths —
+    one aggregate, O(buckets), never the Σ k² self-join rows (on
+    head-heavy corpora that join is itself the quadratic hazard this
+    diagnostic measures). The DuckDB oracle keeps the join
+    formulation, adjudicating the closed form against an independent
+    derivation."""
     assert num_perm % bands == 0
     rpb = num_perm // bands
     h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
@@ -244,20 +251,18 @@ def minhash_band_stats(
     bucketed = sig.select("doc", F.explode(F.array(*band_cols)).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
-    per_band = bucketed.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("bh").alias("n_buckets"),
+    # candidate-pair counts WITHOUT the banded self-join: a bucket of
+    # width k contributes exactly k·(k−1)/2 pairs, so n_pairs per band
+    # is an aggregate over bucket widths — O(buckets) instead of the
+    # Σ k² join rows the join flavor materializes just to count them.
+    # On the head-heavy corpora where this diagnostic matters most the
+    # join flavor IS the quadratic hazard it exists to diagnose (the
+    # round-5 2M-doc finding); the closed form never touches pair rows.
+    widths = bucketed.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("k")
     )
-    pairs = (
-        bucketed.alias("l")
-        .join(bucketed.alias("r"), ["band", "bh"])
-        .filter(F.col("l.doc") < F.col("r.doc"))
-        .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-    return per_band.join(pairs, "band", "left").select(
-        "band",
-        "n_docs",
-        "n_buckets",
-        F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+    return widths.groupBy("band").agg(
+        F.sum("k").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("long").alias("n_pairs"),
     )

@@ -231,27 +231,26 @@ def dedup_near_embedding_lsh(spark, sf_dir):
     needs: per band, how many distinct buckets and how many candidate
     pairs the band contributes (the band-level cost/recall dial).
     Deterministic end-to-end (integer signatures), so bucket structure
-    itself is hash-adjudicated against the oracle's replay."""
+    itself is hash-adjudicated against the oracle's replay.
+
+    Pair counts are the CLOSED FORM Σ k·(k−1)/2 over bucket widths —
+    one aggregate, O(buckets) — never a bucket self-join that
+    materializes Σ k² rows just to count them (on the head-heavy
+    corpora where this diagnostic matters, that join IS the quadratic
+    hazard it exists to measure; same fix as minhash_band_stats,
+    round 6). The oracle keeps the join formulation — identical
+    counts, adjudicating the closed form against an independent
+    derivation."""
     bucketed = srp_buckets(
         table(spark, sf_dir, "embeddings"), num_bits=96, bands=16, dim=64
     )
-    per_band = bucketed.groupBy("band").agg(
-        F.count(F.lit(1)).alias("n_vectors"),
-        F.countDistinct("bh").alias("n_buckets"),
+    widths = bucketed.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("k")
     )
-    pairs = (
-        bucketed.alias("l")
-        .join(bucketed.alias("r"), ["band", "bh"])
-        .filter(F.col("l.vid") < F.col("r.vid"))
-        .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-    return (
-        per_band.join(pairs, "band", "left")
-        .select(
-            "band", "n_vectors", "n_buckets",
-            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
-        )
+    return widths.groupBy("band").agg(
+        F.sum("k").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(F.col("k") * (F.col("k") - 1) / 2).cast("long").alias("n_pairs"),
     )
 
 

@@ -88,7 +88,9 @@ def generate(n_docs: int, out_dir: str) -> None:
         start += rows
 
 
-def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
+def bench(
+    spark, corpus_dir: str, sizes: list[int], ops: list[str] | None = None
+) -> dict:
     from pyspark.sql import functions as F
 
     from real_time_trip_processing_spark.functions import curation as C
@@ -100,6 +102,9 @@ def bench(spark, corpus_dir: str, sizes: list[int]) -> dict:
     results: dict[str, dict] = {}
 
     def timed(name, size, build):
+        if ops is not None and name not in ops:
+            return  # --ops filter: e.g. the 8M capped row without the
+            # projected-90-min uncapped quadratic row beside it
         runs, n = [], 0
         for _ in range(3):
             df = build()
@@ -156,6 +161,8 @@ def main() -> None:
     ap.add_argument("--skip-gen", action="store_true")
     ap.add_argument("--sizes", type=str, default=None,
                     help="comma-separated corpus sizes to measure")
+    ap.add_argument("--ops", type=str, default=None,
+                    help="comma-separated op names to measure (default all)")
     args = ap.parse_args()
 
     if not args.skip_gen:
@@ -174,7 +181,10 @@ def main() -> None:
             s for s in (25_000, 100_000, 200_000, 800_000, 2_000_000)
             if s <= args.docs
         ]
-    res = bench(spark, OUT, sizes)
+    res = bench(
+        spark, OUT, sizes,
+        args.ops.split(",") if args.ops else None,
+    )
     print(json.dumps({"seed": SEED, "sizes": sizes, "results": res}))
 
 
