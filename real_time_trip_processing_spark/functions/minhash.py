@@ -157,22 +157,29 @@ def minhash_lsh_pairs(
         pair_src = bucketed
         hot_edges = None
     else:
-        # bucket widths: one aggregate over the (doc, band) rows —
-        # cheap next to the K² join it bounds
-        widths = bucketed.groupBy("band", "bh").agg(
-            F.count(F.lit(1)).alias("_k")
+        from pyspark.sql import Window
+
+        # width tagging + hub selection as WINDOWS over one (band, bh)
+        # exchange, not groupBy+join pairs: count over the unordered
+        # bucket frame gives _k, min(doc) over the (bucket, full-
+        # signature) frame gives the star hub — the groupBy/join
+        # formulation paid the same partitioning exchange plus two
+        # join exchanges to re-attach its aggregates. (Both windows
+        # share the (band, bh) partitioning, so the second is a
+        # partition-local sort, not a new shuffle.)
+        tagged = bucketed.withColumn(
+            "_k", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
         )
-        tagged = bucketed.join(widths, ["band", "bh"])
-        pair_src = tagged.filter(F.col("_k") <= max_bucket).drop("_k")
-        hot = tagged.filter(F.col("_k") > max_bucket).drop("_k")
+        pair_src = tagged.filter(F.col("_k") <= max_bucket).drop("_k", "fs")
         # linear star edges inside each (bucket, full-signature) group:
         # hub = min doc, one edge per other member — connectivity
         # preserved at O(group), then verified like any candidate
-        hubs = hot.groupBy("band", "bh", "fs").agg(
-            F.min("doc").alias("_hub")
-        )
         hot_edges = (
-            hot.join(hubs, ["band", "bh", "fs"])
+            tagged.filter(F.col("_k") > max_bucket)
+            .withColumn(
+                "_hub",
+                F.min("doc").over(Window.partitionBy("band", "bh", "fs")),
+            )
             .filter(F.col("doc") != F.col("_hub"))
             .select(F.col("_hub").alias("a"), F.col("doc").alias("b"))
         )
