@@ -430,6 +430,7 @@ _SCALAR_FRAME_JOINS = {
     "referential_integrity",      # scalar violation-count frames
     "signup_to_purchase_latency", # 1x1 scalar latency frames
     "sim_ivf_recall",             # 1x1 expected-count x hit-count frames
+    "sim_ivfpq_recall",           # 1x1 expected-count x hit-count frames
     "sim_pq_topk",                # 5 broadcast query-LUT rows x codes scan
     "tfidf_top_terms",            # corpus-size N scalar broadcast
     "weighted_sample",            # 1x1 totals frame
