@@ -100,18 +100,18 @@ def dir_write_lock(
     fd = -1
     try:
         while True:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"write lock busy > {timeout_sec}s: {lock} "
+                    "(another live writer is mutating this directory)"
+                )
             fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
             except OSError:
                 os.close(fd)
                 fd = -1
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"write lock busy > {timeout_sec}s: {lock} "
-                        "(another live writer is mutating this directory)"
-                    )
-                time.sleep(0.05)
+                time.sleep(0.05)  # deadline enforced at loop top
                 continue
             # flock acquired — but possibly on an inode a releasing
             # holder just unlinked; only proceed if the lock PATH still

@@ -92,3 +92,59 @@ def test_cap_keeps_duplicate_clusters_connected(spark):
     )
     assert n_full_dup == 4950
     spark.catalog.clearCache()
+
+
+def test_capped_pairs_subset_property(spark):
+    """Structural invariant of the cap, over randomized corpora: the
+    capped output can only DROP pairs relative to uncapped — star edges
+    live inside buckets whose full pair set the uncapped join
+    generates — and every narrow-bucket pair survives byte-identically.
+    Randomized (seeded) corpora cover bucket-width shapes the planted
+    fixtures don't."""
+    import random
+
+    from real_time_trip_processing_spark.functions.minhash import (
+        minhash_lsh_pairs,
+    )
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        k = rng.randint(6, 14)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    # a heavy duplicate cluster to force over-cap buckets
+    rows += [(200 + i, rows[0][1]) for i in range(25)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for cap in (2, 5, 20):
+        capped = {
+            (r["a"], r["b"], r["inter"], r["jaccard"])
+            for r in minhash_lsh_pairs(
+                docs, n=2, num_perm=16, bands=4, threshold=0.3,
+                max_bucket=cap,
+            ).collect()
+        }
+        uncapped = {
+            (r["a"], r["b"], r["inter"], r["jaccard"])
+            for r in minhash_lsh_pairs(
+                docs, n=2, num_perm=16, bands=4, threshold=0.3,
+            ).collect()
+        }
+        assert capped <= uncapped, f"cap={cap} produced novel pairs"
+        assert capped, f"cap={cap} dropped everything"
+        # the duplicate cluster (doc 0 + clones) must stay connected:
+        # union-find over capped pairs puts all 26 members in one set
+        clones = {0} | {200 + i for i in range(25)}
+        parent = {d: d for d in clones}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b, _, _ in capped:
+            if a in clones and b in clones:
+                parent[find(a)] = find(b)
+        assert len({find(d) for d in clones}) == 1, f"cap={cap} split the cluster"
