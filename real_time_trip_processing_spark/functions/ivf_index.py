@@ -117,12 +117,23 @@ def _read_high_water(index_dir: str) -> int:
 
 
 def _write_high_water(index_dir: str, batch_id: int) -> None:
-    # single rename-committed write: a crash mid-write leaves the old
-    # marker (or none), never a torn value
+    # rename-committed AND fsynced: without the fsync before the
+    # replace, a power loss can make the rename durable before the
+    # data blocks (ext4/xfs), leaving an EMPTY marker that reads as
+    # "no high-water" and silently re-opens the replay window this
+    # marker exists to close; the directory fsync makes the rename
+    # itself durable
     tmp = _high_water_path(index_dir) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(int(batch_id)))
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, _high_water_path(index_dir))
+    dfd = os.open(index_dir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def default_index_root() -> str:
@@ -375,7 +386,14 @@ def ivf_index_build(
         # FRESH stream (new checkpoint, batch ids from 0) attach to the
         # rebuilt index; the old checkpoint is meaningless against a
         # re-derived base (module docstring: restart streaming with a
-        # fresh checkpoint after rebuild).
+        # fresh checkpoint after rebuild). Order: staging BEFORE ledger
+        # — the opposite of reset_stream — because here the new base
+        # already CONTAINS the streamed vectors (full corpus scan), so
+        # a crash between the two leaves an orphaned ledger whose
+        # batches are genuinely in the base (safe to promote, and the
+        # stale manifest forces a repair rebuild regardless), whereas
+        # staging-after-ledger would leave stale staging double-served
+        # next to the new base until the repair.
         for staging in ("cells_stream", "applied_batches"):
             p = os.path.join(index_dir, staging)
             if os.path.isdir(p):
@@ -1060,9 +1078,17 @@ def ivf_index_compact_stream(
             os.rename(stream_dir, folding)
         if not os.path.isdir(folding):
             if os.path.isdir(ledger_dir):
-                # orphaned ledger from a crash between step-5's two
-                # removals: its batches are already folded into the
-                # base — promote them to the high-water, then clear it
+                # orphaned ledger (ledger rows, no staging). Provenance
+                # audit: step 5 removes the ledger FIRST, so compaction
+                # itself can no longer produce one; reset_stream also
+                # deletes ledger-first. The remaining producers are a
+                # pre-round-6 compaction crash (batches WERE folded —
+                # promotion correct) and a crashed rebuild's cleanup
+                # (batches ARE in the new base via the full corpus
+                # scan, and the stale manifest forces a repair rebuild
+                # that clears this marker anyway). In both, the
+                # batches' rows live in the base — promote to the
+                # high-water, then clear.
                 lrows = spark.read.parquet(ledger_dir).collect()
                 if lrows:
                     _write_high_water(
@@ -1144,9 +1170,21 @@ def ivf_index_reset_stream(index_dir: str) -> None:
     already-folded replays (`streaming_index_append` cannot distinguish
     a replayed old batch 5 from a fresh stream's new batch 5 — only the
     operator knows which stream is attached). A rebuild performs the
-    same reset implicitly. Run with no stream attached."""
+    same reset implicitly. Run with no stream attached.
+
+    Streamed-but-uncompacted vectors are DROPPED by the reset (the
+    staging is the only place they live) — run
+    `ivf_index_compact_stream` first if they must be kept.
+
+    Crash ordering: the LEDGER goes first. A crash after the ledger's
+    removal leaves staging-without-ledger, which serves correctly
+    (those vectors are still real index content until the rerun
+    finishes) and which a later compact simply discards; the reverse
+    order would leave a ledger whose batches were never folded — a
+    state the compact-heal would wrongly promote into the high-water,
+    silently dropping a fresh stream's first batches."""
     with _index_write_lock(index_dir):
-        for staging in ("cells_stream", "applied_batches"):
+        for staging in ("applied_batches", "cells_stream"):
             p = os.path.join(index_dir, staging)
             if os.path.isdir(p):
                 shutil.rmtree(p)

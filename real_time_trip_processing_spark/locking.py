@@ -108,11 +108,18 @@ def dir_write_lock(
             fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
+            except BlockingIOError:
+                # contention (EWOULDBLOCK) — anything else (ENOLCK,
+                # EIO, an FS without flock) must PROPAGATE, not spin
+                # for the whole timeout and then blame a nonexistent
+                # concurrent writer
                 os.close(fd)
                 fd = -1
                 time.sleep(0.05)  # deadline enforced at loop top
                 continue
+            except OSError:
+                os.close(fd)
+                raise
             # flock acquired — but possibly on an inode a releasing
             # holder just unlinked; only proceed if the lock PATH still
             # names the inode we locked (see module docstring)

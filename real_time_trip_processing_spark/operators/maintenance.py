@@ -16,9 +16,11 @@ transaction log to arbitrate. The IN-PLACE mutators
 (`delete_keys_from_lake`, `expire_partitions`) hold the engine-wide
 `locking.dir_write_lock` on the lake root for their rewrite window —
 the same flock + re-read-inside-the-critical-section discipline as
-the persisted ANN index lifecycle (the lock is local-FS-only and
-REJECTS URI-scheme lake roots with ValueError rather than silently
-providing no exclusion for s3a://…/hdfs://… — see locking.py);
+the persisted ANN index lifecycle. The lock is local-FS-only; since
+the lake ops' actual work is Hadoop-FS scheme-agnostic, a remote
+(s3a://…/hdfs://…) lake root runs the mutation UNLOCKED with a loud
+warning instead of failing (`_lake_write_lock` — contrast the index
+mutators, whose local-only staging ops make rejection correct there);
 copy-rewrites
 (`compact_parquet_dir`, `zorder_parquet_dir`) write to a NEW directory
 and need no lock on the source. At 100 TB under a real multi-writer
@@ -28,11 +30,38 @@ compare-and-swap) under these ops instead of raw parquet dirs.
 
 from __future__ import annotations
 
+import contextlib
 import math
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..locking import dir_write_lock
+from ..locking import _URI_SCHEME, dir_write_lock
+
+
+@contextlib.contextmanager
+def _lake_write_lock(path: str):
+    """Single-writer lock for a lake root — degrading, not rejecting,
+    on remote schemes. The lake mutators' actual WORK is Hadoop-FS
+    scheme-agnostic (Spark reads/writes + FileSystem deletes), so a
+    remote lake must not fail at entry the way the index mutators do
+    (their staging ops are genuinely local-only); but the os-level
+    lock cannot provide exclusion there, so it is SKIPPED with a
+    loud warning instead of silently creating a mangled local dir.
+    On an object store, put a transactional table format (manifest
+    CAS) under these ops for real multi-writer safety."""
+    if _URI_SCHEME.match(path):
+        warnings.warn(
+            f"lake root {path!r} is on a Hadoop filesystem: the local "
+            "single-writer lock cannot serialize writers there, so this "
+            "mutation runs UNLOCKED. Ensure no concurrent writer, or "
+            "use a transactional table format for the lake.",
+            stacklevel=3,
+        )
+        yield
+        return
+    with dir_write_lock(path):
+        yield
 
 
 def dir_bytes(spark: SparkSession, path: str) -> int:
@@ -226,12 +255,15 @@ def delete_keys_from_lake(
     partition overwrite — at 100 TB a single user's erasure touches the
     handful of date partitions they appear in, not the lake.
 
-    Holds the lake root's `dir_write_lock` for the whole
+    Holds the lake root's single-writer lock for the whole
     discover-rewrite-drop window (module concurrency contract) —
     discovery re-reads the lake INSIDE the lock, so a purge never
     rewrites partitions from a view another writer has since replaced.
+    On a remote (hdfs://, s3a://) lake the local lock cannot provide
+    exclusion, so the op runs UNLOCKED with a warning — see
+    `_lake_write_lock`.
     """
-    with dir_write_lock(path):
+    with _lake_write_lock(path):
         return _delete_keys_locked(spark, path, key_col, keys, partition_cols)
 
 
@@ -312,16 +344,17 @@ def expire_partitions(
     no data rewrite at all (the cheap half of lake lifecycle; targeted
     in-partition erasure is `delete_keys_from_lake`). Returns the
     number of partitions dropped. Works on any supported scheme
-    (file://, hdfs://, s3a://). Holds the lake root's `dir_write_lock`
-    across the list-and-delete window so a concurrent purge/rewrite
-    can't interleave with the directory drops (lock is local-FS
-    advisory — see locking.py for the object-store note)."""
+    (file://, hdfs://, s3a://). Holds the lake root's single-writer
+    lock across the list-and-delete window so a concurrent
+    purge/rewrite can't interleave with the directory drops; on a
+    remote scheme the local lock cannot provide exclusion, so the op
+    runs UNLOCKED with a warning (`_lake_write_lock`)."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
     keep = {f"{partition_col}={v}" for v in keep_values}
     dropped = 0
-    with dir_write_lock(path):
+    with _lake_write_lock(path):
         for status in fs.listStatus(root):
             name = status.getPath().getName()
             if (

@@ -70,14 +70,13 @@ def sim_topk(spark, sf_dir):
     return top.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _minhash_oracle(
-    n: int = 3, num_perm: int = 32, bands: int = 8, threshold: float = 0.2
-) -> str:
-    """DuckDB replay of the ENTIRE deterministic MinHash-LSH pipeline:
-    same shingles, same md5-60-bit hashes, same universal-hash
-    signature constants (shared Python source: _perm_constants), same
-    band keys, same exact-Jaccard verification. Any drift anywhere in
-    the pipeline hash-mismatches the declared query."""
+def _minhash_common_ctes(n: int, num_perm: int, bands: int) -> str:
+    """Shared DuckDB CTE chain for every MinHash-LSH oracle: shingles →
+    md5-60-bit hashes → universal-hash signatures (shared Python
+    source: _perm_constants) → banded (doc, band, bh) rows. Factored so
+    the capped and uncapped oracles replay ONE pipeline definition — a
+    fix to shingle construction or hash reduction cannot silently
+    diverge the two declared queries."""
     rpb = num_perm // bands
     consts = _perm_constants(num_perm)
     sig_aggs = ",\n            ".join(
@@ -92,8 +91,7 @@ def _minhash_oracle(
         )
         for b in range(bands)
     )
-    return f"""
-    WITH sh0 AS (
+    return f"""sh0 AS (
       SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
       FROM (
         SELECT doc_id,
@@ -106,11 +104,14 @@ def _minhash_oracle(
            FROM sh0),
     sig AS (SELECT doc, {sig_aggs}
             FROM (SELECT doc, h % 2147483648 AS h31 FROM hd) GROUP BY doc),
-    bnd AS ({band_selects}),
-    cand AS (SELECT DISTINCT l.doc AS a, r.doc AS b
-             FROM bnd l JOIN bnd r
-               ON l.band = r.band AND l.bh = r.bh AND l.doc < r.doc),
-    sizes AS (SELECT doc, COUNT(*) AS sz FROM hd GROUP BY doc),
+    bnd AS ({band_selects})"""
+
+
+def _minhash_verify_tail(threshold: float) -> str:
+    """Shared exact-Jaccard verification over a ``cand(a, b)`` CTE the
+    caller defines — the declared output columns of both LSH dedup
+    flavors."""
+    return f"""sizes AS (SELECT doc, COUNT(*) AS sz FROM hd GROUP BY doc),
     inter AS (SELECT c.a, c.b, COUNT(*) AS inter
               FROM cand c
               JOIN hd x ON x.doc = c.a
@@ -123,6 +124,22 @@ def _minhash_oracle(
     JOIN sizes sb ON sb.doc = i.b
     WHERE i.inter / (sa.sz + sb.sz - i.inter) >= {threshold}
     """
+
+
+def _minhash_oracle(
+    n: int = 3, num_perm: int = 32, bands: int = 8, threshold: float = 0.2
+) -> str:
+    """DuckDB replay of the ENTIRE deterministic MinHash-LSH pipeline:
+    same shingles, same md5-60-bit hashes, same universal-hash
+    signature constants (shared Python source: _perm_constants), same
+    band keys, same exact-Jaccard verification. Any drift anywhere in
+    the pipeline hash-mismatches the declared query."""
+    return f"""
+    WITH {_minhash_common_ctes(n, num_perm, bands)},
+    cand AS (SELECT DISTINCT l.doc AS a, r.doc AS b
+             FROM bnd l JOIN bnd r
+               ON l.band = r.band AND l.bh = r.bh AND l.doc < r.doc),
+    {_minhash_verify_tail(threshold)}"""
 
 
 @declare("dedup_near_minhash", oracle=_minhash_oracle())
@@ -1005,39 +1022,12 @@ def _minhash_capped_oracle(
     exactly the uncapped pipeline. Every step is deterministic SQL —
     widths are a GROUP BY, hubs a MIN window — so the cap's semantics
     are hash-adjudicated end-to-end, not just row-counted."""
-    rpb = num_perm // bands
-    consts = _perm_constants(num_perm)
-    sig_aggs = ",\n            ".join(
-        f"MIN({a} * h31 + {b}) AS s{i}" for i, (a, b) in enumerate(consts)
-    )
-    band_selects = "\n      UNION ALL ".join(
-        "SELECT doc, {b} AS band, {key} AS bh FROM sig".format(
-            b=b,
-            key=" || '|' || ".join(
-                f"CAST(s{b * rpb + r} AS VARCHAR)" for r in range(rpb)
-            ),
-        )
-        for b in range(bands)
-    )
     full_sig = " || '|' || ".join(
         f"CAST(s{i} AS VARCHAR)" for i in range(num_perm)
     )
     return f"""
-    WITH sh0 AS (
-      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
-      FROM (
-        SELECT doc_id,
-               [array_to_string(toks[i:i+{n - 1}], ' ')
-                FOR i IN range(1, greatest(len(toks) - {n - 1}, 1) + 1)] AS sh_list
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents) t0) t1),
-    hd AS (SELECT DISTINCT doc,
-                  CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
-           FROM sh0),
-    sig AS (SELECT doc, {sig_aggs}
-            FROM (SELECT doc, h % 2147483648 AS h31 FROM hd) GROUP BY doc),
+    WITH {_minhash_common_ctes(n, num_perm, bands)},
     fsg AS (SELECT doc, {full_sig} AS fs FROM sig),
-    bnd AS ({band_selects}),
     w AS (SELECT band, bh, COUNT(*) AS k FROM bnd GROUP BY band, bh),
     bnd2 AS (SELECT b.doc, b.band, b.bh, f.fs, w.k
              FROM bnd b
@@ -1059,19 +1049,7 @@ def _minhash_capped_oracle(
                             AND l.doc < r.doc
                UNION ALL
                SELECT a, b FROM star)),
-    sizes AS (SELECT doc, COUNT(*) AS sz FROM hd GROUP BY doc),
-    inter AS (SELECT c.a, c.b, COUNT(*) AS inter
-              FROM cand c
-              JOIN hd x ON x.doc = c.a
-              JOIN hd y ON y.doc = c.b AND y.h = x.h
-              GROUP BY c.a, c.b)
-    SELECT i.a, i.b, i.inter,
-           ROUND(i.inter / (sa.sz + sb.sz - i.inter), 8) AS jaccard
-    FROM inter i
-    JOIN sizes sa ON sa.doc = i.a
-    JOIN sizes sb ON sb.doc = i.b
-    WHERE i.inter / (sa.sz + sb.sz - i.inter) >= {threshold}
-    """
+    {_minhash_verify_tail(threshold)}"""
 
 
 @declare(

@@ -814,3 +814,42 @@ def test_mutators_fail_loudly_on_uri_index_dir(spark, tmp_path):
         ivf_index_compact_stream(spark, "hdfs://nn/idx")
     with pytest.raises(ValueError, match="local-filesystem"):
         streaming_index_append("s3a://bucket/idx")(emb, 0)
+
+
+def test_reset_stream_crash_residue_is_not_poisonous(spark, tmp_path):
+    """reset_stream deletes the LEDGER first. Its crash residue
+    (staging without ledger) must (a) keep serving the streamed rows
+    until the rerun finishes, and (b) be discarded — NOT promoted into
+    the high-water — by a later compact, so a fresh stream's batch 0
+    still applies. The reverse residue (ledger without staging, batches
+    never folded) was the round-6 review's silent-skip hazard."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _read_high_water,
+        ivf_index_compact_stream,
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 60)
+    d1 = emb.filter(F.col("vec_id") >= 60)
+    idx = str(tmp_path / "rs")
+    ivf_index_build(base, idx, n_centroids=16)
+    streaming_index_append(idx)(d1, 0)
+
+    # crash simulation: reset removed the ledger, not yet the staging
+    import shutil
+
+    shutil.rmtree(os.path.join(idx, "applied_batches"))
+    # (a) the staged vectors still serve — no ledger needed to read
+    assert read_index_cells(spark, idx).count() == emb.count()
+    # (b) compact discards the uncommitted staging without promoting:
+    # it folds the EMPTY committed set (no ledger), leaves the manifest
+    # describing the base, and writes no high-water
+    m = ivf_index_compact_stream(spark, idx)
+    assert m is None or int(m["n_rows"]) == base.count()
+    assert _read_high_water(idx) == -1
+    assert not os.path.isdir(os.path.join(idx, "cells_stream"))
+    # fresh stream batch 0 applies
+    streaming_index_append(idx)(d1, 0)
+    assert read_index_cells(spark, idx).count() == emb.count()

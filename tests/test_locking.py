@@ -155,3 +155,34 @@ def test_unlink_race_hammer(tmp_path):
         t.join()
     assert counter["n"] == 4 * rounds
     assert not os.path.exists(os.path.join(target, ".write_lock"))
+
+
+def test_lake_lock_degrades_on_remote_schemes(tmp_path):
+    """The lake mutators' work is Hadoop-FS scheme-agnostic, so a
+    remote lake root must RUN (unlocked, with a loud warning), not
+    fail at entry — rejecting here would remove documented remote-lake
+    functionality (round-6 review finding). Local roots still lock."""
+    import warnings
+
+    from real_time_trip_processing_spark.operators.maintenance import (
+        _lake_write_lock,
+    )
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with _lake_write_lock("hdfs://nn:8020/lake"):
+            pass
+    assert len(w) == 1 and "UNLOCKED" in str(w[0].message)
+
+    local = str(tmp_path / "lake")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with _lake_write_lock(local):
+            # the local path takes the real lock: a second waiter
+            # inside the window must time out
+            import pytest
+
+            with pytest.raises(TimeoutError):
+                with dir_write_lock(local, timeout_sec=0.3):
+                    pass
+    assert not w

@@ -48,6 +48,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
+#: smallest driver testdata — used where a claim compares TWO full
+#: declared pipelines side-by-side (LSH capped vs uncapped) and the
+#: sf0.01 run time would double the suite for no extra signal
+SF_SMALL_DIR = "/root/testdata/sf0.001"
 
 
 def claim_pack(spark, n_docs: int) -> dict:
@@ -148,21 +152,43 @@ def claim_streaming(spark, n_events: int) -> dict:
 
 
 def claim_recall(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.functions.pq import (
+        ivfpq_topk, pq_train,
+    )
+    from real_time_trip_processing_spark.functions.similarity import (
+        cosine_topk,
+    )
     from real_time_trip_processing_spark.plans import REGISTRY
+    from real_time_trip_processing_spark.sources import table
 
     row = REGISTRY["sim_ivf_recall"].builder(spark, SF_DIR).collect()[0]
     # the PQ twin keeps its raw recall OFF the declared output (PQ
-    # training is not oracle-replayable) — so THIS is where the number
-    # itself is re-measured against the documented 0.57–0.645 envelope
-    pq = REGISTRY["sim_ivfpq_recall"].builder(spark, SF_DIR).collect()[0]
+    # training is not oracle-replayable), so the NUMBER is re-measured
+    # here from the underlying ops — same shape as the declared query —
+    # and checked against both the declared 0.45 floor and the
+    # documented 0.57–0.645 measurement envelope (with slack: the
+    # envelope is a regression tripwire, not a tolerance contract)
+    emb = table(spark, SF_DIR, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    books = pq_train(emb, m=32, k=16, iters=2)
+    approx = ivfpq_topk(
+        emb, probes, books, k=10, n_centroids=16, nprobe=4
+    ).select("query_id", "cand_id")
+    exact = cosine_topk(emb, probes, k=10).select("query_id", "cand_id")
+    n_expected = exact.count()
+    n_hit = exact.join(approx, ["query_id", "cand_id"], "left_semi").count()
+    pq_recall = n_hit / n_expected
     return {
-        "ok": bool(row["recall_ok"]) and bool(pq["recall_ok"]),
+        "ok": bool(row["recall_ok"]) and pq_recall >= 0.45,
         "recall": float(row["recall"]),
         "band": 0.70,
-        "pq_recall_ok": bool(pq["recall_ok"]),
+        "pq_recall": round(pq_recall, 4),
         "pq_band": 0.45,
+        "pq_envelope_0_5_to_0_75": bool(0.5 <= pq_recall <= 0.75),
         "claim": "IVF recall@10 (nprobe 4/16) above the declared band;"
-        " IVF-PQ ADC above its floor",
+        " IVF-PQ ADC recall re-measured above its floor",
     }
 
 
@@ -259,7 +285,7 @@ def claim_lsh_cap(spark) -> dict:
     # must hold on real data, with the cap actually firing
     from real_time_trip_processing_spark.plans.registry import REGISTRY
 
-    sf_dir = "/root/testdata/sf0.001"
+    sf_dir = SF_SMALL_DIR
     capped_decl = {
         (r["a"], r["b"])
         for r in REGISTRY["dedup_near_minhash_capped"].builder(spark, sf_dir).collect()
