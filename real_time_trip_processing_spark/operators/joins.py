@@ -46,13 +46,21 @@ def match_start_end(
     return merge_events(s, e, key)
 
 
-def merge_events(starts: DataFrame, ends: DataFrame, key: str) -> DataFrame:
+def merge_events(
+    starts: DataFrame, ends: DataFrame, key: str, cond=None
+) -> DataFrame:
     """J2: post-join projection encoding the reference's collision policy
     (scripts/lambda2.py:93-104): start-side attribute wins the plain
     name; the end-side duplicate is kept as ``end_<col>``.
 
     Sides are aliased so the projection stays unambiguous even when both
     derive from the same source (self-join on event_type partitions).
+
+    ``cond`` overrides the join condition (default: equi on ``key``) —
+    the streaming matcher passes its watermark range-join condition
+    through here so batch and streaming share ONE collision-rename
+    projection instead of two copies that could drift
+    (streaming/matcher.merge_events_streaming).
     """
     s, e = starts.alias("__s"), ends.alias("__e")
     start_cols = list(starts.columns)
@@ -67,8 +75,9 @@ def merge_events(starts: DataFrame, ends: DataFrame, key: str) -> DataFrame:
         for c in end_cols
         if not (c == "data_type" and c in start_cols)
     ]
-    joined = s.join(e, on=F.col(f"__s.{key}") == F.col(f"__e.{key}"), how="inner")
-    out = joined.select(*projection)
+    if cond is None:
+        cond = F.col(f"__s.{key}") == F.col(f"__e.{key}")
+    out = s.join(e, on=cond, how="inner").select(*projection)
     if "data_type" in out.columns:
         out = out.withColumn("data_type", F.lit("completed_trip"))
     return out.withColumn("status", F.lit("completed"))

@@ -22,6 +22,7 @@ def stream_dedup_incremental(
     id_col: str = "doc_id",
     ts_col: str | None = None,
     watermark: str = "1 hour",
+    corpus_hash_col: str | None = None,
 ) -> DataFrame:
     """Survivors of a streaming document batch vs (a) itself and (b) the
     static corpus.
@@ -42,7 +43,17 @@ def stream_dedup_incremental(
         hashed = hashed.dropDuplicatesWithinWatermark(["text_hash"])
     else:
         hashed = hashed.dropDuplicates(["text_hash"])
-    corpus_hashes = corpus.select(
-        F.sha2(F.lower(F.trim(F.col(text_col))), 256).alias("text_hash")
-    ).distinct()
+    # the static side of a stream-static join is re-evaluated EVERY
+    # micro-batch: persist the distinct hash set so the corpus is
+    # scanned and hashed once, not once per trigger (at 100 TB, pass a
+    # PRE-HASHED index via corpus_hash_col and refresh it per ingest
+    # cycle instead of shipping raw text here at all)
+    if corpus_hash_col is not None:
+        corpus_hashes = corpus.select(
+            F.col(corpus_hash_col).alias("text_hash")
+        ).distinct().persist()
+    else:
+        corpus_hashes = corpus.select(
+            F.sha2(F.lower(F.trim(F.col(text_col))), 256).alias("text_hash")
+        ).distinct().persist()
     return hashed.join(corpus_hashes, "text_hash", "left_anti")

@@ -36,7 +36,8 @@ def streaming_sessions(
             key,
             F.col("session.start").alias("session_start"),
             F.col("session.end").alias("session_end"),
-            *[c for c in ("n_events", "total_value") if value_col or c == "n_events"],
+            *(["n_events", "total_value"] if value_col is not None
+              else ["n_events"]),
         )
     )
 

@@ -57,22 +57,10 @@ def stream_match_start_end(
 
 
 def merge_events_streaming(s: DataFrame, e: DataFrame, key: str, cond) -> DataFrame:
-    """Streaming variant of J2: same projection as the batch
-    merge_events, but with the range-join condition required for state
-    eviction."""
-    s_a, e_a = s.alias("__s"), e.alias("__e")
-    start_cols = list(s.columns)
-    end_cols = [c for c in e.columns if c != key]
-    # same exemption as the batch merge: data_type never gets the end_
-    # prefix (lambda2.py:101) — it is forced to 'completed_trip' below
-    collisions = {c for c in end_cols if c in start_cols and c != "data_type"}
-    projection = [F.col(f"__s.{c}").alias(c) for c in start_cols]
-    projection += [
-        F.col(f"__e.{c}").alias(f"end_{c}" if c in collisions else c)
-        for c in end_cols
-        if not (c == "data_type" and c in start_cols)
-    ]
-    out = s_a.join(e_a, on=cond, how="inner").select(*projection)
-    if "data_type" in out.columns:
-        out = out.withColumn("data_type", F.lit("completed_trip"))
-    return out.withColumn("status", F.lit("completed"))
+    """Streaming variant of J2: THE batch merge_events projection (one
+    shared implementation — the collision-rename policy cannot drift
+    between the two paths) with the range-join condition required for
+    state eviction passed through."""
+    from ..operators.joins import merge_events
+
+    return merge_events(s, e, key, cond=cond)

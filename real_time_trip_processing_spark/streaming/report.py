@@ -21,7 +21,10 @@ def build_report(kpis: DataFrame, completed: DataFrame, ts_col: str = "pickup_da
     array. The KPI frame is tiny (one row per day) — collect_list on a
     single-row aggregate is driver-safe at any corpus scale."""
     meta = completed.agg(
-        F.count("trip_id").alias("record_count"),
+        # row count, not count(trip_id): parameter-free for callers
+        # whose id column is named differently, and immune to a
+        # partially-null id column silently understating the count
+        F.count(F.lit(1)).alias("record_count"),
         F.date_format(F.min(ts_col), "yyyy-MM-dd").alias("start_date"),
         F.date_format(F.max(ts_col), "yyyy-MM-dd").alias("end_date"),
     )

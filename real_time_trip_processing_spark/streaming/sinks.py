@@ -124,7 +124,14 @@ def write_kafka(
     try:
         return writer.start()
     except Exception as e:  # pragma: no cover - kafka jars absent here
-        raise NotImplementedError(
-            "kafka sink requires the spark-sql-kafka package on the "
-            "classpath (not available in this environment)"
-        ) from e
+        # only the missing-data-source failure is the jar gate; a bad
+        # checkpoint path, unreachable broker or schema problem must
+        # surface as ITSELF, not send the operator hunting a classpath
+        # problem that does not exist
+        msg = str(e)
+        if "Failed to find" in msg and "kafka" in msg.lower():
+            raise NotImplementedError(
+                "kafka sink requires the spark-sql-kafka package on the "
+                "classpath (not available in this environment)"
+            ) from e
+        raise

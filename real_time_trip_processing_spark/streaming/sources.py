@@ -47,7 +47,19 @@ def stream_trip_events(
     reader = spark.readStream.schema(schemas.TRIP_EVENT).format(fmt)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path)
+    # same required-field gate as parse_kafka_like: malformed rows
+    # surface as schema-on-read nulls here (no base64 leg to reject
+    # them), and without the filter a null-trip_id start and a
+    # null-trip_id end would meet under the SAME group key in the
+    # stateful matcher (groupBy treats null as a value) and emit a
+    # bogus completed trip — the transports must agree on what gets in
+    return reader.load(path).filter(_required_fields())
+
+
+def _required_fields():
+    """The corrupt/missing-field admission gate shared by every
+    transport (reference scripts/lambda1.py:45-47, 96-101)."""
+    return F.col("trip_id").isNotNull() & F.col("data_type").isNotNull()
 
 
 def stamp_ascending_mtimes(
@@ -91,12 +103,9 @@ def parse_kafka_like(raw: DataFrame) -> DataFrame:
                 F.col("value").cast("string"), schemas.TRIP_EVENT
             ).alias("e")
         )
-        .filter(
-            F.col("e").isNotNull()
-            & F.col("e.trip_id").isNotNull()
-            & F.col("e.data_type").isNotNull()
-        )
+        .filter(F.col("e").isNotNull())
         .select("e.*")
+        .filter(_required_fields())
     )
 
 

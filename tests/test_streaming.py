@@ -442,6 +442,18 @@ class _FakeHandle:
     def registerTimer(self, ts):
         self.timers.append(ts)
 
+    def deleteTimer(self, ts):
+        if ts in self.timers:
+            self.timers.remove(ts)
+
+
+class _FakeExpiredTimerInfo:
+    def __init__(self, ts):
+        self._ts = ts
+
+    def getExpiryTimeInMs(self):
+        return self._ts
+
 
 class _FakeTimerValues:
     def __init__(self, wm_ms):
@@ -558,7 +570,10 @@ def test_tws_processor_state_machine():
         if name == "start_only":
             assert tws_out == []
             assert handle.states["pair"].exists()
-            assert handle.timers == [3_600_000]  # wm 0 + 1h eviction
+            # EVENT-anchored deadline (cold-start fix, round 6): the
+            # event's own epoch-ms + 1h, never watermark(0) + 1h
+            want = int(pd.Timestamp(_T0).value // 10**6) + 3_600_000
+            assert handle.timers == [want]
             continue
         assert len(tws_out) == 1, name
         row = tws_out[0].iloc[0]
@@ -599,8 +614,24 @@ def test_tws_processor_timer_expiry_clears_state():
     proc = _TripMatchProcessor()
     proc.init(handle)  # reuse populated fake state
     assert handle.states["pair"].exists()
-    out = list(proc.handleExpiredTimer(("t1",), _FakeTimerValues(10), None))
+    deadline = int(handle.states["deadline"].get()[0])
+    # a STALE timer (not the live deadline) must be ignored — the v2
+    # API accumulates timers, so an old one firing after the deadline
+    # moved cannot evict the pair
+    out = list(
+        proc.handleExpiredTimer(
+            ("t1",), _FakeTimerValues(10), _FakeExpiredTimerInfo(deadline - 1)
+        )
+    )
+    assert out == [] and handle.states["pair"].exists()
+    # the CURRENT deadline evicts, exactly like the GroupState branch
+    out = list(
+        proc.handleExpiredTimer(
+            ("t1",), _FakeTimerValues(10), _FakeExpiredTimerInfo(deadline)
+        )
+    )
     assert out == [] and not handle.states["pair"].exists()
+    assert not handle.states["deadline"].exists()
 
 
 def test_completion_notifier_publishes_sns_doc(spark, tmp_path, replay_dir):
@@ -1112,3 +1143,153 @@ def test_mtime_guard_restores_event_time_admission(spark, tmp_path):
     ]
     complete = run("stamped")
     assert complete.get("2024-01-01") == 4, complete
+
+
+def test_stateful_first_batch_keys_survive(spark, tmp_path):
+    """Cold-start regression (round-6 review): during the FIRST
+    micro-batch the watermark is still 0, so a watermark-anchored
+    eviction deadline is epoch-1970+grace — every key unmatched at the
+    end of batch 1 would be evicted the moment the watermark first
+    advanced, and its partner arriving in a later batch (well inside
+    the watermark) would silently never match. The deadline is now
+    anchored to the event's own time."""
+    import json
+    import os
+
+    from real_time_trip_processing_spark.streaming.stateful_matcher import (
+        stateful_match,
+    )
+
+    d = tmp_path / "coldstart"
+    d.mkdir()
+
+    def ev(trip, dt, **kw):
+        return json.dumps(
+            {"trip_id": trip, "data_type": dt, "record_id": f"{trip}-{dt}", **kw}
+        )
+
+    # batch 1: start for A (watermark 0 while processing)
+    f0 = d / "b0.json"
+    f0.write_text(ev("A", "trip_start", pickup_datetime="2024-05-25T10:00:00"))
+    # batch 2: unrelated advancer — watermark is now 09:00 (>> epoch),
+    # A has no data this batch: the old code evicted it here
+    f1 = d / "b1.json"
+    f1.write_text(ev("U", "trip_start", pickup_datetime="2024-05-25T10:30:00"))
+    # batch 3: A's end, within the watermark — must match
+    f2 = d / "b2.json"
+    f2.write_text(
+        ev("A", "trip_end", dropoff_datetime="2024-05-25T10:20:00",
+           fare_amount=7.5)
+    )
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+    os.utime(f2, (1_000_000_200, 1_000_000_200))
+
+    events = stream_trip_events(spark, str(d), max_files_per_trigger=1)
+    out = _run_stream(
+        spark, stateful_match(events, watermark="1 hour"), "coldstart_out"
+    )
+    got = {r["trip_id"] for r in out.select("trip_id").collect()}
+    assert "A" in got, "first-batch key was evicted by the epoch deadline"
+
+
+def test_stateful_redelivery_does_not_duplicate(spark, tmp_path):
+    """At-least-once redelivery of a matched pair AFTER its state was
+    cleared must not emit a second completed record — the stateful
+    flavors now carry the same dropDuplicatesWithinWatermark guard as
+    the join flavor (round-6 review finding)."""
+    import json
+    import os
+
+    from real_time_trip_processing_spark.streaming.stateful_matcher import (
+        stateful_match,
+    )
+
+    d = tmp_path / "redeliver"
+    d.mkdir()
+
+    def ev(trip, dt, **kw):
+        return json.dumps(
+            {"trip_id": trip, "data_type": dt, "record_id": f"{trip}-{dt}", **kw}
+        )
+
+    pair = [
+        ev("T", "trip_start", pickup_datetime="2024-05-25T10:00:00"),
+        ev("T", "trip_end", dropoff_datetime="2024-05-25T10:20:00",
+           fare_amount=9.0),
+    ]
+    f0 = d / "b0.json"
+    f0.write_text("\n".join(pair))      # match emitted, state cleared
+    f1 = d / "b1.json"
+    f1.write_text("\n".join(pair))      # transport redelivers the pair
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+
+    events = stream_trip_events(spark, str(d), max_files_per_trigger=1)
+    out = _run_stream(
+        spark, stateful_match(events, watermark="1 hour"), "redeliver_out"
+    )
+    assert out.filter(F.col("trip_id") == "T").count() == 1
+
+
+def test_stateful_rejects_dropoff_before_pickup(spark, tmp_path):
+    """A pair whose dropoff precedes its pickup (corrupt producer /
+    clock skew) is rejected by the join flavor's range condition; the
+    state machine now discards the non-conforming END instead of
+    emitting a completed trip that ends before it starts (round-6
+    review: the two flavors previously diverged here). The replacement
+    end in this fixture arrives past the watermark, so no completed
+    record for S exists at all — the assertion is that the 09:00
+    dropoff NEVER surfaced."""
+    import json
+    import os
+
+    from real_time_trip_processing_spark.streaming.stateful_matcher import (
+        stateful_match,
+    )
+
+    d = tmp_path / "skew"
+    d.mkdir()
+
+    def ev(trip, dt, rid, **kw):
+        return json.dumps(
+            {"trip_id": trip, "data_type": dt, "record_id": rid, **kw}
+        )
+
+    f0 = d / "b0.json"
+    f0.write_text(
+        "\n".join(
+            [
+                ev("S", "trip_start", "S-start",
+                   pickup_datetime="2024-05-25T10:00:00"),
+                # dropoff BEFORE pickup — must not complete the trip
+                ev("S", "trip_end", "S-bad",
+                   dropoff_datetime="2024-05-25T09:00:00", fare_amount=1.0),
+            ]
+        )
+    )
+    f1 = d / "b1.json"
+    # conforming end, different record_id (the dedup guard keys on
+    # (trip_id, data_type) — within the watermark the second end row is
+    # collapsed, so deliver it after the watermark moved past b0's
+
+    # advancer first so the dedup state for (S, trip_end) expires
+    f1.write_text(
+        ev("ADV", "trip_start", "ADV-start",
+           pickup_datetime="2024-05-25T20:00:00")
+    )
+    f2 = d / "b2.json"
+    f2.write_text(
+        ev("S", "trip_end", "S-good",
+           dropoff_datetime="2024-05-25T10:30:00", fare_amount=5.0)
+    )
+    os.utime(f0, (1_000_000_000, 1_000_000_000))
+    os.utime(f1, (1_000_000_100, 1_000_000_100))
+    os.utime(f2, (1_000_000_200, 1_000_000_200))
+
+    events = stream_trip_events(spark, str(d), max_files_per_trigger=1)
+    out = _run_stream(
+        spark, stateful_match(events, watermark="1 hour"), "skew_out"
+    )
+    rows = out.filter(F.col("trip_id") == "S").collect()
+    assert [str(r["dropoff_datetime"]) for r in rows] == []  # never 09:00
