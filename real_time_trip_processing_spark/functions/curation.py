@@ -19,10 +19,11 @@ Scale notes:
 
 from __future__ import annotations
 
-import pandas as pd
+import re
+
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from .text import LANG_MARKERS, text_stats, token_count, tokens
+from .text import LANG_MARKERS, token_count, tokens
 from .text import shingle_rows, shingles
 
 __all__ = [
@@ -76,12 +77,13 @@ def ngram_decontaminate(
         docs.filter(bench_pred).select(F.explode(gram_arr).alias("sh")).distinct()
     )
     if impl == "arrow":
-        import re
+        import pandas as pd
+
+        from .text import py_tokens
 
         bench = frozenset(r[0] for r in bench_grams.collect())
         id_type = dict(docs.dtypes)[id_col]
         schema = f"{id_col} {id_type}, n_hits long"
-        ws = re.compile(r"\s+")
 
         def scan(batches):
             for pdf in batches:
@@ -91,9 +93,10 @@ def ngram_decontaminate(
                 ):
                     if txt is None:
                         continue
-                    # replicate tokens()/shingles() exactly: split(trim, \s+),
-                    # docs shorter than n yield their single truncated gram
-                    toks = ws.split(txt.strip())
+                    # replicate tokens()/shingles() exactly (py_tokens:
+                    # Java \s + space-only trim); docs shorter than n
+                    # yield their single truncated gram
+                    toks = py_tokens(txt)
                     hi = max(len(toks) - n, 0)
                     grams = {
                         " ".join(toks[i : i + n]) for i in range(hi + 1)
@@ -265,7 +268,17 @@ def pack_sequences(
     spark = docs.sparkSession
     part_field = docs.schema[part_col]
     bounds_df = spark.createDataFrame(
-        [(r[part_col], [float(b) for b in r["_bounds"]]) for r in ladder],
+        # a stream whose proxy values are ALL NULL (every id null —
+        # allowed by the (part,id)-uniqueness precondition) yields a
+        # NULL percentile array; its rows all coalesce to proxy 0 on
+        # the row side, so an empty ladder (single bucket) is correct
+        [
+            (
+                r[part_col],
+                [float(b) for b in (r["_bounds"] or [])],
+            )
+            for r in ladder
+        ],
         T.StructType(
             [
                 T.StructField(part_col, part_field.dataType, True),
@@ -429,6 +442,27 @@ def top_token_stats(
     )
 
 
+def blocklist_pattern(terms: tuple[str, ...]) -> str:
+    """The shared word-boundary alternation over ESCAPED terms —
+    exported so the DuckDB oracle builds its pattern from the same
+    function. Escaping matters: a raw term like 'c++' would be a
+    dangling quantifier (PatternSyntaxException at execution) and 'a.b'
+    would silently over-match 'aXb'; re.escape only backslash-escapes
+    non-alphanumerics, which java.util.regex and RE2 both accept. An
+    empty blocklist is rejected: '\\b(?:)\\b' matches the empty string
+    at every word boundary and would 'redact' the gaps between words.
+
+    Boundary caveat: \\b anchors bind at WORD-character edges, so a
+    term that starts or ends with a non-word character ('c++', '.env')
+    only matches where its non-word edge touches a word character —
+    'use c++ now' has no boundary between '+' and ' '. Terms are
+    expected to be word-ish; punctuation-edged terms need a custom
+    pattern, not this helper."""
+    if not terms:
+        raise ValueError("redact_terms: empty blocklist")
+    return r"\b(?:" + "|".join(re.escape(t) for t in terms) + r")\b"
+
+
 def redact_terms(
     docs: DataFrame,
     terms: tuple[str, ...],
@@ -447,7 +481,7 @@ def redact_terms(
     lookarounds) so the same regex runs in Spark (java.util.regex), RE2
     engines, and the DuckDB oracle byte-identically.
     """
-    pat = r"\b(?:" + "|".join(terms) + r")\b"
+    pat = blocklist_pattern(terms)
     t = F.col(text_col)
     red = F.regexp_replace(t, pat, placeholder)
     return docs.select(
@@ -475,7 +509,12 @@ def pii_scrub(
 ) -> DataFrame:
     """PII scrubbing: chained regexp_replace of emails → phone numbers →
     IPv4 addresses with typed placeholders, plus per-document counts of
-    each PII class (counted on the pre-scrub text).
+    each PII class. Counts run PROGRESSIVELY — each class is counted on
+    the text already scrubbed of the earlier classes — so they
+    reconcile exactly with the replacements made: digits inside an
+    email count as the one <EMAIL> hit, never additionally as a phone
+    or IP (counting every class on the raw text would report n_phone=1
+    for '555.123.4567@mail.com' while no <PHONE> was ever inserted).
 
     Pure map-side expression work — at corpus scale this fuses into the
     scan stage like every other row-local curation rule.  The pattern
@@ -484,12 +523,13 @@ def pii_scrub(
     NER pass, which belongs in the `multimodal`-style Arrow-UDF tier,
     not here.
     """
-    t = F.col(text_col)
-    scrubbed = t
+    scrubbed = F.col(text_col)
     counts = []
     for name, pat, token in PII_PATTERNS:
         counts.append(
-            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(f"n_{name}")
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0)).alias(
+                f"n_{name}"
+            )
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return docs.select(
@@ -689,9 +729,16 @@ def chunk_documents(
     explode) — no shuffle at any scale; the sha256 digest pins chunk
     CONTENT for downstream exact-dedup of chunks with the same 32-byte
     shuffle-key discipline as document dedup.
+
+    NULL-text documents contribute NO chunks (same convention as every
+    other text operator here) — without the filter, size(NULL) → NULL
+    → greatest(NULL,1)=1 would fabricate one phantom chunk per null doc
+    whose chunk_sha is sha256('') and whose n_tok is NULL, colliding
+    with genuinely-empty chunks in downstream chunk dedup.
     """
     step = chunk_tokens - overlap
     assert step > 0
+    docs = docs.filter(F.col(text_col).isNotNull())
     toks = tokens(F.col(text_col))
     # n_tok counts NON-EMPTY tokens in the slice (an empty/whitespace-only
     # document tokenizes to [''] — re-splitting the joined chunk would

@@ -6,10 +6,13 @@ at 100 TB these run map-side inside the scan stage.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
-    "tokens", "distinct_tokens", "shingles", "shingle_rows", "text_stats",
+    "tokens", "py_tokens", "distinct_tokens", "shingles", "shingle_rows",
+    "text_stats",
     "quality_score", "fingerprint", "token_count", "lang_scores", "lang_id",
     "BPE_ISH_PATTERN", "LANG_MARKERS",
 ]
@@ -18,6 +21,21 @@ __all__ = [
 #: operator agrees on what a "word" is.
 def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
+
+
+#: Python twin of ``tokens()`` with the JVM's exact semantics, for the
+#: Arrow kernels: SQL trim() strips only ' ' (not tabs/newlines — use
+#: str.strip(' '), never bare strip()), and Java \s is the ASCII class
+#: [ \t\n\x0B\f\r] (re.ASCII; Python's default Unicode \s would also
+#: split on NBSP etc. and silently diverge the kernel's shingle set
+#: from the builtin flavor's — probe-verified char-for-char, see
+#: tests/test_operators.py::test_shingle_rows_arrow_java_whitespace).
+_WS_JAVA = re.compile(r"\s+", re.ASCII)
+
+
+def py_tokens(txt: str) -> list[str]:
+    """tokenize exactly like the ``tokens()`` Column expression."""
+    return _WS_JAVA.split(txt.strip(" "))
 
 
 def distinct_tokens(text: Column) -> Column:
@@ -62,11 +80,8 @@ def shingle_rows(
     (minhash, jaccard, repeated-grams, novelty); bit-identical output
     (pinned by tests/test_operators.py equivalence)."""
     if impl == "arrow":
-        import re
-
         import pandas as pd
 
-        ws = re.compile(r"\s+")
         id_type = dict(docs.dtypes)[id_col]
         schema = f"doc {id_type}, sh string"
 
@@ -79,7 +94,7 @@ def shingle_rows(
                 ):
                     if txt is None:
                         continue
-                    toks = ws.split(txt.strip())
+                    toks = py_tokens(txt)
                     hi = max(len(toks) - n, 0)
                     doc_out.extend([did] * (hi + 1))
                     sh_out.extend(
@@ -266,6 +281,7 @@ def fuzzy_pairs(
     length_bucket: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_block: int | None = None,
 ) -> DataFrame:
     """Record-linkage fuzzy matching: candidate pairs from cheap
     blocking (normalized-text prefix + length bucket), verified by
@@ -279,7 +295,17 @@ def fuzzy_pairs(
     per pair) runs only inside blocks. Recall is bounded by the
     blocking choice — same-prefix, similar-length — which is the
     documented dial, exactly like bands/bits in MinHash/SRP.
-    """
+
+    ``max_block`` is the hot-block guard (the blocked-join twin of
+    `minhash.minhash_lsh_pairs(max_bucket=...)`): a corpus with many
+    boilerplate-headed or empty documents lands them all in ONE block,
+    and that block's self-join goes quadratic in its width — the exact
+    Σ K² term the LSH cap bounds. Blocks wider than ``max_block`` are
+    DROPPED (deterministic: width is a window count over the block
+    key), on the reasoning that a block too wide to verify is a
+    blocking-key failure, not a set of meaningful near-matches — widen
+    ``block_prefix`` instead. None (default) disables the guard;
+    production runs at scale should set it."""
     t = df.select(
         F.col(id_col).alias("doc"),
         F.lower(F.trim(F.col(text_col))).alias("nt"),
@@ -291,6 +317,12 @@ def fuzzy_pairs(
             F.floor(F.length("nt") / F.lit(length_bucket)).cast("int").cast("string"),
         ),
     ).withColumn("head", F.substring("nt", 1, prefix_len))
+    if max_block is not None:
+        from pyspark.sql import Window as W
+
+        t = t.withColumn(
+            "_k", F.count(F.lit(1)).over(W.partitionBy("blk"))
+        ).filter(F.col("_k") <= max_block).drop("_k")
     a = t.select(F.col("doc").alias("a"), F.col("blk"), F.col("head").alias("ha"),
                  F.length("nt").alias("len_a"))
     b = t.select(F.col("doc").alias("b"), F.col("blk"), F.col("head").alias("hb"),

@@ -86,6 +86,7 @@ def dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_out: str = "text_hash",
+    corpus_hash_col: str | None = None,
 ) -> DataFrame:
     """X1, incremental flavor: dedup a NEW batch against an already-
     ingested corpus — the shape every continuously-fed training pipeline
@@ -94,15 +95,27 @@ def dedup_incremental(
     already exist in the corpus. ``n_batch_dups`` reports how many batch
     rows shared the hash (lineage for the drop report).
 
+    NULL text hashes as empty content (coalesce to ''): the within-batch
+    window and the corpus anti-join must answer "is this the same
+    content?" the SAME way, and a raw sha2(NULL)=NULL key would say yes
+    in the window (nulls group together) but no in the join (null keys
+    never match) — a null-text survivor would then re-ingest every
+    cycle.
+
     Scale shape: both sides hash map-side, so the within-batch window
-    and the anti-join each shuffle 32-byte keys, never document bodies;
-    at 100 TB the corpus side is the persisted hash index of prior
-    ingests (bucketed on the hash), making the anti-join co-located and
-    incremental cost proportional to the BATCH, not the corpus.
+    and the anti-join each shuffle 32-byte keys, never document bodies.
+    At 100 TB pass the persisted hash index of prior ingests via
+    ``corpus_hash_col`` (bucketed on the hash → co-located anti-join),
+    which is what makes the incremental cost proportional to the BATCH;
+    the default text-hashing corpus side re-scans the corpus each cycle
+    and is the small-corpus convenience path (same dial as
+    streaming/dedup.stream_dedup_incremental).
     """
-    hashed = incoming.withColumn(
-        hash_out, F.sha2(F.lower(F.trim(F.col(text_col))), 256)
-    )
+
+    def _h(col):
+        return F.sha2(F.lower(F.trim(F.coalesce(col, F.lit("")))), 256)
+
+    hashed = incoming.withColumn(hash_out, _h(F.col(text_col)))
     w = Window.partitionBy(hash_out)
     batch_best = (
         hashed.withColumn("__rn", F.row_number().over(w.orderBy(id_col)))
@@ -110,7 +123,8 @@ def dedup_incremental(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    corpus_hashes = corpus.select(
-        F.sha2(F.lower(F.trim(F.col(text_col))), 256).alias(hash_out)
-    )
+    if corpus_hash_col is not None:
+        corpus_hashes = corpus.select(F.col(corpus_hash_col).alias(hash_out))
+    else:
+        corpus_hashes = corpus.select(_h(F.col(text_col)).alias(hash_out))
     return batch_best.join(corpus_hashes, hash_out, "left_anti")

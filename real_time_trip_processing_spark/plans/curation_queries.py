@@ -108,7 +108,9 @@ def pack_sequences_bucketed_q(spark, sf_dir):
 
 
 _BLOCKLIST = ("customer", "spark", "vector")
-_BLOCK_PAT = r"\b(?:" + "|".join(_BLOCKLIST) + r")\b"
+#: built by the SAME escaping helper redact_terms uses — the oracle
+#: replays the escaped pattern, not a parallel hand-built one
+_BLOCK_PAT = C.blocklist_pattern(_BLOCKLIST)
 
 
 @declare(
@@ -132,12 +134,16 @@ def redact_blocklist(spark, sf_dir):
 
 
 _PII_SCRUB_SQL = "text"
-for _, _pat, _tok in C.PII_PATTERNS:
+_PII_COUNT_PARTS = []
+for _n, _pat, _tok in C.PII_PATTERNS:
+    # PROGRESSIVE counts, mirroring pii_scrub exactly: each class is
+    # counted on the text already scrubbed of the earlier classes
+    _PII_COUNT_PARTS.append(
+        f"CAST(len(regexp_extract_all({_PII_SCRUB_SQL}, '{_pat}')) AS INT)"
+        f" AS n_{_n}"
+    )
     _PII_SCRUB_SQL = f"regexp_replace({_PII_SCRUB_SQL}, '{_pat}', '{_tok}', 'g')"
-_PII_COUNTS_SQL = ",\n           ".join(
-    f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{n}"
-    for n, p, _ in C.PII_PATTERNS
-)
+_PII_COUNTS_SQL = ",\n           ".join(_PII_COUNT_PARTS)
 
 
 @declare(
@@ -369,7 +375,8 @@ def shard_manifest_q(spark, sf_dir):
 @declare(
     "dedup_incremental",
     oracle="""
-    WITH h AS (SELECT doc_id, sha256(lower(trim(text))) AS text_hash
+    WITH h AS (SELECT doc_id,
+                      sha256(lower(trim(coalesce(text, '')))) AS text_hash
                FROM documents),
     inc AS (SELECT doc_id, text_hash,
                    row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn,
@@ -461,7 +468,7 @@ def repeated_substrings_hashed(spark, sf_dir):
     "chunk_documents",
     oracle="""
     WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-               FROM documents),
+               FROM documents WHERE text IS NOT NULL),
     c AS (SELECT doc_id,
                  unnest([struct_pack(start_tok := s,
                                      chunk := array_to_string(toks[s:s+63], ' '),

@@ -35,8 +35,12 @@ def stream_dedup_incremental(
     semantics, unbounded state — fine for availableNow backfills, not
     for a forever-running query).
     """
+    # coalesce NULL text to '' — same null-as-empty-content rule as the
+    # batch dedup_incremental, so within-stream dedup state and the
+    # corpus anti-join answer content equality consistently
     hashed = stream.withColumn(
-        "text_hash", F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+        "text_hash",
+        F.sha2(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), 256),
     )
     if ts_col is not None:
         hashed = hashed.withWatermark(ts_col, watermark)
@@ -54,6 +58,8 @@ def stream_dedup_incremental(
         ).distinct().persist()
     else:
         corpus_hashes = corpus.select(
-            F.sha2(F.lower(F.trim(F.col(text_col))), 256).alias("text_hash")
+            F.sha2(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), 256
+            ).alias("text_hash")
         ).distinct().persist()
     return hashed.join(corpus_hashes, "text_hash", "left_anti")

@@ -408,3 +408,86 @@ def test_pack_sequences_date_ids(spark):
     b = sorted(tuple(r) for r in
                C.pack_sequences(df, budget=4, n_buckets=3).select(cols).collect())
     assert a == b
+
+
+def test_redact_terms_escapes_metacharacters(spark):
+    """Blocklist terms are literals, not regex fragments (round-6
+    review): 'c++' must not be a dangling quantifier, 'a.b' must not
+    match 'aXb', and an empty blocklist is rejected loudly instead of
+    redacting every word boundary."""
+    import pytest
+
+    from real_time_trip_processing_spark.functions.curation import (
+        redact_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "we use c++ and a.b daily but axb stays")],
+        "doc_id long, text string",
+    )
+    # 'c++' compiles (escaped — raw it is a PatternSyntaxException) but
+    # its trailing '+' has no word boundary against the following space
+    # (\b needs a word-char edge; documented on blocklist_pattern), so
+    # only 'a.b' hits — and 'axb' does NOT (the '.' is literal now)
+    out = redact_terms(docs, ("c++", "a.b")).collect()[0]
+    assert out["n_redacted"] == 1
+    with pytest.raises(ValueError, match="empty blocklist"):
+        redact_terms(docs, ())
+
+
+def test_pii_scrub_counts_reconcile_with_replacements(spark):
+    """Counts are progressive (round-6 review): digits inside an email
+    are the one <EMAIL> hit — n_phone/n_ipv4 must NOT also claim them,
+    so the class counts reconcile with the placeholders actually
+    inserted."""
+    from real_time_trip_processing_spark.functions.curation import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "reach me: 555.123.4567@mail.com thanks"),
+            (2, "call 555-123-4567 or ping 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    # doc 1: one email swallows the digits — no phone, no ip
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ipv4"]) == (1, 0, 0)
+    # doc 2: genuinely a phone and an ip
+    assert (rows[2]["n_email"], rows[2]["n_phone"], rows[2]["n_ipv4"]) == (0, 1, 1)
+
+
+def test_chunk_documents_null_text_yields_no_chunks(spark):
+    """NULL-text documents contribute no chunks (round-6 review): the
+    phantom sha256('') chunk a null doc used to emit collided with
+    genuinely empty chunks in downstream chunk-level dedup."""
+    from real_time_trip_processing_spark.functions.curation import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c d e")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    assert {r["doc_id"] for r in out} == {2}
+
+
+def test_dedup_incremental_null_text_consistent(spark):
+    """NULL text hashes as empty content on BOTH checks (round-6
+    review): previously the within-batch window grouped null hashes as
+    duplicates while the anti-join's null key never matched the corpus,
+    so a null-text survivor re-ingested every cycle."""
+    from real_time_trip_processing_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    incoming = spark.createDataFrame(
+        [(10, None), (11, None), (12, "real text")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, None), (2, "other")], "doc_id long, text string"
+    )
+    out = dedup_incremental(incoming, corpus).collect()
+    # the null-text batch winner is now KILLED by the corpus's null-text
+    # doc; only the real new text survives
+    assert {r["doc_id"] for r in out} == {12}

@@ -1153,3 +1153,63 @@ def test_gap_fill_null_valued_day_still_observed(spark):
     assert got[2] == (5.0, 1)   # observed day, null value — fill skips it
     assert got[3] == (5.0, 0)   # true gap day
     assert got[4] == (7.0, 1)
+
+
+def test_shingle_rows_arrow_java_whitespace(spark):
+    """The Arrow shingle kernel must tokenize with the JVM's EXACT
+    semantics (round-6 review): SQL trim strips only spaces — a leading
+    tab keeps its empty first token — and Java \\s is the ASCII class,
+    so NBSP stays inside a token. A bare Python strip()/Unicode \\s
+    kernel silently diverges the shingle multiset between the two
+    documented impl dials on exactly these inputs."""
+    from real_time_trip_processing_spark.functions.text import shingle_rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "\tA B C"),          # leading tab: empty first token
+            (2, "A B C D"),     # NBSP: NOT a separator in Java \s
+            (3, "F\x0bG H I"),       # vertical tab: IS a separator
+            (4, "  x y z  "),        # spaces: trimmed both sides
+        ],
+        "doc_id long, text string",
+    )
+    builtin = sorted(
+        map(tuple, shingle_rows(docs, 3, impl="builtin").collect())
+    )
+    arrow = sorted(map(tuple, shingle_rows(docs, 3, impl="arrow").collect()))
+    assert builtin == arrow
+    # and the NBSP really stayed inside one token
+    assert any("A B" in sh for _, sh in builtin)
+
+
+def test_ngram_decontaminate_arrow_builtin_agree_on_whitespace(spark):
+    """Same parity for the fused decontamination kernel: the bench gram
+    set is built with Catalyst shingles(), the corpus side in Python —
+    tab/NBSP corpora must produce identical n_hits on both impls."""
+    from real_time_trip_processing_spark.functions.curation import (
+        ngram_decontaminate,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "\tq w e r t"),           # bench doc with a leading tab
+            (2, "\tq w e r t"),           # contaminated twin
+            (3, "a b c d e"),        # bench doc with NBSP token
+            (4, "a b c d e"),        # contaminated twin
+            (5, "clean doc nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    pred = F.col("doc_id").isin([1, 3])
+    got_a = sorted(
+        map(tuple, ngram_decontaminate(docs, pred, n=4, impl="arrow").collect())
+    )
+    got_b = sorted(
+        map(
+            tuple,
+            ngram_decontaminate(docs, pred, n=4, impl="builtin").collect(),
+        )
+    )
+    assert got_a == got_b
+    assert {d for d, _ in got_a} == {2, 4}  # both twins caught
