@@ -68,9 +68,13 @@ import time
 
 __all__ = ["dir_write_lock"]
 
-#: a scheme:// prefix means the path belongs to a Hadoop filesystem,
-#: not the local OS — os-level locking silently does nothing there
-_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+#: a scheme: prefix followed by a slash means the path belongs to a
+#: Hadoop filesystem, not the local OS — os-level locking silently does
+#: nothing there. Single-slash forms (``file:/x``, ``hdfs:/x``) are
+#: valid Hadoop URIs too; matching only ``://`` would let them through
+#: to os.open, which would create a mangled local ``./file:`` dir and
+#: "lock" that instead.
+_URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:/")
 
 
 @contextlib.contextmanager

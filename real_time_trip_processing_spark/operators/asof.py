@@ -43,7 +43,13 @@ def asof_join(
     # the latest right row atomically — per-column lasts could stitch
     # fields from different right rows when payload columns hold nulls
     rt = (
-        right.select(key, ts, *payload_cols)
+        # a NULL-ts right row can never win an as-of match (ASOF's
+        # `left.ts >= right.ts` is NULL for it) — but nulls sort FIRST
+        # ascending, so without the filter it would ride the running
+        # last() as a "before everything" payload and surface matches
+        # the ASOF semantics (and the DuckDB oracle) reject
+        right.filter(F.col(ts).isNotNull())
+        .select(key, ts, *payload_cols)
         .withColumn("__p", F.struct(*payload_cols))
         .drop(*payload_cols)
         .withColumn("__tag", F.lit(0))

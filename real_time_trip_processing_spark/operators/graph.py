@@ -70,6 +70,18 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # min-label propagation spreads one hop per iteration, so a
+        # component of diameter > max_iter is still split here — and
+        # SILENTLY returning the partial labels would give one near-dup
+        # cluster several canonical ids (duplicates survive dedup with
+        # no signal). Fail loudly; the caller raises max_iter (diameter
+        # bound) or pre-contracts the graph.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — a component's diameter exceeds max_iter; "
+            "raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -96,7 +96,11 @@ def join_multiway(
     out = fact
     for dim, fk, dk in dims:
         d = F.broadcast(dim) if broadcast_dims else dim
-        out = out.join(d, on=out[fk] == d[dk], how="inner").drop(dk)
+        # drop the DIM-side key by reference, not by name: when
+        # fk == dk (shared key name, the common star-schema case) a
+        # drop-by-name removes BOTH copies and the join key vanishes
+        # from the output
+        out = out.join(d, on=out[fk] == d[dk], how="inner").drop(d[dk])
     return out
 
 

@@ -51,6 +51,16 @@ def _lake_write_lock(path: str):
     On an object store, put a transactional table format (manifest
     CAS) under these ops for real multi-writer safety."""
     if _URI_SCHEME.match(path):
+        from urllib.parse import unquote, urlparse
+
+        u = urlparse(path)
+        if u.scheme == "file" and u.netloc in ("", "localhost"):
+            # file:-scheme lake roots ARE the local filesystem — lock
+            # the decoded local path so a file:///data/lake writer and
+            # a /data/lake writer exclude each other instead of racing
+            with dir_write_lock(unquote(u.path)):
+                yield
+            return
         warnings.warn(
             f"lake root {path!r} is on a Hadoop filesystem: the local "
             "single-writer lock cannot serialize writers there, so this "
@@ -130,10 +140,22 @@ def zorder_key(
     bucket_ids = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:
+            # all-NULL / non-castable column (or an empty input): no
+            # spread to cluster on — contribute a constant bucket
+            # instead of crashing the driver on None arithmetic
+            bucket_ids.append(F.lit(0).cast("long"))
+            continue
         span = (mx - mn) or 1.0
         b = F.least(
             F.lit(n_buckets - 1),
-            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(span) * n_buckets),
+            F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span) * n_buckets
+                ),
+                F.lit(0),  # NULL values in a mixed column → bucket 0
+            ),
         ).cast("long")
         bucket_ids.append(b)
 
@@ -228,7 +250,10 @@ def write_training_shards(
 
     manifest = shard_manifest(docs, n_shards=n_shards, salt=salt, id_col=id_col)
     (
-        docs.join(manifest, id_col)
+        # shuffle_key is the manifest's INTERNAL md5 plumbing — joining
+        # it into every written row would inflate the artifact with a
+        # 32-char column trainers must know to ignore
+        docs.join(manifest.drop("shuffle_key"), id_col)
         .repartition(n_shards, "shard_id")
         .sortWithinPartitions("shard_id", "pos_in_shard")
         .write.mode("overwrite")
@@ -321,10 +346,17 @@ def _delete_keys_locked(
         fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
             spark._jsc.hadoopConfiguration()
         )
+        # directory names are HIVE-ESCAPED on disk (':' → %3A etc.) —
+        # building the path from raw values would miss any special-char
+        # partition and silently leave the files holding exactly the
+        # keys being erased
+        esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
         for r in affected:
             if tuple(str(r[c]) for c in partition_cols) in alive:
                 continue
-            sub = "/".join(f"{c}={r[c]}" for c in partition_cols)
+            sub = "/".join(
+                f"{c}={esc.escapePathName(str(r[c]))}" for c in partition_cols
+            )
             dead = jvm.org.apache.hadoop.fs.Path(f"{path}/{sub}")
             if fs.exists(dead):
                 fs.delete(dead, True)
@@ -352,15 +384,22 @@ def expire_partitions(
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
-    keep = {f"{partition_col}={v}" for v in keep_values}
+    # compare UNESCAPED values: directory names are Hive-escaped on
+    # disk (a timestamp partition is ts=...%3A...), so matching the
+    # caller's raw keep_values against raw names would read a kept
+    # partition as droppable — silent data loss on any special-char
+    # partition value
+    esc = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    keep = {str(v) for v in keep_values}
+    prefix = f"{partition_col}="
     dropped = 0
     with _lake_write_lock(path):
         for status in fs.listStatus(root):
             name = status.getPath().getName()
             if (
                 status.isDirectory()
-                and name.startswith(f"{partition_col}=")
-                and name not in keep
+                and name.startswith(prefix)
+                and esc.unescapePathName(name[len(prefix):]) not in keep
             ):
                 fs.delete(status.getPath(), True)
                 dropped += 1

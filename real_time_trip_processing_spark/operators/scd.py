@@ -27,10 +27,22 @@ def scd2_history(
     window runs on the transition-filtered (much smaller) frame."""
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
     changes = events.select(
-        key, state, ts, tiebreak, F.lag(state).over(w).alias("__prev")
+        key,
+        state,
+        ts,
+        tiebreak,
+        F.lag(state).over(w).alias("__prev"),
+        # a key's FIRST row has no predecessor; a null-safe comparison
+        # against __prev=NULL can't distinguish it from "previous state
+        # was NULL", so first-ness is its own flag
+        (F.row_number().over(w) == 1).alias("__first"),
     )
+    # null-SAFE change detection: a NULL state is a real state (an
+    # unknown/cleared status run) — `__prev != state` is NULL when
+    # either side is NULL, which silently dropped every NULL-state run
+    # AND emitted adjacent same-state duplicates around it
     transitions = changes.filter(
-        F.col("__prev").isNull() | (F.col("__prev") != F.col(state))
+        F.col("__first") | ~F.col("__prev").eqNullSafe(F.col(state))
     ).select(
         key,
         F.col(state).alias("state"),

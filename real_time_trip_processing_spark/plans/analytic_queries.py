@@ -1133,12 +1133,16 @@ def gap_fill_daily(spark, sf_dir):
       SELECT user_id, event_type, ts,
              LAG(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
              event_id
       FROM events),
     transitions AS (
+      -- null-SAFE change detection mirroring operators/scd.scd2_history:
+      -- a NULL state is a real state run, first-ness is its own flag
       SELECT user_id, event_type AS state, ts AS valid_from, event_id
       FROM changes
-      WHERE prev_type IS NULL OR prev_type <> event_type)
+      WHERE rn = 1 OR prev_type IS DISTINCT FROM event_type)
     SELECT user_id, state, valid_from,
            LEAD(valid_from) OVER (PARTITION BY user_id
                                   ORDER BY valid_from, event_id) AS valid_to

@@ -25,7 +25,13 @@ def test_rejects_uri_scheme_targets(tmp_path):
     """A Hadoop-FS URI must fail LOUDLY: os-level locking on
     's3a://bucket/x' would create a mangled local dir and provide no
     exclusion while the caller believes it holds the lock."""
-    for uri in ("s3a://bucket/lake", "hdfs://nn:8020/idx", "file://x/y"):
+    for uri in (
+        "s3a://bucket/lake",
+        "hdfs://nn:8020/idx",
+        "file://x/y",
+        "file:/x/y",      # single-slash Hadoop URI forms must be
+        "hdfs:/nn/idx",   # caught too — os.open would otherwise
+    ):                    # create a mangled local './file:' dir
         with pytest.raises(ValueError, match="local-filesystem"):
             with dir_write_lock(uri):
                 pass
@@ -173,6 +179,20 @@ def test_lake_lock_degrades_on_remote_schemes(tmp_path):
         with _lake_write_lock("hdfs://nn:8020/lake"):
             pass
     assert len(w) == 1 and "UNLOCKED" in str(w[0].message)
+
+    # file:// is the LOCAL filesystem: it must take the REAL lock on
+    # the decoded path so a file:///lake writer and a /lake writer
+    # exclude each other (round-6 review: it previously ran unlocked)
+    froot = str(tmp_path / "flake")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with _lake_write_lock(f"file://{froot}"):
+            import pytest
+
+            with pytest.raises(TimeoutError):
+                with dir_write_lock(froot, timeout_sec=0.3):
+                    pass
+    assert not w
 
     local = str(tmp_path / "lake")
     with warnings.catch_warnings(record=True) as w:

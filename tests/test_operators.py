@@ -1213,3 +1213,125 @@ def test_ngram_decontaminate_arrow_builtin_agree_on_whitespace(spark):
     )
     assert got_a == got_b
     assert {d for d, _ in got_a} == {2, 4}  # both twins caught
+
+
+def test_join_multiway_shared_key_name_keeps_fact_key(spark):
+    """Round-6 review: drop-by-name after a fact-dim join removed BOTH
+    copies of a shared key name (the normal star-schema case), deleting
+    the join key from the output; the dim-side column must be dropped
+    by reference."""
+    from real_time_trip_processing_spark.operators.joins import join_multiway
+
+    fact = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "vendor_id long, amount double"
+    )
+    dim = spark.createDataFrame(
+        [(1, "acme"), (2, "globex")], "vendor_id long, vendor_name string"
+    )
+    out = join_multiway(fact, [(dim, "vendor_id", "vendor_id")])
+    assert "vendor_id" in out.columns
+    got = {(r["vendor_id"], r["vendor_name"]) for r in out.collect()}
+    assert got == {(1, "acme"), (2, "globex")}
+
+
+def test_scd2_history_null_state_runs(spark):
+    """Round-6 review: a NULL state is a real state run. The null-unsafe
+    `prev != state` silently dropped every NULL-state transition and
+    emitted adjacent same-state duplicate intervals around it."""
+    from real_time_trip_processing_spark.operators.scd import scd2_history
+
+    ev = spark.createDataFrame(
+        [
+            ("k", "A", 1, 1),
+            ("k", None, 2, 2),
+            ("k", "A", 3, 3),
+        ],
+        "user_id string, event_type string, ts long, event_id long",
+    )
+    out = sorted(
+        (
+            (r["state"], r["valid_from"], r["valid_to"])
+            for r in scd2_history(ev).collect()
+        ),
+        key=lambda t: t[1],
+    )
+    assert out == [("A", 1, 2), (None, 2, 3), ("A", 3, None)]
+
+
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """Round-6 review: a NULL-ts right row sorts before everything and
+    rode the running last() as a bogus 'before all time' payload; ASOF
+    semantics (left.ts >= right.ts) can never match it."""
+    from real_time_trip_processing_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 5)], "key string, ts long")
+    right = spark.createDataFrame(
+        [("k", None, "X"), ("k", 10, "Y")],
+        "key string, ts long, payload string",
+    )
+    out = asof_join(left, right, "key", "ts", ["payload"]).collect()
+    assert len(out) == 1 and out[0]["payload"] is None  # no match at all
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """Round-6 review: exhausting max_iter used to return silently
+    UNCONVERGED labels — one component split into several, duplicates
+    surviving dedup with no signal. Now it fails loudly."""
+    import pytest
+
+    from real_time_trip_processing_spark.operators.graph import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2).collect()
+    ok = connected_components(chain, max_iter=10)
+    assert {r["component"] for r in ok.collect()} == {0}
+
+
+def test_expire_partitions_hive_escaped_values(spark, tmp_path):
+    """Round-6 review: partition directory names are Hive-escaped on
+    disk (':' -> %3A); comparing raw keep_values against escaped names
+    deleted partitions the caller asked to KEEP."""
+    from real_time_trip_processing_spark.operators.maintenance import (
+        expire_partitions,
+    )
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1), ("2024-01-02 00:00:00", 2)],
+        "stamp string, v long",
+    )
+    df.write.partitionBy("stamp").parquet(lake)
+    dropped = expire_partitions(
+        spark, lake, "stamp", ["2024-01-01 00:00:00"]
+    )
+    assert dropped == 1
+    back = spark.read.parquet(lake)
+    # partition inference reads the kept value back as a timestamp
+    assert [str(r["stamp"]) for r in back.collect()] == ["2024-01-01 00:00:00"]
+
+
+def test_delete_keys_drops_escaped_doomed_partition(spark, tmp_path):
+    """Round-6 review twin: a fully-doomed partition whose value needs
+    Hive escaping must have its directory deleted (the unescaped path
+    never existed, so the files holding exactly the erased keys
+    survived silently)."""
+    import os
+
+    from real_time_trip_processing_spark.operators.maintenance import (
+        delete_keys_from_lake,
+    )
+
+    lake = str(tmp_path / "lake2")
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "plain")], "user_id long, city string"
+    )
+    df.write.partitionBy("city").parquet(lake)
+    n = delete_keys_from_lake(spark, lake, "user_id", [1], ["city"])
+    assert n == 1
+    assert not any("a%3Ab" in d for d in os.listdir(lake))
+    assert {r["user_id"] for r in spark.read.parquet(lake).collect()} == {2}
