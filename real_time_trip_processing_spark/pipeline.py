@@ -74,13 +74,27 @@ def run_reference_batch(spark: SparkSession, data_dir: str, out_dir: str) -> Dat
     (reference step_functions.json:13-23 publishes {"messagekey1":
     "success"} to SNS after the Glue run). Returns the daily KPI frame."""
     starts, ends = load_reference_trip_csvs(spark, data_dir)
-    completed = match(starts, ends)
+    # the CLEAN stage the docstring promises (reference lambda1
+    # validates required fields first, scripts/lambda1.py:45-47):
+    # without it, a row whose event time parsed to NULL sorts FIRST in
+    # dedup_keyed's ascending order, wins first-match over a valid row
+    # for the same trip, and the trip silently vanishes from the KPIs
+    # when coerce_timestamp later drops the null
+    starts = P.filter_required_fields(starts, ["trip_id", "pickup_datetime"])
+    ends = P.filter_required_fields(ends, ["trip_id", "dropoff_datetime"])
+    # persist: the report writes this frame twice (dated + latest/) and
+    # the returned KPI frame reads it again — without the cache the
+    # whole scan+dedup+join DAG re-executes per consumer (and the
+    # uuid audit columns would differ between report and return)
+    completed = match(starts, ends).persist()
+    kpis = daily_kpis(completed)
     try:
-        report_path = daily_report(spark, completed, out_dir)
+        report = build_report(kpis, completed, "pickup_datetime")
+        report_path = write_report(report, out_dir)
     except Exception as e:  # the reference's state machine still alerts
         notify_completion(f"{out_dir}/etl_topic", "TripsKPIs", "failure", error=str(e))
         raise
     notify_completion(
         f"{out_dir}/etl_topic", "TripsKPIs", "success", extra={"report_path": report_path}
     )
-    return daily_kpis(completed)
+    return kpis

@@ -24,7 +24,10 @@ from pyspark.sql import SparkSession
 def default_parallelism() -> int:
     env = os.environ.get("SPARK_GRAFT_CPUS")
     if env:
-        return max(1, int(env))
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass  # malformed override degrades to cpu_count, not a crash
     return os.cpu_count() or 4
 
 
@@ -53,6 +56,12 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate may have handed back a PRE-EXISTING session whose
+    # builder configs were all silently ignored — re-apply the
+    # runtime-mutable determinism knobs (UTC timezone, AQE, parquet
+    # timestamp handling) so event-time bucketing can't drift with the
+    # host zone depending on who created the session first
+    tune_session(spark)
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

@@ -57,15 +57,21 @@ def load_reference_trip_csvs(
         scan_csv_dir(spark, f"{data_dir}/Trip_Start", TRIP_START_CSV)
         .withColumn("data_type", F.lit("trip_start"))
         .withColumn("record_id", F.expr("uuid()"))
-        .withColumn("pickup_datetime", F.to_timestamp("pickup_datetime"))
+        # try_to_timestamp, not to_timestamp: Spark 4 runs ANSI mode by
+        # default, where strict to_timestamp THROWS on a malformed cell
+        # and kills the batch — the documented contract here (and the
+        # reference's lambda1 behavior) is null-on-failure (the same
+        # reason operators/cleaning.coerce_timestamp uses it)
+        .withColumn("pickup_datetime", F.try_to_timestamp("pickup_datetime"))
         .withColumn(
-            "estimated_dropoff_datetime", F.to_timestamp("estimated_dropoff_datetime")
+            "estimated_dropoff_datetime",
+            F.try_to_timestamp("estimated_dropoff_datetime"),
         )
     )
     end = (
         scan_csv_dir(spark, f"{data_dir}/Trip_End", TRIP_END_CSV)
         .withColumn("data_type", F.lit("trip_end"))
         .withColumn("record_id", F.expr("uuid()"))
-        .withColumn("dropoff_datetime", F.to_timestamp("dropoff_datetime"))
+        .withColumn("dropoff_datetime", F.try_to_timestamp("dropoff_datetime"))
     )
     return start, end

@@ -12,7 +12,9 @@ directory into a columnar format, preserving Hive partitioning).
 Columnar formats keep their scan-level powers: predicate pushdown and
 column pruning reach both parquet AND ORC scans (pinned by
 tests/test_sources.py::test_orc_scan_pushes_filters); the text formats
-parse schema-first with PERMISSIVE corruption capture.
+parse schema-first, with opt-in PERMISSIVE corruption capture
+(``corrupt_capture=True`` adds the ``_corrupt_record`` quarantine
+column; without it corrupt lines parse to all-null rows).
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ def scan_lake(
     path: str,
     fmt: str = "parquet",
     schema: T.StructType | None = None,
+    corrupt_capture: bool = False,
     **options: str,
 ) -> DataFrame:
     """Uniform scan over any supported lake format.
@@ -38,6 +41,14 @@ def scan_lake(
     Columnar formats read their own schema (passing one anyway enables
     scan-level projection enforcement); text formats REQUIRE one — an
     inference pass over a 100 TB directory is a full extra read.
+
+    ``corrupt_capture=True`` (text formats): malformed lines surface in
+    a ``_corrupt_record`` column (same convention as
+    `sources/jsonl.scan_jsonl` — quarantine via `jsonl.split_corrupt`)
+    instead of parsing to all-null rows indistinguishable from
+    legitimately-null records. Off by default: the extra column changes
+    the scan's schema, and the declared queries scan pre-validated
+    testdata.
     """
     fmt = fmt.lower()
     if fmt not in COLUMNAR + TEXT:
@@ -50,6 +61,15 @@ def scan_lake(
                 "(schema inference would re-read the whole directory)"
             )
         reader = reader.option("mode", "PERMISSIVE")
+        if corrupt_capture:
+            from .jsonl import CORRUPT_COL
+
+            if CORRUPT_COL not in schema.fieldNames():
+                schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(CORRUPT_COL, T.StringType())]
+                )
+            reader = reader.option("columnNameOfCorruptRecord", CORRUPT_COL)
     if fmt == "csv":
         reader = reader.option("header", "true")
     if schema is not None:

@@ -39,10 +39,18 @@ def scan_jsonl(
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): parsed rows without the corrupt column, and
     the full dead-letter rows (raw line in ``_corrupt_record``, declared
-    columns null). The quarantine side deliberately keeps every column:
-    Spark rejects JSON-scan plans whose referenced set prunes down to
-    the internal corrupt column alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
-    — and a dead-letter sink wants the whole row anyway."""
+    columns null).
+
+    The scan is CACHED first: Spark rejects JSON-scan plans whose
+    column-pruned reference set is the internal corrupt column alone
+    (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and keeping every column in
+    the projection does NOT survive pruning for aggregate-only actions
+    like ``bad.count()``, the standard dead-letter monitoring metric
+    (Catalyst prunes to what the AGGREGATE needs, not what the select
+    lists). Caching materializes the scan once with the full schema, so
+    both sides — and any count over them — are served from the cached
+    relation; both sides are consumed anyway in every split use."""
+    df = df.cache()
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad

@@ -24,7 +24,17 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table. Column pruning + filter pushdown are
     Catalyst's job — callers select/filter and the parquet reader only
-    materializes what the plan needs."""
+    materializes what the plan needs.
+
+    DELIBERATE side effect: `tune_session` mutates session-global confs
+    (UTC timezone, nanosAsLong, NTZ inference) on every call. The
+    driver harness hands us ITS OWN vanilla SparkSession and calls
+    declared queries directly — this is the only hook on that path that
+    can pin the determinism knobs, so a per-table self-tune beats a
+    clean-but-wrong read. The trade-off (unrelated reads in the same
+    session also see the legacy parquet settings) is accepted and
+    documented here; sessions built via `get_spark` were tuned at
+    creation anyway."""
     tune_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, ()):
