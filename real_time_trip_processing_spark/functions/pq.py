@@ -76,25 +76,36 @@ def pq_train(
     iters: int = 2,
     vec_col: str = "embedding",
     dim: int = 64,
+    id_col: str = "vec_id",
 ) -> SubCodebooks:
     """Train per-subspace codebooks with L2 Lloyd iterations.
 
     Init: per subspace, the slices of the ``k`` lowest-id vectors (the
-    deterministic init discipline of `kmeans_fit_rows`). Update: one
-    aggregate per iteration producing (m × k × sub_dim) means — the
-    only data that ever reaches the driver. Empty codes keep their
-    previous centroid."""
+    deterministic init discipline of `kmeans_fit_rows`; ``id_col``
+    names the id like everywhere else in this API — training must run
+    on the same frames the search half accepts). Update: one aggregate
+    per iteration producing (m × k × sub_dim) means — the only data
+    that ever reaches the driver. Empty codes keep their previous
+    centroid."""
     bounds = _slices(dim, m)
     v = emb.select(F.col(vec_col).cast("array<double>").alias("v"))
 
     init = (
         emb.select(
-            F.col("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
         )
-        .orderBy("vec_id")
+        .orderBy(id_col)
         .limit(k)
         .collect()
     )
+    if len(init) < k:
+        # the rebuild loop indexes books[j][c] for every c < k — a
+        # too-small corpus would die with a bare IndexError deep in the
+        # update pass instead of saying what's wrong
+        raise ValueError(
+            f"pq_train needs at least k={k} vectors to seed the "
+            f"codebooks; corpus has {len(init)}"
+        )
     books: SubCodebooks = [
         [list(r["v"][lo:hi]) for r in init] for lo, hi in bounds
     ]
@@ -207,14 +218,17 @@ def _adc_score(books: SubCodebooks) -> "F.Column":
     """Approximate cosine from the codes column + the row's `dot_lut` /
     `q_norm` columns + the global codebook-norm literal — m element_at
     lookups per LUT, all codegen'd."""
+    from .similarity import _double_matrix_literal
+
     mats = [np.array(b, dtype=np.float64) for b in books]
-    norm_lut = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(np.dot(c, c))) for c in cb) + ")"
-            for cb in mats
-        )
-        + ")"
+    # _double_matrix_literal, not bare numeric literals: the SQL parser
+    # types a bare decimal literal as DECIMAL (or DOUBLE only when the
+    # repr happens to use exponent form), so the LUT's element type —
+    # and whether the nrm sums run in decimal — would vary with the
+    # codebook's magnitudes; the helper's CAST('…' AS DOUBLE) trick
+    # round-trips repr(float) exactly (its documented purpose)
+    norm_lut = _double_matrix_literal(
+        [[float(np.dot(c, c)) for c in cb] for cb in mats]
     )
     dot_expr = None
     nrm_expr = None

@@ -168,6 +168,18 @@ def cosine_topk(
     """
     from ..operators.sorts import topk_per_group
 
+    # zero-quantized vectors (all |x| below the quantization resolution
+    # — padding/zero embeddings, real at corpus scale) have NO cosine
+    # direction: their score is 0/0 = NaN, and Spark orders NaN as the
+    # GREATEST double while numpy sorts it last — the builtin flavor
+    # would rank a zero vector as every query's top neighbor while the
+    # arrow flavor drops it. Exclude them on BOTH sides, both impls.
+    def _nonzero(df):
+        return df.filter(qdot(quant_vec(F.col(vec_col)),
+                              quant_vec(F.col(vec_col))) > 0)
+
+    corpus, queries = _nonzero(corpus), _nonzero(queries)
+
     if impl == "arrow":
         id_type = dict(corpus.dtypes)[id_col]
         q_rows = sorted(
@@ -176,6 +188,14 @@ def cosine_topk(
                 id_col, F.col(vec_col).cast("array<double>")
             ).collect()
         )
+        if not q_rows:  # empty probe set: np.stack would crash; the
+            # correct answer is simply no results
+            schema_empty = (
+                f"query_id {dict(corpus.dtypes)[id_col]},"
+                f" cand_id {dict(corpus.dtypes)[id_col]},"
+                " score double, rank int"
+            )
+            return corpus.sparkSession.createDataFrame([], schema_empty)
         qt = _quant_np([v for _, v in q_rows]).T  # dim × nq
         qn = np.sqrt((qt * qt).sum(axis=0))
         qids = [i for i, _ in q_rows]
@@ -245,6 +265,11 @@ def embedding_near_dup(
     queries so subset tests compare bit-for-bit. O(n²): NOT a declared
     query shape at corpus scale — keep it on samples and test fixtures.
     """
+    # same zero-vector exclusion as srp_near_dup (NaN scores otherwise
+    # pass `NaN >= threshold` under Spark's NaN-greatest ordering)
+    emb = emb.filter(
+        qdot(quant_vec(F.col(vec_col)), quant_vec(F.col(vec_col))) > 0
+    )
     a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"))
     return (
@@ -305,7 +330,19 @@ def _quant_codebook(rows: CentroidRows):
             int(math.floor(abs(x) * SRP_QUANT + 0.5)) * (1 if x >= 0 else -1)
             for x in vec
         ]
-        out.append((int(cid), q, math.sqrt(float(sum(v * v for v in q)))))
+        n = math.sqrt(float(sum(v * v for v in q)))
+        if n == 0.0:
+            # a zero-quantized centroid has no cosine direction: its
+            # score column is NaN in every assignment kernel, and
+            # np.argmax treats NaN as the max — the WHOLE corpus would
+            # silently assign to the dead centroid while no query ever
+            # probes it (recall collapse). Degenerate codebooks fail
+            # loudly at the single choke point every path shares.
+            raise ValueError(
+                f"centroid {cid} quantizes to the zero vector — no "
+                "cosine direction; retrain the codebook or drop it"
+            )
+        out.append((int(cid), q, n))
     return out
 
 
@@ -908,6 +945,13 @@ def srp_near_dup(
     bucket split across Arrow batches is stitched by the kernel's
     carry buffer (the sort makes groups contiguous).
     """
+    # zero-quantized vectors have no cosine direction (score 0/0 = NaN;
+    # Spark orders NaN greatest — a zero vector would pair with its
+    # whole bucket in the builtin flavor while the arrow kernel's
+    # `sc >= thr` drops NaN): exclude them up front, both impls
+    emb = emb.filter(
+        qdot(quant_vec(F.col(vec_col)), quant_vec(F.col(vec_col))) > 0
+    )
     if impl == "arrow":
         id_type = dict(emb.dtypes)[id_col]
         rows_per_band = num_bits // bands
@@ -1043,6 +1087,20 @@ def srp_near_dup(
         )
 
     bucketed = srp_buckets(emb, num_bits, bands, dim, id_col, vec_col, impl=impl)
+    if bucket_cap is not None:
+        # the same degenerate-bucket guard the arrow kernel applies —
+        # the fallback flavor must honor the dial too, or setting it
+        # changes results between impls AND leaves the O(m²) hot bucket
+        # unbounded exactly where the cap was requested
+        from pyspark.sql import Window as W
+
+        bucketed = (
+            bucketed.withColumn(
+                "_k", F.count(F.lit(1)).over(W.partitionBy("band", "bh"))
+            )
+            .filter(F.col("_k") <= bucket_cap)
+            .drop("_k")
+        )
     spread = emb.sparkSession.sparkContext.defaultParallelism
     candidates = (
         bucketed.alias("l")

@@ -1335,3 +1335,80 @@ def test_delete_keys_drops_escaped_doomed_partition(spark, tmp_path):
     assert n == 1
     assert not any("a%3Ab" in d for d in os.listdir(lake))
     assert {r["user_id"] for r in spark.read.parquet(lake).collect()} == {2}
+
+
+def test_zero_vectors_excluded_from_similarity(spark):
+    """Round-6 review: a zero-quantized vector (all |x| below the
+    quantization resolution — padding embeddings) has NO cosine
+    direction; its score is NaN, which Spark orders GREATEST — the
+    builtin flavors ranked it every query's top neighbor / paired it
+    with its whole bucket, while the numpy kernels dropped it. Both
+    impls now exclude zero vectors consistently."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        cosine_topk, embedding_near_dup, srp_near_dup,
+    )
+
+    rows = [(i, [float(i + 1)] * 8 + [0.0] * 56) for i in range(6)]
+    rows.append((99, [0.0] * 64))          # true zero vector
+    rows.append((98, [1e-9] * 64))         # quantizes to zero
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    for impl in ("builtin", "arrow"):
+        top = cosine_topk(
+            emb, emb.filter("vec_id < 2"), k=3, impl=impl
+        ).collect()
+        assert all(r["cand_id"] not in (98, 99) for r in top), impl
+        pairs = srp_near_dup(
+            emb, num_bits=16, bands=4, threshold=0.5, impl=impl
+        ).collect()
+        assert all(
+            98 not in (r["a"], r["b"]) and 99 not in (r["a"], r["b"])
+            for r in pairs
+        ), impl
+    exact = embedding_near_dup(emb, threshold=0.5).collect()
+    assert all(98 not in (r["a"], r["b"]) and 99 not in (r["a"], r["b"])
+               for r in exact)
+    # empty probe frame: returns empty instead of np.stack crashing
+    assert cosine_topk(emb, emb.filter("vec_id < 0"), k=3).count() == 0
+
+
+def test_srp_builtin_honors_bucket_cap(spark):
+    """Round-6 review: the builtin fallback silently ignored
+    bucket_cap — setting the skew dial changed results between impls
+    and left the O(m^2) hot bucket unbounded where the cap was asked
+    for. Both flavors drop over-cap buckets identically now."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        srp_near_dup,
+    )
+
+    # a pile of identical vectors lands in one bucket per band
+    rows = [(i, [1.0] * 64) for i in range(12)]
+    rows += [(100 + i, [float(i + 2)] * 32 + [1.0] * 32) for i in range(4)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, srp_near_dup(
+        emb, num_bits=16, bands=4, threshold=0.9, impl="arrow", bucket_cap=4
+    ).collect()))
+    b = sorted(map(tuple, srp_near_dup(
+        emb, num_bits=16, bands=4, threshold=0.9, impl="builtin", bucket_cap=4
+    ).collect()))
+    assert a == b
+    assert not any(r[0] < 100 and r[1] < 100 for r in a)  # capped bucket dropped
+
+
+def test_pq_train_guards(spark):
+    """Round-6 review: pq_train on a corpus smaller than k raised a
+    bare IndexError deep in the update loop; and the id column was
+    hard-coded 'vec_id' while the search half takes id_col."""
+    import pytest
+
+    from real_time_trip_processing_spark.functions.pq import pq_train
+
+    small = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(5)],
+        "doc_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least k=16"):
+        pq_train(small, id_col="doc_id")
+    # and with a compatible k it trains on a doc_id frame at all
+    books = pq_train(small, k=4, id_col="doc_id")
+    assert len(books) == 8 and len(books[0]) == 4
