@@ -105,6 +105,24 @@ def qcos(a: Column, b: Column) -> Column:
     return qdot(qa, qb).cast("double") / (qnorm(qa) * qnorm(qb))
 
 
+def has_quant_direction(col: Column) -> Column:
+    """True iff the quantized vector has a cosine direction — exactly
+    ``qdot(quant_vec(v), quant_vec(v)) > 0`` under three-valued logic
+    (NULL array, NULL element, empty array and all-zero-quant rows all
+    evaluate non-true and drop), but as two short-circuiting array
+    scans instead of four interpreted passes plus two long-array
+    allocations. The zero-vector exclusion runs over EVERY corpus row
+    in the similarity entry points, so its constant factor is scan
+    cost: measured 0.39 s → 0.15 s on the sf0.1 embeddings count
+    (plain count 0.13 s — the guard is now ~free)."""
+    arr = col.cast("array<double>")
+    no_nulls = ~F.exists(arr, lambda x: x.isNull())
+    any_nonzero = F.exists(
+        arr, lambda x: F.round(x * SRP_QUANT).cast("long") != 0
+    )
+    return no_nulls & any_nonzero
+
+
 def _quant_np(vecs) -> np.ndarray:
     """Stack an iterable of array<double> rows and quantize to float64
     values that are exact integers. Raises if the exactness bound
@@ -175,8 +193,7 @@ def cosine_topk(
     # would rank a zero vector as every query's top neighbor while the
     # arrow flavor drops it. Exclude them on BOTH sides, both impls.
     def _nonzero(df):
-        return df.filter(qdot(quant_vec(F.col(vec_col)),
-                              quant_vec(F.col(vec_col))) > 0)
+        return df.filter(has_quant_direction(F.col(vec_col)))
 
     corpus, queries = _nonzero(corpus), _nonzero(queries)
 
@@ -267,9 +284,7 @@ def embedding_near_dup(
     """
     # same zero-vector exclusion as srp_near_dup (NaN scores otherwise
     # pass `NaN >= threshold` under Spark's NaN-greatest ordering)
-    emb = emb.filter(
-        qdot(quant_vec(F.col(vec_col)), quant_vec(F.col(vec_col))) > 0
-    )
+    emb = emb.filter(has_quant_direction(F.col(vec_col)))
     a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va"))
     b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb"))
     return (
@@ -949,9 +964,7 @@ def srp_near_dup(
     # Spark orders NaN greatest — a zero vector would pair with its
     # whole bucket in the builtin flavor while the arrow kernel's
     # `sc >= thr` drops NaN): exclude them up front, both impls
-    emb = emb.filter(
-        qdot(quant_vec(F.col(vec_col)), quant_vec(F.col(vec_col))) > 0
-    )
+    emb = emb.filter(has_quant_direction(F.col(vec_col)))
     if impl == "arrow":
         id_type = dict(emb.dtypes)[id_col]
         rows_per_band = num_bits // bands

@@ -1372,6 +1372,37 @@ def test_zero_vectors_excluded_from_similarity(spark):
     assert cosine_topk(emb, emb.filter("vec_id < 0"), k=3).count() == 0
 
 
+def test_has_quant_direction_matches_qdot_filter(spark):
+    """The cheap two-scan zero-vector guard must keep EXACTLY the rows
+    the exact-arithmetic form ``qdot(quant_vec(v), quant_vec(v)) > 0``
+    keeps, including the three-valued-logic edges: NULL array, NULL
+    element (even alongside nonzero elements — the integer fold is
+    null-dominant), empty array, zero and sub-resolution vectors."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.functions.similarity import (
+        has_quant_direction, qdot, quant_vec,
+    )
+
+    rows = [
+        (0, [1.0, 2.0, 0.0]),      # normal
+        (1, [0.0, 0.0, 0.0]),      # true zero
+        (2, [1e-9, 1e-9, 1e-9]),   # quantizes to zero
+        (3, None),                 # null array
+        (4, [None, 5.0, 1.0]),     # null element + nonzero: null-dominant
+        (5, [None, 0.0, 0.0]),     # null element, rest zero
+        (6, []),                   # empty array
+        (7, [-3.5, 0.0, 0.0]),     # negative nonzero
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fast = {r["vec_id"] for r in
+            df.filter(has_quant_direction(F.col("embedding"))).collect()}
+    exact = {r["vec_id"] for r in df.filter(
+        qdot(quant_vec(F.col("embedding")), quant_vec(F.col("embedding"))) > 0
+    ).collect()}
+    assert fast == exact == {0, 7}
+
+
 def test_srp_builtin_honors_bucket_cap(spark):
     """Round-6 review: the builtin fallback silently ignored
     bucket_cap — setting the skew dial changed results between impls
