@@ -113,8 +113,10 @@ def has_quant_direction(col: Column) -> Column:
     scans instead of four interpreted passes plus two long-array
     allocations. The zero-vector exclusion runs over EVERY corpus row
     in the similarity entry points, so its constant factor is scan
-    cost: measured 0.39 s → 0.15 s on the sf0.1 embeddings count
-    (plain count 0.13 s — the guard is now ~free)."""
+    cost: at 1M × 64 (tools/scale_vectors.py corpus) the qdot form
+    adds +2.3 s per pass over the bare scan (0.22 s); this form adds
+    +0.33 s. sim_topk steady-state at 1M stays at the pre-guard
+    ~1.3–1.6 s envelope."""
     arr = col.cast("array<double>")
     no_nulls = ~F.exists(arr, lambda x: x.isNull())
     any_nonzero = F.exists(
