@@ -242,6 +242,86 @@ def claim_ivf_index(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def claim_compact(spark) -> dict:
+    """Round-6 lifecycle claim (SCALE.md 1M table, here at sf scale):
+    stream-staged micro-batches fold into the base in O(streamed) with
+    results INVARIANT across the fold — pre-compact serve ==
+    post-compact serve == in-query top-k — while the parquet file
+    count under the index strictly drops (the op's reason to exist),
+    and a manually replayed pre-compaction batch id after the fold is
+    short-circuited by the high-water marker (no duplicates)."""
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_build,
+        ivf_index_compact_stream,
+        ivf_persisted_topk,
+        read_index_cells,
+        streaming_index_append,
+    )
+    from real_time_trip_processing_spark.functions.similarity import ivf_topk
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 3 != 0)
+    b0 = emb.filter(F.col("vec_id") % 3 == 0).filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 3 == 0).filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb = [
+        (int(r[0]), list(r[1]))
+        for r in emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    ]
+
+    def files(d):
+        return sum(1 for _ in _glob.iglob(
+            os.path.join(d, "**", "*.parquet"), recursive=True))
+
+    def serve(idx):
+        return sorted(tuple(r) for r in ivf_persisted_topk(
+            spark, idx, queries, k=3, nprobe=4).collect())
+
+    work = tempfile.mkdtemp(prefix="repro_compact_")
+    try:
+        idx = os.path.join(work, "idx")
+        ivf_index_build(base, idx, n_centroids=16, codebook=cb)
+        sink = streaming_index_append(idx)
+        sink(b0, 0)
+        sink(b1, 1)
+        n_total = read_index_cells(spark, idx).count()
+        pre = serve(idx)
+        f_before = files(idx)
+        t0 = time.monotonic()
+        ivf_index_compact_stream(spark, idx)
+        compact_sec = round(time.monotonic() - t0, 2)
+        f_after = files(idx)
+        post = serve(idx)
+        # a replayed pre-compaction batch must short-circuit on the
+        # high-water marker, not re-apply rows the fold already moved
+        sink(b1, 1)
+        n_after_replay = read_index_cells(spark, idx).count()
+        want = sorted(tuple(r) for r in ivf_topk(
+            emb, queries, k=3, n_centroids=16, nprobe=4, codebook=cb
+        ).collect())
+        ok = (pre == want and post == want and f_after < f_before
+              and n_after_replay == n_total)
+        return {
+            "ok": ok,
+            "pre_eq_post_eq_in_query": pre == want and post == want,
+            "compact_sec": compact_sec,
+            "files_before": f_before,
+            "files_after": f_after,
+            "replay_after_compact_noop": n_after_replay == n_total,
+            "claim": "compaction is invisible to results, visible to "
+                     "file counts; replays short-circuit on high-water",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def claim_lsh_cap(spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -330,6 +410,7 @@ def main() -> None:
         ("streaming", lambda: claim_streaming(spark, stream_n)),
         ("recall", lambda: claim_recall(spark)),
         ("ivf_index", lambda: claim_ivf_index(spark)),
+        ("compact", lambda: claim_compact(spark)),
         ("lsh_cap", lambda: claim_lsh_cap(spark)),
     ):
         t0 = time.monotonic()
