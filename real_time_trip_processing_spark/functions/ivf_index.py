@@ -754,11 +754,23 @@ def ivf_index_append(
         int(prev["fingerprint"])  # reject pre-fingerprint layouts up front
         _check_cells_parity(spark, index_dir, "cells", int(prev["n_rows"]))
         rows = _load_centroids(spark, index_dir)
-        cells = _quant_cells_frame(corpus_delta, rows, id_col, vec_col)
-        cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
-            "cent_id"
-        ).mode("append").parquet(os.path.join(index_dir, "cells"))
-        dn, dfp = _corpus_stats(corpus_delta, id_col, vec_col)
+        # same widening as streaming_index_append: a one-file delta
+        # arrives as ~1 scan partition, which would run the
+        # compute-dense assignment kernel and the fingerprint fold on
+        # one core; the cache keeps the source read to one pass across
+        # the cells write and the stats aggregate (the fingerprint is
+        # order-independent, unchanged by the round-robin shuffle)
+        delta = corpus_delta.repartition(
+            spark.sparkContext.defaultParallelism
+        ).persist()
+        try:
+            cells = _quant_cells_frame(delta, rows, id_col, vec_col)
+            cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
+                "cent_id"
+            ).mode("append").parquet(os.path.join(index_dir, "cells"))
+            dn, dfp = _corpus_stats(delta, id_col, vec_col)
+        finally:
+            delta.unpersist()
         manifest = {
             "n_rows": int(prev["n_rows"]) + dn,
             "fingerprint": (int(prev["fingerprint"]) + dfp) % _FP_MOD,
@@ -906,13 +918,20 @@ def ivfpq_index_append(
         dim = int(prev["dim"])
         rows = _load_centroids(spark, index_dir, "pq")
         books, dim = _load_books(spark, index_dir, dim)
-        cells = _pq_cells_frame(
-            corpus_delta, rows, books, dim, id_col, vec_col
-        )
-        cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
-            "cent_id"
-        ).mode("append").parquet(os.path.join(index_dir, "cells_pq"))
-        dn, dfp = _corpus_stats(corpus_delta, id_col, vec_col)
+        # widen + single-read, as in ivf_index_append
+        delta = corpus_delta.repartition(
+            spark.sparkContext.defaultParallelism
+        ).persist()
+        try:
+            cells = _pq_cells_frame(
+                delta, rows, books, dim, id_col, vec_col
+            )
+            cells.repartition(max(1, len(rows)), "cent_id").write.partitionBy(
+                "cent_id"
+            ).mode("append").parquet(os.path.join(index_dir, "cells_pq"))
+            dn, dfp = _corpus_stats(delta, id_col, vec_col)
+        finally:
+            delta.unpersist()
         manifest = {
             "n_rows": int(prev["n_rows"]) + dn,
             "fingerprint": (int(prev["fingerprint"]) + dfp) % _FP_MOD,
