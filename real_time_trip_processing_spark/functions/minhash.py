@@ -167,9 +167,19 @@ def minhash_lsh_pairs(
         # join exchanges to re-attach its aggregates. (Both windows
         # share the (band, bh) partitioning, so the second is a
         # partition-local sort, not a new shuffle.)
+        #
+        # PERSISTED, like `sig`: the tagged frame has THREE consumers
+        # (both self-join sides and the hot-edge branch), and the
+        # executed plan showed the planner instantiating the whole
+        # explode→exchange→window subtree once PER consumer with zero
+        # exchange reuse — three shuffles of the exploded frame where
+        # the design needs one. The cache materializes the exchange +
+        # width window once; InMemoryTableScan preserves the (band,
+        # bh) partitioning, so the self-join and the (band, bh, fs)
+        # hub window run with local sorts only, no new exchange.
         tagged = bucketed.withColumn(
             "_k", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
-        )
+        ).persist()
         pair_src = tagged.filter(F.col("_k") <= max_bucket).drop("_k", "fs")
         # linear star edges inside each (bucket, full-signature) group:
         # hub = min doc, one edge per other member — connectivity

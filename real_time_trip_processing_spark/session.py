@@ -52,6 +52,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let AQE run inside cached plans and keep their output
+        # partitioning visible to consumers: a persisted frame that was
+        # exchange-partitioned (e.g. the capped-LSH tagged frame, the
+        # minhash sig cache) then feeds joins/windows WITHOUT a fresh
+        # exchange — measured 0.99 -> 0.82 s on the capped-LSH query
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
