@@ -168,18 +168,22 @@ def minhash_lsh_pairs(
         # share the (band, bh) partitioning, so the second is a
         # partition-local sort, not a new shuffle.)
         #
-        # PERSISTED, like `sig`: the tagged frame has THREE consumers
-        # (both self-join sides and the hot-edge branch), and the
-        # executed plan showed the planner instantiating the whole
-        # explode→exchange→window subtree once PER consumer with zero
-        # exchange reuse — three shuffles of the exploded frame where
-        # the design needs one. The cache materializes the exchange +
-        # width window once; InMemoryTableScan preserves the (band,
-        # bh) partitioning, so the self-join and the (band, bh, fs)
-        # hub window run with local sorts only, no new exchange.
+        # Deliberately NOT persisted (measured, late round 6): the
+        # tagged frame has three consumers (both self-join sides, the
+        # hot-edge branch) and the planner instantiates this subtree
+        # once per consumer with no exchange reuse. Caching the
+        # exploded bands-x-corpus frame to collapse them helps only
+        # the small-SF fixed overhead (1.30 -> 0.99 s at sf0.1); at
+        # 2M docs a same-session A/B shows the post-signature capped
+        # work is ~19 s either way (the 60-75 s totals are dominated
+        # by the signature build, which the cap machinery never
+        # touches), a serialized cache is strictly worse (125.8 s
+        # total), and the deserialized cache adds a multi-GB
+        # footprint for nothing. Recomputing the explode off the
+        # persisted sig is the scale-safe shape.
         tagged = bucketed.withColumn(
             "_k", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
-        ).persist()
+        )
         pair_src = tagged.filter(F.col("_k") <= max_bucket).drop("_k", "fs")
         # linear star edges inside each (bucket, full-signature) group:
         # hub = min doc, one edge per other member — connectivity

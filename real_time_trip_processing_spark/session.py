@@ -53,10 +53,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # let AQE run inside cached plans and keep their output
-        # partitioning visible to consumers: a persisted frame that was
-        # exchange-partitioned (e.g. the capped-LSH tagged frame, the
-        # minhash sig cache) then feeds joins/windows WITHOUT a fresh
-        # exchange — measured 0.99 -> 0.82 s on the capped-LSH query
+        # partitioning visible to consumers (e.g. the minhash sig
+        # cache feeding the banded explode and both doc-keyed verify
+        # joins). Measured: capped-LSH 1.30 -> 0.88 s median at sf0.1
+        # with no other change (the win is cache-boundary
+        # re-exchanges around sig's five consumers); neutral on the
+        # 2M A/B where signature BUILD dominates. Plan-level only —
+        # the vanilla driver session never sets it, and the oracle
+        # sweep is green under both
         .config(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             "true",
