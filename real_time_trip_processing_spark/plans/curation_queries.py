@@ -580,7 +580,7 @@ def doc_novelty(spark, sf_dir):
 
 
 @declare(
-    "dataset_split",
+    "dataset_split_by_source",
     oracle=rf"""
     WITH d AS (SELECT doc_id, source,
                       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS BIGINT)
@@ -596,14 +596,17 @@ def doc_novelty(spark, sf_dir):
     FROM d GROUP BY 1, 2
     """,
 )
-def dataset_split(spark, sf_dir):
-    """Deterministic train/val/test assignment (96/2/2): membership is
-    a pure function of the salted doc key — an md5 bucket, the same
-    engine-portable integer discipline as `weighted_sample` — so the
-    split is stable under reprocessing, new data lands in splits
-    without moving old docs, and val/test can never leak into train by
-    a reshuffle. Re-salting (`split:v2:`) redraws the whole split
-    without touching data.
+def dataset_split_by_source(spark, sf_dir):
+    """Deterministic train/val/test assignment (96/2/2), audited
+    per-source: membership is a pure function of the salted doc key —
+    an md5 bucket, the same engine-portable integer discipline as
+    `weighted_sample` — so the split is stable under reprocessing, new
+    data lands in splits without moving old docs, and val/test can
+    never leak into train by a reshuffle. Re-salting (`split:v2:`)
+    redraws the whole split without touching data. The simpler
+    unsalted corpus-level audit is `dataset_split`
+    (plans/text_queries.py); this is the production flavor the
+    salted-stability test (tests/test_curation.py) pins.
 
     Scale shape: the bucket is one map-side md5 per row; the declared
     output is the per-(split, source) count/token audit — one partial

@@ -30,6 +30,18 @@ REGISTRY: dict[str, DeclaredQuery] = {}
 
 def declare(name: str, oracle: str | None = None) -> Callable[[Builder], Builder]:
     def deco(fn: Builder) -> Builder:
+        # A silent overwrite once shadowed a documented query for a full
+        # round (dataset_split, round 6 verdict #1): two modules declared
+        # the same name and import order picked the winner. Make the
+        # collision structurally impossible — a duplicate is always a
+        # programming error, never intent.
+        if name in REGISTRY:
+            raise ValueError(
+                f"declared query name collision: {name!r} is already "
+                f"registered by {REGISTRY[name].builder.__module__}."
+                f"{REGISTRY[name].builder.__qualname__}; refusing to "
+                f"silently shadow it"
+            )
         REGISTRY[name] = DeclaredQuery(name, fn, oracle, fn.__doc__ or "")
         return fn
 

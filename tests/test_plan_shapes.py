@@ -518,3 +518,23 @@ def test_pack_sequences_auto_picks_single_window_below_crossover(spark):
     plan = plan_of(spark, "pack_sequences")
     assert "_bkt" not in plan, plan
     assert _re.search(r"windowspecdefinition\(lang#\d+, doc_id#", plan), plan
+
+
+def test_declare_rejects_duplicate_names():
+    """Registry collisions must be loud: until round 7 two modules
+    both declared `dataset_split` and import order silently picked the
+    winner, shadowing the documented salted flavor. declare() now
+    raises at import time instead."""
+    from real_time_trip_processing_spark.plans.registry import REGISTRY, declare
+
+    name = next(iter(REGISTRY))
+    with pytest.raises(ValueError, match="collision"):
+        declare(name)(lambda spark, sf_dir: None)
+
+
+def test_both_dataset_split_flavors_declared():
+    """The round-6 shadowing victim and its twin both exist under
+    distinct names with full oracles."""
+    for name in ("dataset_split", "dataset_split_by_source"):
+        assert name in REGISTRY, name
+        assert REGISTRY[name].oracle is not None, name
