@@ -1310,6 +1310,15 @@ def semantic_decontaminate(
     Ties go to the lower eval id in both flavors (argmax returns the
     first maximum over eval-id-ascending columns).
     """
+    # Zero-quantized vectors (either side) have no cosine direction:
+    # the score is 0/0 = NaN. The two flavors used to DISAGREE on them
+    # — numpy's `NaN >= thr` is False (arrow drops) while Spark SQL
+    # orders NaN greatest (`NaN >= 0.4` is true — builtin keeps, and a
+    # zero EVAL vector would argmax-capture every candidate). Exclude
+    # on both sides, both impls, mirroring cosine_topk/srp_near_dup;
+    # the declared oracle carries the same _QDIR guard.
+    corpus = corpus.filter(has_quant_direction(F.col(vec_col)))
+    eval_set = eval_set.filter(has_quant_direction(F.col(vec_col)))
     if impl == "arrow":
         id_type = dict(corpus.dtypes)[id_col]
         e_rows = sorted(

@@ -42,13 +42,30 @@ _QV = (
 )
 
 
+def _QDIR(expr: str) -> str:
+    """DuckDB replay of ``similarity.has_quant_direction`` over a
+    quantized list expression: no NULL elements AND at least one
+    nonzero quant (NULL/empty lists evaluate non-true and drop — the
+    same three-valued logic as the Spark guard). Every oracle whose
+    Spark side calls ``has_quant_direction`` (cosine_topk /
+    srp_near_dup consumers) must carry this so a zero-quantized
+    embedding — real at corpus scale — cannot diverge the engines:
+    Spark drops it while a guard-less DuckDB replay would emit
+    NaN-score rows (DuckDB orders NaN greatest, same as Spark, so the
+    NaN rows would RANK, not sink)."""
+    return (
+        f"(len(list_filter({expr}, x -> x IS NULL)) = 0"
+        f" AND len(list_filter({expr}, x -> x <> 0)) > 0)"
+    )
+
+
 @declare(
     "sim_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, {_QV} AS qv
-               FROM embeddings WHERE vec_id < 5),
-         c AS (SELECT vec_id AS cand_id, {_QV} AS cv
-               FROM embeddings),
+    WITH q0 AS (SELECT vec_id, {_QV} AS qv FROM embeddings
+                WHERE {_QDIR(_QV)}),
+         q AS (SELECT vec_id AS query_id, qv FROM q0 WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cand_id, qv AS cv FROM q0),
          s AS (SELECT query_id, cand_id, {_COS} AS score
                FROM q CROSS JOIN c WHERE cand_id <> query_id),
          r AS (SELECT query_id, cand_id, score,
@@ -163,19 +180,29 @@ def dedup_near_minhash(spark, sf_dir):
     )
 
 
-def _srp_sql_ctes(num_bits: int = 16, bands: int = 8, dim: int = 64) -> str:
+def _srp_sql_ctes(
+    num_bits: int = 16, bands: int = 8, dim: int = 64,
+    guard_zero: bool = False,
+) -> str:
     """Shared DuckDB CTE chain replaying srp_buckets exactly: integer
     quantization, md5-parity ±1 planes (same Python source: srp_signs),
-    order-independent integer dots, per-band bit strings."""
+    order-independent integer dots, per-band bit strings.
+
+    ``guard_zero`` mirrors the Spark entry point: srp_near_dup filters
+    ``has_quant_direction`` before bucketing (NaN verify scores
+    otherwise), so its oracles must replay the exclusion (_QDIR);
+    srp_buckets alone does NOT filter (sign bits are well-defined for
+    the zero vector), so diversity_sample_srp's oracle must not."""
     rpb = num_bits // bands
     signs = srp_signs(num_bits, dim)
     values = ",".join(
         f"({i},{j + 1},{s})" for i, row in enumerate(signs) for j, s in enumerate(row)
     )
+    guard = f" WHERE {_QDIR('qv')}" if guard_zero else ""
     return f"""
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-    q AS (SELECT vec_id, list_transform(vec,
-                 x -> CAST(round(x * {SRP_QUANT}.0) AS BIGINT)) AS qv FROM v),
+    q AS (SELECT * FROM (SELECT vec_id, list_transform(vec,
+                 x -> CAST(round(x * {SRP_QUANT}.0) AS BIGINT)) AS qv FROM v){guard}),
     ex AS (SELECT vec_id, unnest(qv) AS x, unnest(range(1, len(qv)+1)) AS j FROM q),
     planes(bit, j, s) AS (VALUES {values}),
     dots AS (SELECT e.vec_id, p.bit, SUM(e.x * p.s) AS d
@@ -190,7 +217,7 @@ def _srp_sql_ctes(num_bits: int = 16, bands: int = 8, dim: int = 64) -> str:
 @declare(
     "dedup_near_embedding",
     oracle=f"""
-    WITH {_srp_sql_ctes(96, 16, 64)},
+    WITH {_srp_sql_ctes(96, 16, 64, guard_zero=True)},
     cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
              FROM bks l JOIN bks r
                ON l.band = r.band AND l.bh = r.bh AND l.vec_id < r.vec_id),
@@ -381,7 +408,8 @@ _RECALL_ORACLE = f"""
                FROM s) WHERE rank <= 10),
          ex_s AS (SELECT q.query_id, c.cand_id,
                          {_IVF_COS("q.q_vec", "c.c_vec")} AS score
-                  FROM q CROSS JOIN c WHERE c.cand_id <> q.query_id),
+                  FROM q CROSS JOIN c WHERE c.cand_id <> q.query_id
+                    AND {_QDIR("q.q_vec")} AND {_QDIR("c.c_vec")}),
          exact AS (SELECT query_id, cand_id FROM (
                SELECT query_id, cand_id,
                       row_number() OVER (PARTITION BY query_id
@@ -450,7 +478,8 @@ def sim_ivf_recall(spark, sf_dir):
 _PQ_RECALL_BAND = 0.45
 
 _PQ_RECALL_ORACLE = f"""
-    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings
+                WHERE {_QDIR(_QV)}),
          c AS (SELECT vec_id AS cand_id, qv AS c_vec FROM qn),
          q AS (SELECT vec_id AS query_id, qv AS q_vec
                FROM qn WHERE vec_id < 20),
@@ -938,9 +967,9 @@ def knn_label_vote(spark, sf_dir):
     "decontaminate_semantic",
     oracle=f"""
     WITH e AS (SELECT vec_id AS eval_id, {_QV} AS qv
-               FROM embeddings WHERE vec_id % 97 = 0),
+               FROM embeddings WHERE vec_id % 97 = 0 AND {_QDIR(_QV)}),
          c AS (SELECT vec_id AS cand_id, {_QV} AS cv
-               FROM embeddings WHERE vec_id % 97 <> 0),
+               FROM embeddings WHERE vec_id % 97 <> 0 AND {_QDIR(_QV)}),
          s AS (SELECT cand_id, eval_id, {_COS} AS score FROM c CROSS JOIN e),
          r AS (SELECT cand_id, eval_id, score,
                       row_number() OVER (PARTITION BY cand_id
@@ -1256,7 +1285,7 @@ def diversity_sample_srp(spark, sf_dir):
 @declare(
     "dedup_semantic_clusters",
     oracle=f"""
-    WITH RECURSIVE {_srp_sql_ctes(96, 16, 64)},
+    WITH RECURSIVE {_srp_sql_ctes(96, 16, 64, guard_zero=True)},
     cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
              FROM bks l JOIN bks r
                ON l.band = r.band AND l.bh = r.bh AND l.vec_id < r.vec_id),

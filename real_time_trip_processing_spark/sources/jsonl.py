@@ -36,21 +36,36 @@ def scan_jsonl(
     )
 
 
-def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_corrupt(
+    df: DataFrame, cache: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantine): parsed rows without the corrupt column, and
     the full dead-letter rows (raw line in ``_corrupt_record``, declared
     columns null).
 
-    The scan is CACHED first: Spark rejects JSON-scan plans whose
-    column-pruned reference set is the internal corrupt column alone
+    The scan is cached first (``cache=True``, MEMORY_AND_DISK so a
+    corpus-scale scan spills instead of evicting the executors):
+    Spark rejects JSON-scan plans whose column-pruned reference set is
+    the internal corrupt column alone
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — and keeping every column in
     the projection does NOT survive pruning for aggregate-only actions
     like ``bad.count()``, the standard dead-letter monitoring metric
     (Catalyst prunes to what the AGGREGATE needs, not what the select
     lists). Caching materializes the scan once with the full schema, so
     both sides — and any count over them — are served from the cached
-    relation; both sides are consumed anyway in every split use."""
-    df = df.cache()
+    relation.
+
+    The CALLER owns the cache: ``clean.unpersist()`` (either returned
+    frame releases the shared relation) once both sides are consumed.
+    Pass ``cache=False`` to opt out — each side then re-scans the JSON,
+    and corrupt-only aggregates over ``bad`` must keep a declared
+    column referenced (e.g. count(doc_id IS NULL)) to stay plannable.
+    (Round-6 ADVICE: the unconditional cache was an unbounded
+    deserialized footprint the caller could not opt out of.)"""
+    if cache:
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull())
     return clean, bad

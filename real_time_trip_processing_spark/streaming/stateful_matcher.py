@@ -24,7 +24,15 @@ Relationship to the join flavor (exact, not hand-waved):
 - both reject a pair whose dropoff precedes its pickup (corrupt
   producer / clock skew): the join's range condition never matches it,
   and the state machine discards the non-conforming END and keeps
-  waiting, so a later conforming end can still match;
+  waiting. A later conforming end can still match — but only if it
+  arrives AFTER the (trip_id, trip_end) dedup watermark has expired:
+  the redelivery guard upstream keys on (trip_id, data_type), so a
+  replacement end inside that horizon is collapsed with the discarded
+  one and never reaches the state machine (exactly what
+  tests/test_streaming.py::test_stateful_rejects_dropoff_before_pickup
+  exercises — its conforming end waits out the watermark). That is the
+  at-least-once trade: within the horizon, same-key same-type events
+  are presumed redeliveries, not corrections;
 - eviction differs by MECHANISM, not intent: the join bounds state via
   its ``join_window`` range condition; the state machine via an
   event-time deadline of (event's own time, as seen by the watermark)

@@ -32,3 +32,63 @@ def test_oracle_parity(spark, con, name):
     duck_pdf = con.execute(q.oracle).fetchdf()
     issues = [i for i in compare(name, spark_pdf, duck_pdf) if not i.startswith("dtype note")]
     assert not issues, f"{name}: {issues}"
+
+
+ZERO_VEC_QUERIES = [
+    # every declared query whose Spark side excludes zero-quantized
+    # vectors (has_quant_direction) — the oracle must replay the
+    # exclusion (_QDIR) or the engines diverge the moment a corpus
+    # contains one (ADVICE r6: masked until now only because the
+    # driver testdata has no zero vectors).
+    "sim_topk",
+    "decontaminate_semantic",
+    "dedup_near_embedding",
+    "dedup_semantic_clusters",
+    "sim_ivf_recall",
+    "sim_ivfpq_recall",
+    # and one whose Spark side does NOT exclude them (srp_buckets sign
+    # bits are well-defined at zero) — pins that the guard was not
+    # blanket-applied where it would WRONGLY drop rows.
+    "dedup_near_embedding_lsh",
+    "diversity_sample_srp",
+]
+
+
+@pytest.fixture(scope="module")
+def zero_vec_sf_dir(tmp_path_factory):
+    """A tiny embeddings corpus that CONTAINS zero-direction vectors:
+    one exact zero and one below quantization resolution (both
+    corpus-side ids — ivf centroids/probes stay clean, so the IVF
+    builders run rather than raise)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    rng = np.random.RandomState(7)
+    vecs = rng.uniform(-1, 1, size=(60, 64)).astype(np.float32)
+    vecs[50] = 0.0                      # exact zero vector
+    vecs[51] = np.float32(1e-9)        # quantizes to zero (sub-resolution)
+    d = tmp_path_factory.mktemp("zerovec")
+    tbl = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(60)], pa.int32()),
+    })
+    papq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ZERO_VEC_QUERIES)
+def test_oracle_parity_with_zero_vectors(spark, name, zero_vec_sf_dir):
+    q = REGISTRY[name]
+    spark_pdf = q.builder(spark, zero_vec_sf_dir).toPandas()
+    duck_pdf = duck_con(zero_vec_sf_dir).execute(q.oracle).fetchdf()
+    issues = [i for i in compare(name, spark_pdf, duck_pdf)
+              if not i.startswith("dtype note")]
+    assert not issues, f"{name}: {issues}"
+    # the zero vectors must be absent from pair/score outputs but
+    # PRESENT in the unguarded bucket diagnostics
+    flat = spark_pdf.to_numpy().ravel().tolist()
+    if name in ("sim_topk", "dedup_near_embedding"):
+        assert 50 not in flat and 51 not in flat

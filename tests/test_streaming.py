@@ -802,6 +802,46 @@ def test_stream_dedup_incremental_vs_corpus(spark, tmp_path):
     assert len(ids) == 2
 
 
+def test_stream_dedup_corpus_index_caller_owned(spark, tmp_path):
+    """Production corpus path: the caller builds the persisted hash
+    index (corpus_hash_index), the stream anti-joins it, and the caller
+    releases the cache — no hidden persist left behind (round-6 ADVICE:
+    the old internal persist leaked one cached relation per stream
+    build)."""
+    from real_time_trip_processing_spark.streaming.dedup import (
+        corpus_hash_index,
+        stream_dedup_incremental,
+    )
+
+    src = tmp_path / "incoming2"
+    src.mkdir()
+    (src / "b1.jsonl").write_text(
+        '{"doc_id": 20, "text": "known doc"}\n'
+        '{"doc_id": 21, "text": "novel text"}\n'
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    corpus = spark.createDataFrame([(1, "Known Doc")], "doc_id long, text string")
+    idx = corpus_hash_index(corpus)
+    try:
+        assert idx.storageLevel.useMemory and idx.storageLevel.useDisk
+        out = stream_dedup_incremental(stream, corpus_index=idx)
+        got = _run_stream(spark, out, "dedup_incr_stream_idx")
+        ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+        assert ids == [21]
+    finally:
+        idx.unpersist()
+    assert not idx.storageLevel.useMemory  # released, nothing leaks
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="corpus"):
+        stream_dedup_incremental(stream)
+
+
 def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     """Exactly-once across RESTARTS: a file-source stream writing
     through foreachBatch-upsert is stopped after consuming the first
