@@ -30,21 +30,34 @@ assign the delta against stored centroids, append to cells, advance
 the manifest), `*_ensure` (content-addressed skip/rebuild).
 
 Single-index concurrency: every mutating entry point (builds, appends,
-the streaming sink's per-batch apply) serializes on a kernel ``flock``
-lock file in ``index_dir`` (`_index_write_lock`) and re-reads the
-manifest INSIDE the critical section — two appends, or an append racing
-a streaming micro-batch, apply one after the other against the manifest
-the other just advanced, never against a stale parent. The lock is
-advisory and LOCAL-FILESYSTEM-ONLY — and so are the staging lifecycle
-ops (rebuild's staging clear, compaction's rename/marker/cleanup),
-which use os/shutil calls that silently no-op on Hadoop-FS URIs. The
-lock therefore REJECTS URI-scheme index dirs with ``ValueError``, which
-makes every mutator fail loudly up front on ``s3a://…``/``hdfs://…``
-instead of corrupting the staging lifecycle quietly; on an object store
-swap the lock for a conditional-put manifest CAS and route the staging
-ops through the Hadoop FileSystem API (same structure: the manifest
-write is the commit point). Readers resolve through Spark/Hadoop FS and
-work on any scheme; they never take the lock.
+the streaming sink's per-batch apply) serializes on the single-writer
+lock for ``index_dir`` (`_index_lock`) and re-reads the manifest INSIDE
+the critical section — two appends, or an append racing a streaming
+micro-batch, apply one after the other against the manifest the other
+just advanced, never against a stale parent. The lock is DUAL-MODE
+(round 7 — until then every mutator hard-rejected URI dirs):
+
+- local directories — plain paths AND local ``file:`` URIs, decoded so
+  every spelling of one directory takes the SAME lock — use the kernel
+  ``flock`` (`locking.dir_write_lock`: crash-released, no staleness
+  guessing);
+- remote Hadoop-FS directories (``s3a://…``, ``hdfs://…``) use the
+  create-exclusive CAS lease (`fsio.fs_cas_write_lock`) — atomic on
+  HDFS/local, conditional-put on S3 with Hadoop ≥ 3.4.1; a crashed
+  holder's marker is cleared explicitly (`fsio.fs_force_unlock`),
+  never auto-broken.
+
+The staging lifecycle ops (rebuild's staging clear, compaction's
+rename/marker/cleanup, the ledger/high-water files) are likewise
+dual-path: plain local paths keep the os/shutil fast path (with the
+fsync-durable high-water write); ANY URI — ``file:`` included, which
+is how the tests exercise scheme-correctness — routes through the
+Hadoop FileSystem API (`fsio`), the same abstraction the read path
+already uses. Per-scheme atomicity caveats (S3A rename = copy+delete)
+are documented in ``fsio``; every rename here happens inside the
+critical section, so the crash matrix re-converges from either side.
+Readers resolve through Spark/Hadoop FS and work on any scheme; they
+never take the lock.
 
 ``qv`` is the shared SRP_QUANT integer quantization and ``qn2`` the
 exact integer squared norm, so serve-time scores are bit-identical to
@@ -76,6 +89,16 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..fsio import (
+    fs_cas_write_lock,
+    fs_delete,
+    fs_exists,
+    fs_read_text,
+    fs_rename,
+    fs_write_text,
+    is_uri,
+    local_form,
+)
 from ..locking import dir_write_lock
 from .similarity import (
     CentroidRows,
@@ -101,7 +124,61 @@ def _high_water_path(index_dir: str) -> str:
     return os.path.join(index_dir, "compacted_through")
 
 
-def _read_high_water(index_dir: str) -> int:
+def _require_spark(spark: SparkSession | None, path: str) -> SparkSession:
+    """Staging ops on a URI path run through the Hadoop FS API, which
+    needs a session; plain local paths never reach this."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"no active SparkSession to resolve the Hadoop FS for {path!r}"
+        )
+    return spark
+
+
+# --- dual-path staging primitives ------------------------------------
+# Plain local paths keep the os/shutil fast path (incl. the fsync-
+# durable high-water write); ANY URI — file:// included — routes
+# through fsio's Hadoop FS ops so the lifecycle is scheme-correct.
+
+
+def _st_exists(path: str, spark: SparkSession | None = None) -> bool:
+    if not is_uri(path):
+        return os.path.exists(path)
+    return fs_exists(_require_spark(spark, path), path)
+
+
+def _st_rmtree(path: str, spark: SparkSession | None = None) -> None:
+    if not is_uri(path):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        return
+    fs_delete(_require_spark(spark, path), path, recursive=True)
+
+
+def _st_unlink(path: str, spark: SparkSession | None = None) -> None:
+    if not is_uri(path):
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
+        return
+    fs_delete(_require_spark(spark, path), path, recursive=False)
+
+
+def _st_rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
+    if not is_uri(src):
+        os.rename(src, dst)
+        return
+    fs_rename(_require_spark(spark, src), src, dst)
+
+
+def _st_touch(path: str, text: str, spark: SparkSession | None = None) -> None:
+    if not is_uri(path):
+        with open(path, "w") as f:
+            f.write(text)
+        return
+    fs_write_text(_require_spark(spark, path), path, text)
+
+
+def _read_high_water(index_dir: str, spark: SparkSession | None = None) -> int:
     """Highest ledger batch_id folded into the base by a compaction, or
     -1. Compaction deletes the ledger (its idempotency record), so this
     marker is what stops a micro-batch REPLAYED across the compaction —
@@ -109,6 +186,14 @@ def _read_high_water(index_dir: str) -> int:
     atomic, so the last pre-compaction batch can legitimately re-fire
     even after a graceful stop — from re-applying rows the fold already
     moved into the base."""
+    if is_uri(index_dir):
+        txt = fs_read_text(
+            _require_spark(spark, index_dir), _high_water_path(index_dir)
+        )
+        try:
+            return int((txt or "").strip())
+        except ValueError:
+            return -1
     try:
         with open(_high_water_path(index_dir)) as f:
             return int(f.read().strip())
@@ -116,7 +201,22 @@ def _read_high_water(index_dir: str) -> int:
         return -1
 
 
-def _write_high_water(index_dir: str, batch_id: int) -> None:
+def _write_high_water(
+    index_dir: str, batch_id: int, spark: SparkSession | None = None
+) -> None:
+    if is_uri(index_dir):
+        # tmp + rename commit through the FS API. Hadoop rename fails
+        # onto an existing destination, so the old marker is deleted
+        # first — the marker-absent window is safe because only
+        # mutators read the high-water and every mutator holds the
+        # single-writer lock around this call. Durability is the
+        # store's close/rename contract (HDFS hflush-on-close, S3 PUT).
+        sp = _require_spark(spark, index_dir)
+        hw = _high_water_path(index_dir)
+        fs_write_text(sp, hw + ".tmp", str(int(batch_id)))
+        fs_delete(sp, hw, recursive=False)
+        fs_rename(sp, hw + ".tmp", hw)
+        return
     # rename-committed AND fsynced: without the fsync before the
     # replace, a power loss can make the rename durable before the
     # data blocks (ext4/xfs), leaving an EMPTY marker that reads as
@@ -193,14 +293,40 @@ def _codebook_fp(rows: CentroidRows) -> int:
     return int.from_bytes(h.digest(), "little") % _FP_MOD
 
 
-#: single-writer lock for one index directory (shared engine-wide
-#: helper — see locking.py for semantics, the crash-release guarantee
-#: and the object-store CAS note; it rejects URI-scheme dirs, which is
-#: the loud-failure gate for every mutator whose staging ops are
-#: local-FS-only). All mutating paths here re-read the manifest
-#: INSIDE the locked section, which is what makes interleaved appends
-#: apply against each other's advanced manifest instead of a shared
-#: stale parent.
+@contextlib.contextmanager
+def _index_lock(
+    index_dir: str,
+    spark: SparkSession | None = None,
+    timeout_sec: float = 120.0,
+):
+    """Single-writer lock for one index directory — dual-mode (module
+    docstring): kernel flock for local dirs (plain paths and decoded
+    ``file:`` URIs share one lock path, so every spelling of a local
+    dir excludes every other), create-exclusive CAS lease (fsio) for
+    remote Hadoop-FS dirs. All mutating paths re-read the manifest
+    INSIDE the locked section, which is what makes interleaved appends
+    apply against each other's advanced manifest instead of a shared
+    stale parent.
+
+    ``SPARK_GRAFT_FORCE_CAS_LOCK=1`` forces the CAS lease on local
+    dirs — test plumbing ONLY (it exercises the object-store lease
+    through local ``file:`` URIs); a forced-CAS writer and a flock
+    writer do NOT exclude each other, so never set it in production.
+    """
+    force_cas = os.environ.get("SPARK_GRAFT_FORCE_CAS_LOCK") == "1"
+    local = None if force_cas else local_form(index_dir)
+    if local is not None:
+        with dir_write_lock(local, timeout_sec=timeout_sec):
+            yield
+    else:
+        with fs_cas_write_lock(
+            _require_spark(spark, index_dir), index_dir,
+            timeout_sec=timeout_sec,
+        ):
+            yield
+
+
+#: back-compat alias (pre-round-7 name; local-only semantics)
 _index_write_lock = dir_write_lock
 
 
@@ -366,7 +492,7 @@ def ivf_index_build(
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
     dim = len(rows[0][1]) if rows else 0
     cells = _quant_cells_frame(corpus, rows, id_col, vec_col)
-    with _index_write_lock(index_dir):
+    with _index_lock(index_dir, spark):
         # One clustering shuffle at build time so each cell is ONE
         # compact file, not one-per-upstream-task (256 cells × 32 tasks
         # = 8k tiny files otherwise — measured to cost the serve path
@@ -395,11 +521,8 @@ def ivf_index_build(
         # staging-after-ledger would leave stale staging double-served
         # next to the new base until the repair.
         for staging in ("cells_stream", "applied_batches"):
-            p = os.path.join(index_dir, staging)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(_high_water_path(index_dir))
+            _st_rmtree(os.path.join(index_dir, staging), spark)
+        _st_unlink(_high_water_path(index_dir), spark)
         spark.createDataFrame(
             [(int(c), [float(x) for x in v]) for c, v in rows],
             "cent_id int, centroid array<double>",
@@ -598,7 +721,7 @@ def ivfpq_index_build(
     spark = corpus.sparkSession
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
     cells = _pq_cells_frame(corpus, rows, books, dim, id_col, vec_col)
-    with _index_write_lock(index_dir):
+    with _index_lock(index_dir, spark):
         cells.repartition(
             max(1, int(n_centroids)), "cent_id"
         ).write.partitionBy("cent_id").mode("overwrite").parquet(
@@ -746,7 +869,7 @@ def ivf_index_append(
     the strict (score desc, cand_id asc) key.
     """
     spark = corpus_delta.sparkSession
-    with _index_write_lock(index_dir):
+    with _index_lock(index_dir, spark):
         # manifest is read INSIDE the lock: a concurrent append/stream
         # batch that just advanced it is fully visible, never a stale
         # parent (the CAS discipline from the module docstring)
@@ -909,7 +1032,7 @@ def ivfpq_index_append(
     appended to `cells_pq`, and the manifest advances. O(delta), like
     `ivf_index_append`."""
     spark = corpus_delta.sparkSession
-    with _index_write_lock(index_dir):
+    with _index_lock(index_dir, spark):
         # manifest inside the lock + half-applied guard — see
         # ivf_index_append
         prev = _read_manifest(spark, index_dir, "pq")
@@ -994,7 +1117,7 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
         # concurrent ivf_index_append (or a second stream) on the same
         # index; the ledger check runs INSIDE it so a batch committed by
         # a racing replica short-circuits here
-        with _index_write_lock(index_dir):
+        with _index_lock(index_dir, spark):
             if _dir_exists(spark, ledger_dir):
                 applied = {
                     int(r["batch_id"])
@@ -1004,7 +1127,7 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
                 applied = set()
             if int(batch_id) in applied:
                 return  # replayed batch — already fully committed
-            if int(batch_id) <= _read_high_water(index_dir):
+            if int(batch_id) <= _read_high_water(index_dir, spark):
                 # replayed across a compaction: the fold consumed this
                 # batch's ledger row after moving its rows into the base
                 return
@@ -1105,14 +1228,14 @@ def ivf_index_compact_stream(
 
     Returns the advanced manifest, or None if there was nothing staged.
     """
-    with _index_write_lock(index_dir):
+    with _index_lock(index_dir, spark):
         stream_dir = os.path.join(index_dir, "cells_stream")
         folding = stream_dir + ".folding"
         ledger_dir = os.path.join(index_dir, "applied_batches")
-        if os.path.isdir(stream_dir):
-            os.rename(stream_dir, folding)
-        if not os.path.isdir(folding):
-            if os.path.isdir(ledger_dir):
+        if _st_exists(stream_dir, spark):
+            _st_rename(stream_dir, folding, spark)
+        if not _st_exists(folding, spark):
+            if _st_exists(ledger_dir, spark):
                 # orphaned ledger (ledger rows, no staging). Provenance
                 # audit: step 5 removes the ledger FIRST, so compaction
                 # itself can no longer produce one; reset_stream also
@@ -1130,21 +1253,22 @@ def ivf_index_compact_stream(
                         index_dir,
                         max(
                             max(int(r["batch_id"]) for r in lrows),
-                            _read_high_water(index_dir),
+                            _read_high_water(index_dir, spark),
                         ),
+                        spark,
                     )
-                shutil.rmtree(ledger_dir)
+                _st_rmtree(ledger_dir, spark)
             return None  # nothing staged
         marker = os.path.join(folding, ".appended")
         prev = _read_manifest(spark, index_dir, "ivf")
-        if os.path.isdir(ledger_dir):
+        if _st_exists(ledger_dir, spark):
             lrows = spark.read.parquet(ledger_dir).collect()
             committed = [int(r["batch_id"]) for r in lrows]
             dn = sum(int(r["n_rows"]) for r in lrows)
             dfp = sum(int(r["fingerprint_delta"]) for r in lrows) % _FP_MOD
         else:
             committed, dn, dfp = [], 0, 0
-        if not os.path.exists(marker):
+        if not _st_exists(marker, spark):
             _check_cells_parity(
                 spark, index_dir, "cells", int(prev["n_rows"])
             )
@@ -1161,8 +1285,7 @@ def ivf_index_compact_stream(
             staged.repartition(n_cent, "cent_id").write.partitionBy(
                 "cent_id"
             ).mode("append").parquet(os.path.join(index_dir, "cells"))
-            with open(marker, "w") as f:
-                f.write("appended")
+            _st_touch(marker, "appended", spark)
         cells_count = int(
             spark.read.parquet(os.path.join(index_dir, "cells")).count()
         )
@@ -1186,16 +1309,19 @@ def ivf_index_compact_stream(
             )
         if committed:
             _write_high_water(
-                index_dir, max(max(committed), _read_high_water(index_dir))
+                index_dir,
+                max(max(committed), _read_high_water(index_dir, spark)),
+                spark,
             )
         # ledger BEFORE folding dir — see docstring step 5
-        if os.path.isdir(ledger_dir):
-            shutil.rmtree(ledger_dir)
-        shutil.rmtree(folding)
+        _st_rmtree(ledger_dir, spark)
+        _st_rmtree(folding, spark)
     return manifest
 
 
-def ivf_index_reset_stream(index_dir: str) -> None:
+def ivf_index_reset_stream(
+    index_dir: str, spark: SparkSession | None = None
+) -> None:
     """Reset the streaming lifecycle of an index so a FRESH stream (new
     checkpoint, batch ids restarting at 0) can attach: clears the
     staging cells, the batch ledger and the compaction high-water.
@@ -1218,13 +1344,10 @@ def ivf_index_reset_stream(index_dir: str) -> None:
     order would leave a ledger whose batches were never folded — a
     state the compact-heal would wrongly promote into the high-water,
     silently dropping a fresh stream's first batches."""
-    with _index_write_lock(index_dir):
+    with _index_lock(index_dir, spark):
         for staging in ("applied_batches", "cells_stream"):
-            p = os.path.join(index_dir, staging)
-            if os.path.isdir(p):
-                shutil.rmtree(p)
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(_high_water_path(index_dir))
+            _st_rmtree(os.path.join(index_dir, staging), spark)
+        _st_unlink(_high_water_path(index_dir), spark)
 
 
 def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -1,0 +1,232 @@
+"""Object-store-capable persisted-index lifecycle (round 7): every
+staging op (rename, marker, ledger, high-water) and the single-writer
+lock must work against Hadoop-FS URI index dirs, not only plain local
+paths. ``file://`` URIs are the scheme-correctness proxy — they resolve
+through the SAME Hadoop FileSystem API code path a remote store would
+(the convention the lake ops already use), while staying testable
+offline.
+
+Covers: build → serve → append → stream → compact → replay-across-
+compaction → reset, all on ``file:``-scheme dirs; the CAS lease
+(contention, crash-marker diagnosis, force-unlock); and the forced-CAS
+full lifecycle (SPARK_GRAFT_FORCE_CAS_LOCK) that drives the
+object-store lease end-to-end through the real mutators.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_spark.fsio import (
+    fs_cas_write_lock,
+    fs_create_exclusive,
+    fs_exists,
+    fs_force_unlock,
+    fs_read_text,
+    local_form,
+)
+from real_time_trip_processing_spark.functions.ivf_index import (
+    ivf_index_append,
+    ivf_index_build,
+    ivf_index_compact_stream,
+    ivf_index_ensure,
+    ivf_index_is_fresh,
+    ivf_index_reset_stream,
+    ivf_persisted_topk,
+    ivfpq_index_build,
+    ivfpq_persisted_topk,
+    read_index_cells,
+    streaming_index_append,
+)
+from real_time_trip_processing_spark.functions.similarity import ivf_topk
+from real_time_trip_processing_spark.sources import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _uri(p) -> str:
+    return "file://" + str(p)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_local_form_resolves_spellings():
+    assert local_form("/data/idx") == "/data/idx"
+    assert local_form("file:///data/idx") == "/data/idx"
+    assert local_form("file:/data/idx") == "/data/idx"
+    assert local_form("s3a://bucket/idx") is None
+    assert local_form("hdfs://nn/idx") is None
+
+
+def test_build_and_serve_on_file_uri(spark, tmp_path):
+    """Full build + bit-identical serve with the index dir addressed
+    ONLY by URI; staging artifacts land under the decoded local dir
+    (proof the FS API resolved the scheme instead of mangling it)."""
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = _uri(tmp_path / "idx")
+    ivf_index_build(emb, idx, n_centroids=16)
+    assert (tmp_path / "idx" / "cells").is_dir()
+    assert not os.path.exists("file:")  # no mangled local ./file: dir
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4)
+    assert _rows(got) == _rows(want)
+    assert ivf_index_is_fresh(spark, emb, idx, 16)
+    # ensure() must content-address through the URI too (no rebuild)
+    mtime = os.path.getmtime(tmp_path / "idx" / "manifest_ivf")
+    ivf_index_ensure(emb, idx, n_centroids=16)
+    assert os.path.getmtime(tmp_path / "idx" / "manifest_ivf") == mtime
+
+
+def test_append_equals_rebuild_on_file_uri(spark, tmp_path):
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = _uri(tmp_path / "grown")
+    ivf_index_build(base, idx, n_centroids=16)
+    ivf_index_append(delta, idx)
+    assert ivf_index_is_fresh(spark, emb, idx, 16)
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    ref = str(tmp_path / "rebuilt")
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _load_centroids,
+    )
+
+    ivf_index_build(emb, ref, n_centroids=16,
+                    codebook=_load_centroids(spark, idx))
+    want = ivf_persisted_topk(spark, ref, queries, k=3, nprobe=4)
+    assert _rows(got) == _rows(want)
+
+
+def test_stream_compact_replay_reset_on_file_uri(spark, tmp_path):
+    """The round-6 crash/replay machinery — ledger, high-water,
+    folding rename, .appended marker — exercised end-to-end through
+    the FS API: stream two batches, compact, replay an old batch
+    (must short-circuit on the high-water), then reset for a fresh
+    stream (batch 0 applies again)."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _read_high_water,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300)
+    d0 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    d1 = emb.filter(F.col("vec_id") >= 400)
+    idx = _uri(tmp_path / "stream")
+    local = tmp_path / "stream"
+    ivf_index_build(base, idx, n_centroids=16)
+
+    sink = streaming_index_append(idx)
+    sink(d0, 0)
+    sink(d1, 1)
+    assert (local / "cells_stream").is_dir()
+    assert (local / "applied_batches").is_dir()
+    n_all = emb.count()
+    assert read_index_cells(spark, idx).count() == n_all
+
+    manifest = ivf_index_compact_stream(spark, idx)
+    assert manifest is not None and int(manifest["n_rows"]) == n_all
+    assert not (local / "cells_stream").exists()
+    assert not (local / "applied_batches").exists()
+    assert _read_high_water(idx, spark) == 1
+    assert (local / "compacted_through").is_file()  # not a mangled path
+
+    # replay across the compaction: batch 1 re-fires after the ledger
+    # is gone — the high-water must short-circuit it (no staging dir
+    # reappears, row count unchanged)
+    sink(d1, 1)
+    assert not (local / "cells_stream").exists()
+    assert read_index_cells(spark, idx).count() == n_all
+
+    # the index stays query-correct after the fold
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4)
+    assert _rows(got) == _rows(want)
+
+    # fresh-stream reset through the URI: high-water cleared, batch 0
+    # applies again
+    ivf_index_reset_stream(idx, spark)
+    assert _read_high_water(idx, spark) == -1
+    sink(d0, 0)
+    assert (local / "cells_stream").is_dir()
+
+
+def test_pq_build_and_serve_on_file_uri(spark, tmp_path):
+    from real_time_trip_processing_spark.functions.pq import pq_train
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    books = pq_train(emb, m=8, k=16, iters=1)
+    idx = _uri(tmp_path / "pq")
+    ivfpq_index_build(emb, idx, books, n_centroids=8)
+    got = ivfpq_persisted_topk(spark, idx, queries, k=3, nprobe=3)
+    assert got.count() > 0
+    assert (tmp_path / "pq" / "cells_pq").is_dir()
+
+
+def test_cas_lease_excludes_and_diagnoses(spark, tmp_path):
+    """The object-store lease: create-exclusive acquisition, busy
+    contenders time out with the holder's identity, a crashed holder's
+    marker is cleared by fs_force_unlock (and ONLY explicitly)."""
+    d = _uri(tmp_path / "lease")
+    acquired = threading.Event()
+    release = threading.Event()
+
+    def holder():
+        with fs_cas_write_lock(spark, d, timeout_sec=30):
+            acquired.set()
+            release.wait(30)
+
+    t = threading.Thread(target=holder)
+    t.start()
+    assert acquired.wait(30)
+    with pytest.raises(TimeoutError, match="fs_force_unlock"):
+        with fs_cas_write_lock(spark, d, timeout_sec=0.6):
+            pass
+    release.set()
+    t.join(30)
+    # holder released: marker gone, next acquire immediate
+    assert not fs_exists(spark, d.rstrip("/") + "/.write_lock.cas")
+    with fs_cas_write_lock(spark, d, timeout_sec=5):
+        pass
+
+    # crash residue: a marker nobody holds blocks acquisition (no
+    # staleness auto-break) until the operator clears it
+    assert fs_create_exclusive(spark, d + "/.write_lock.cas", "dead pid=0")
+    with pytest.raises(TimeoutError):
+        with fs_cas_write_lock(spark, d, timeout_sec=0.6):
+            pass
+    assert "dead" in fs_read_text(spark, d + "/.write_lock.cas")
+    assert fs_force_unlock(spark, d)
+    with fs_cas_write_lock(spark, d, timeout_sec=5):
+        pass
+
+
+def test_forced_cas_full_lifecycle(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_FORCE_CAS_LOCK drives the REAL mutators through the
+    CAS lease (instead of the flock fast path a local dir would get):
+    build + stream + compact + serve all under create-exclusive
+    leasing, and the lease marker never survives a mutator."""
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_CAS_LOCK", "1")
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    delta = emb.filter(F.col("vec_id") >= 400)
+    idx = _uri(tmp_path / "cas_idx")
+    local = tmp_path / "cas_idx"
+    ivf_index_build(base, idx, n_centroids=16)
+    streaming_index_append(idx)(delta, 0)
+    manifest = ivf_index_compact_stream(spark, idx)
+    assert int(manifest["n_rows"]) == emb.count()
+    assert not (local / ".write_lock.cas").exists()
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    want = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4)
+    assert _rows(got) == _rows(want)
