@@ -12,6 +12,16 @@ per row to Kinesis partitioned by trip_id at a fixed rate
 Kafka jars aren't in this image, so ``write_kafka`` gates on the
 format's availability while ``to_keyed_messages`` (all the actual
 logic) is fully testable.
+
+The SEMANTICS the key buys — a consumer sees each key's records in
+producer order (Kinesis's per-PartitionKey / Kafka's per-partition
+guarantee) — is proven end-to-end without a broker:
+tests/test_streaming.py::test_keyed_stream_per_key_order_to_state_store
+interleaves two keys over the live TCP transport and asserts each
+key's exact producer order at the state store, across micro-batches.
+The mechanism (stable pre-state sort on the grouping key over
+in-order upstream partitions) transfers verbatim to the Kafka path;
+only the literal broker is missing from this image.
 """
 
 from __future__ import annotations

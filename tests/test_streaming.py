@@ -1333,3 +1333,138 @@ def test_stateful_rejects_dropoff_before_pickup(spark, tmp_path):
     )
     rows = out.filter(F.col("trip_id") == "S").collect()
     assert [str(r["dropoff_datetime"]) for r in rows] == []  # never 09:00
+
+
+def test_keyed_stream_per_key_order_to_state_store(spark, tmp_path):
+    """S8 keyed-stream SEMANTICS, end to end: the property the
+    reference buys from Kinesis's trip_id partition key
+    (scripts/to_kinesis.py:66) — a consumer sees each key's records in
+    producer order — holds through this engine's live transport into
+    the state store. Two keys interleaved on one TCP connection; an
+    applyInPandasWithState recorder accumulates each key's record_ids
+    in ARRIVAL order; both keys must read back in exact producer
+    order while sharing every micro-batch.
+
+    Why the engine guarantees it (not luck): the socket batch is one
+    upstream partition read in arrival order; the narrow decode
+    preserves it; the pre-state sort orders by the GROUPING KEY only
+    and Spark's sorters (radix LSD / TimSort) are stable, so same-key
+    rows keep map-output order; micro-batches apply sequentially. The
+    same argument transfers to Kafka per-partition order with the
+    key-hashed producer partitioner — the production wiring
+    (write_kafka) keys messages exactly so."""
+    import base64
+    import json
+    import socket
+    import threading
+    import time as _time
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    from real_time_trip_processing_spark.streaming.sources import (
+        stream_trip_events_socket,
+    )
+
+    per_key = 10
+    events = []
+    for i in range(per_key):  # A0 B0 A1 B1 ... interleaved
+        for key in ("A", "B"):
+            events.append(
+                {
+                    "trip_id": key,
+                    "data_type": "trip_start",
+                    "pickup_datetime": f"2024-05-25 10:{i:02d}:00",
+                    "record_id": f"{key}-{i}",
+                }
+            )
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def feed():
+        conn, _ = srv.accept()
+        with conn:
+            for e in events:
+                payload = base64.b64encode(json.dumps(e).encode()).decode()
+                conn.sendall((payload + "\n").encode())
+                _time.sleep(0.25)  # spread across several micro-batches
+            _time.sleep(90)
+
+    threading.Thread(target=feed, daemon=True).start()
+
+    parsed = stream_trip_events_socket(spark, "127.0.0.1", port)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("trip_id", T.StringType()),
+            T.StructField("arrival_order", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("order", T.StringType())])
+
+    def record_order(key, pdfs, state):
+        seen = state.get[0] if state.exists else ""
+        ids = [r for pdf in pdfs for r in pdf["record_id"].tolist()]
+        order = ",".join(([seen] if seen else []) + ids)
+        state.update((order,))
+        yield _pd.DataFrame(
+            {
+                "trip_id": [key[0]],
+                "arrival_order": [order],
+                "n": [len(order.split(","))],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    recorded = (
+        parsed.select("trip_id", "record_id")
+        .groupBy("trip_id")
+        .applyInPandasWithState(
+            record_order,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        recorded.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("keyed_order")
+        .option("checkpointLocation", str(tmp_path / "ckpt_order"))
+        .start()
+    )
+    try:
+        deadline = _time.time() + 90
+        done = {}
+        batches_seen = 0
+        while _time.time() < deadline:
+            rows = spark.sql(
+                "SELECT trip_id, arrival_order, n FROM keyed_order"
+            ).collect()
+            batches_seen = len(rows)
+            done = {}
+            for r in rows:  # latest (longest) record per key
+                if r["n"] >= done.get(r["trip_id"], (0, ""))[0]:
+                    done[r["trip_id"]] = (r["n"], r["arrival_order"])
+            if all(done.get(k, (0, ""))[0] >= per_key for k in ("A", "B")):
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+        srv.close()
+
+    for key in ("A", "B"):
+        n, order = done[key]
+        assert n == per_key, (key, done)
+        assert order == ",".join(f"{key}-{i}" for i in range(per_key)), order
+    # the interleave actually exercised MULTIPLE micro-batches: more
+    # update rows than keys means at least one key was updated across
+    # two batches, so ordering held ACROSS batches, not within one
+    assert batches_seen >= 3, batches_seen
