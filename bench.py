@@ -131,16 +131,38 @@ def run_one(spark, name: str, sf_dir: str, gc_first: bool = False) -> float:
 HISTORY_PATH = os.path.join(REPO, "BENCH_HISTORY.jsonl")
 
 
-def prev_round_queries(sf: str) -> dict[str, float] | None:
-    """Per-query timings from the newest recorded run at this sf:
-    BENCH_HISTORY.jsonl first (full fidelity), the driver-truncated
-    BENCH_r*.json tails only as a legacy fallback."""
+def machine_state(jvm_fresh: bool) -> dict:
+    """Per-run machine fingerprint, recorded with every history line so
+    a future reader can tell a code regression from an environment
+    smear WITHOUT re-deriving it (round-6 verdict: a 16.5 s line right
+    after a 2 M-doc scale run was only commit-message-flagged). ``idle``
+    is the comparability flag: 1-min loadavg under a quarter of the
+    cores at bench START (the load the bench inherits, not the load it
+    makes — a concurrent scale run on this box shows up as load ~15/32,
+    which must NOT read as idle)."""
+    try:
+        l1, l5, l15 = os.getloadavg()
+    except OSError:  # platform without loadavg
+        l1 = l5 = l15 = -1.0
+    cpus = os.cpu_count() or 1
+    return {
+        "loadavg": [round(l1, 2), round(l5, 2), round(l15, 2)],
+        "cpus": cpus,
+        "idle": bool(0 <= l1 < cpus * 0.25),
+        "jvm_fresh": bool(jvm_fresh),
+    }
+
+
+def prev_round_entry(sf: str) -> dict | None:
+    """The newest recorded run at this sf: BENCH_HISTORY.jsonl first
+    (full fidelity, incl. its machine fingerprint), the
+    driver-truncated BENCH_r*.json tails only as a legacy fallback."""
     try:
         with open(HISTORY_PATH) as f:
             entries = [json.loads(ln) for ln in f if ln.strip()]
         for e in reversed(entries):
             if str(e.get("sf")) == str(sf) and e.get("queries"):
-                return e["queries"]
+                return e
     except (OSError, json.JSONDecodeError):
         pass
     best, found = -1, None
@@ -155,8 +177,25 @@ def prev_round_queries(sf: str) -> dict[str, float] | None:
         except (OSError, json.JSONDecodeError):
             continue
         if q:
-            best, found = int(m.group(1)), q
+            best, found = int(m.group(1)), {"queries": q}
     return found
+
+
+def comparable_machines(prev: dict | None, cur: dict) -> tuple[bool, str]:
+    """delta_vs_prev is only written against a line whose machine flags
+    MATCH this run's — a churned-vs-idle diff measures the machine, not
+    the code. Unknown (pre-round-7) previous lines stay comparable but
+    are flagged, so the reader knows the guard couldn't adjudicate."""
+    if prev is None or "machine" not in prev:
+        return True, "prev_machine_unknown"
+    pm = prev["machine"]
+    if bool(pm.get("idle")) != cur["idle"]:
+        return False, (
+            f"idle flag differs (prev={pm.get('idle')}, cur={cur['idle']})"
+        )
+    if bool(pm.get("jvm_fresh", True)) != cur["jvm_fresh"]:
+        return False, "jvm freshness differs"
+    return True, ""
 
 
 def record_history(payload: dict) -> None:
@@ -168,6 +207,7 @@ def record_history(payload: dict) -> None:
         "cold_total": payload["cold_total"],
         "queries": payload["queries"],
         "spread": payload["spread"],
+        "machine": payload["machine"],
         "streaming": payload.get("streaming"),
         "maintenance": payload.get("maintenance"),
     }
@@ -446,6 +486,10 @@ def bench_maintenance(spark, sf_dir: str) -> dict | None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from pyspark.sql import SparkSession
+
+    jvm_fresh = SparkSession.getActiveSession() is None
+    machine = machine_state(jvm_fresh)  # loadavg BEFORE we make any
     spark = get_spark("rtp-bench")
 
     # warm-up: run the flagship once so JVM/codegen/parquet-footer costs
@@ -483,12 +527,17 @@ def main() -> None:
             round(steady[-1], 4),
         ]
 
-    prev = prev_round_queries(sf) or {}
-    delta = {
-        name: round(timings[name] - prev[name], 4)
-        for name in timings
-        if name in prev
-    }
+    prev_entry = prev_round_entry(sf)
+    prev = (prev_entry or {}).get("queries") or {}
+    ok_to_diff, diff_note = comparable_machines(prev_entry, machine)
+    if ok_to_diff:
+        delta = {
+            name: round(timings[name] - prev[name], 4)
+            for name in timings
+            if name in prev
+        }
+    else:
+        delta = {}
 
     streaming = bench_streaming(spark)
     maintenance = bench_maintenance(spark, sf_dir)
@@ -502,6 +551,11 @@ def main() -> None:
         "spread": spread,
         "n_runs": N_RUNS,
         "delta_vs_prev": delta,
+        "delta_note": (
+            diff_note if ok_to_diff and diff_note
+            else (None if ok_to_diff else f"delta refused: {diff_note}")
+        ),
+        "machine": machine,
         "cold_total": round(sum(cold.values()), 4),
         "streaming": streaming,
         "maintenance": maintenance,

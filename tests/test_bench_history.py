@@ -1,0 +1,45 @@
+"""bench.py history self-adjudication (round-7): every appended line
+carries a machine fingerprint, and delta_vs_prev is refused across
+lines whose comparability flags differ — a churned-vs-idle diff
+measures the machine, not the code."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+
+def test_machine_state_shape():
+    m = bench.machine_state(jvm_fresh=True)
+    assert set(m) == {"loadavg", "cpus", "idle", "jvm_fresh"}
+    assert len(m["loadavg"]) == 3 and m["cpus"] >= 1
+    assert isinstance(m["idle"], bool) and m["jvm_fresh"] is True
+
+
+def test_delta_refused_on_flag_mismatch():
+    cur = {"loadavg": [0.1, 0.1, 0.1], "cpus": 32, "idle": True,
+           "jvm_fresh": True}
+    ok, why = bench.comparable_machines(
+        {"machine": {"idle": False, "jvm_fresh": True}}, cur
+    )
+    assert not ok and "idle" in why
+    ok, why = bench.comparable_machines(
+        {"machine": {"idle": True, "jvm_fresh": False}}, cur
+    )
+    assert not ok and "jvm" in why
+    ok, why = bench.comparable_machines(
+        {"machine": {"idle": True, "jvm_fresh": True}}, cur
+    )
+    assert ok and not why
+
+
+def test_unknown_prev_machine_is_comparable_but_flagged():
+    cur = bench.machine_state(jvm_fresh=True)
+    ok, why = bench.comparable_machines({"queries": {"q": 1.0}}, cur)
+    assert ok and why == "prev_machine_unknown"
+    ok, why = bench.comparable_machines(None, cur)
+    assert ok and why == "prev_machine_unknown"
