@@ -13,15 +13,15 @@ Concurrency contract: every op here is SINGLE-WRITER per directory —
 an in-place rewrite (compaction, purge, retention) racing another
 writer on the same partition can interleave file sets with no
 transaction log to arbitrate. The IN-PLACE mutators
-(`delete_keys_from_lake`, `expire_partitions`) hold the engine-wide
-`locking.dir_write_lock` on the lake root for their rewrite window —
-the same flock + re-read-inside-the-critical-section discipline as
-the persisted ANN index lifecycle. The lock is local-FS-only; since
-the lake ops' actual work is Hadoop-FS scheme-agnostic, a remote
-(s3a://…/hdfs://…) lake root runs the mutation UNLOCKED with a loud
-warning instead of failing (`_lake_write_lock` — contrast the index
-mutators, whose local-only staging ops make rejection correct there);
-copy-rewrites
+(`delete_keys_from_lake`, `expire_partitions`) hold the lake root's
+single-writer lock for their rewrite window — the same
+re-read-inside-the-critical-section discipline as the persisted ANN
+index lifecycle, and since round 7 the same DUAL-MODE lock: kernel
+flock for local roots (plain paths and decoded file: URIs), the
+create-exclusive CAS lease (`fsio.fs_cas_write_lock`) for remote
+(s3a://…/hdfs://…) roots when the caller supplies the session (the
+pre-r7 degrade-to-UNLOCKED-with-warning remains only for the
+no-session case, where a lease cannot be taken); copy-rewrites
 (`compact_parquet_dir`, `zorder_parquet_dir`) write to a NEW directory
 and need no lock on the source. At 100 TB under a real multi-writer
 scheduler, put a table format with a transaction log (manifest
@@ -40,37 +40,39 @@ from ..locking import _URI_SCHEME, dir_write_lock
 
 
 @contextlib.contextmanager
-def _lake_write_lock(path: str):
-    """Single-writer lock for a lake root — degrading, not rejecting,
-    on remote schemes. The lake mutators' actual WORK is Hadoop-FS
-    scheme-agnostic (Spark reads/writes + FileSystem deletes), so a
-    remote lake must not fail at entry the way the index mutators do
-    (their staging ops are genuinely local-only); but the os-level
-    lock cannot provide exclusion there, so it is SKIPPED with a
-    loud warning instead of silently creating a mangled local dir.
-    On an object store, put a transactional table format (manifest
-    CAS) under these ops for real multi-writer safety."""
-    if _URI_SCHEME.match(path):
-        from urllib.parse import unquote, urlparse
+def _lake_write_lock(path: str, spark: SparkSession | None = None):
+    """Single-writer lock for a lake root — dual-mode since round 7
+    (pre-r7: remote schemes ran UNLOCKED with a warning). Local roots —
+    plain paths and decoded ``file:`` URIs, so a ``file:///data/lake``
+    writer and a ``/data/lake`` writer exclude each other — take the
+    kernel flock; remote Hadoop-FS roots take the create-exclusive CAS
+    lease (``fsio.fs_cas_write_lock``, the same object-store lease the
+    persisted-index mutators use; a crashed holder is cleared
+    explicitly via ``fsio.fs_force_unlock``). Callers must pass the
+    session EXPLICITLY to get the remote lease — without one the old
+    degrade-with-warning path remains (a lock that cannot exist must
+    never LOOK held, and an implicit getActiveSession() would make the
+    locked-or-not outcome depend on ambient process state). Under a
+    real multi-writer scheduler, a transactional table format is still
+    the right tool for lake mutations."""
+    from ..fsio import fs_cas_write_lock, local_form
 
-        u = urlparse(path)
-        if u.scheme == "file" and u.netloc in ("", "localhost"):
-            # file:-scheme lake roots ARE the local filesystem — lock
-            # the decoded local path so a file:///data/lake writer and
-            # a /data/lake writer exclude each other instead of racing
-            with dir_write_lock(unquote(u.path)):
-                yield
-            return
+    local = local_form(path)
+    if local is not None:
+        with dir_write_lock(local):
+            yield
+        return
+    if spark is None:
         warnings.warn(
-            f"lake root {path!r} is on a Hadoop filesystem: the local "
-            "single-writer lock cannot serialize writers there, so this "
-            "mutation runs UNLOCKED. Ensure no concurrent writer, or "
-            "use a transactional table format for the lake.",
+            f"lake root {path!r} is on a Hadoop filesystem and no "
+            "SparkSession is active to resolve it: the single-writer "
+            "lease cannot be taken, so this mutation runs UNLOCKED. "
+            "Ensure no concurrent writer.",
             stacklevel=3,
         )
         yield
         return
-    with dir_write_lock(path):
+    with fs_cas_write_lock(spark, path):
         yield
 
 
@@ -284,11 +286,11 @@ def delete_keys_from_lake(
     discover-rewrite-drop window (module concurrency contract) —
     discovery re-reads the lake INSIDE the lock, so a purge never
     rewrites partitions from a view another writer has since replaced.
-    On a remote (hdfs://, s3a://) lake the local lock cannot provide
-    exclusion, so the op runs UNLOCKED with a warning — see
+    On a remote (hdfs://, s3a://) lake the single-writer guarantee
+    comes from the create-exclusive CAS lease (round 7) — see
     `_lake_write_lock`.
     """
-    with _lake_write_lock(path):
+    with _lake_write_lock(path, spark):
         return _delete_keys_locked(spark, path, key_col, keys, partition_cols)
 
 
@@ -379,8 +381,8 @@ def expire_partitions(
     (file://, hdfs://, s3a://). Holds the lake root's single-writer
     lock across the list-and-delete window so a concurrent
     purge/rewrite can't interleave with the directory drops; on a
-    remote scheme the local lock cannot provide exclusion, so the op
-    runs UNLOCKED with a warning (`_lake_write_lock`)."""
+    remote scheme exclusion comes from the CAS lease (round 7,
+    `_lake_write_lock`)."""
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -393,7 +395,7 @@ def expire_partitions(
     keep = {str(v) for v in keep_values}
     prefix = f"{partition_col}="
     dropped = 0
-    with _lake_write_lock(path):
+    with _lake_write_lock(path, spark):
         for status in fs.listStatus(root):
             name = status.getPath().getName()
             if (

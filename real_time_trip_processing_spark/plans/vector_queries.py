@@ -471,11 +471,16 @@ def sim_ivf_recall(spark, sf_dir):
 #: m=32 k=16 ADC). Measured recall@10 on the driver testdata: 0.645
 #: (sf0.001), 0.630 (sf0.01), 0.570 (sf0.1) — PQ distortion costs
 #: ~0.2 recall vs the uncompressed IVF path (sim_ivf_recall's
-#: 0.805–0.895), which is the expected ADC trade. The 0.45 floor sits
-#: under all three but far above failure modes: broken cell pruning
-#: degrades toward nprobe/n_centroids ≈ 0.25, a collapsed quantizer
-#: toward ~0.
-_PQ_RECALL_BAND = 0.45
+#: 0.805–0.895), which is the expected ADC trade. Training is
+#: DETERMINISTIC (lowest-id init, fixed iters — no seed variance), so
+#: the observed band is exact per corpus; the floor sits just under
+#: its low end (round 7: 0.45 → 0.50 per the round-6 recommendation,
+#: margin 0.07 under the sf0.1 point) and far above failure modes:
+#: broken cell pruning degrades toward nprobe/n_centroids ≈ 0.25, a
+#: collapsed quantizer toward ~0. reproduce_claims.py independently
+#: re-measures the raw number against the same floor and the
+#: 0.5–0.75 envelope.
+_PQ_RECALL_BAND = 0.50
 
 _PQ_RECALL_ORACLE = f"""
     WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings

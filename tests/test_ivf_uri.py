@@ -230,3 +230,27 @@ def test_forced_cas_full_lifecycle(spark, tmp_path, monkeypatch):
     got = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)
     want = ivf_topk(emb, queries, k=3, n_centroids=16, nprobe=4)
     assert _rows(got) == _rows(want)
+
+
+def test_lake_lock_takes_cas_lease(spark, tmp_path, monkeypatch):
+    """With a session, a remote lake root takes the real CAS lease —
+    proven by forcing the remote branch (local_form -> None) against a
+    file:// root so the lease runs on the offline-testable
+    LocalFileSystem: a concurrent lease times out while held, the
+    marker is gone afterwards, and NO warning fires."""
+    import warnings
+
+    from real_time_trip_processing_spark import fsio
+    from real_time_trip_processing_spark.operators import maintenance
+
+    monkeypatch.setattr(fsio, "local_form", lambda p: None)
+    root = _uri(tmp_path / "lake")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        with maintenance._lake_write_lock(root, spark):
+            assert fs_exists(spark, root + "/.write_lock.cas")
+            with pytest.raises(TimeoutError):
+                with fs_cas_write_lock(spark, root, timeout_sec=0.6):
+                    pass
+    assert not w
+    assert not fs_exists(spark, root + "/.write_lock.cas")

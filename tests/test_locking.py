@@ -164,10 +164,13 @@ def test_unlink_race_hammer(tmp_path):
 
 
 def test_lake_lock_degrades_on_remote_schemes(tmp_path):
-    """The lake mutators' work is Hadoop-FS scheme-agnostic, so a
-    remote lake root must RUN (unlocked, with a loud warning), not
-    fail at entry — rejecting here would remove documented remote-lake
-    functionality (round-6 review finding). Local roots still lock."""
+    """A remote lake root must RUN, not fail at entry — rejecting here
+    would remove documented remote-lake functionality (round-6 review
+    finding). Round 7: WITH a session the remote root takes the real
+    CAS lease (tests/test_ivf_uri.py::test_lake_lock_takes_cas_lease);
+    WITHOUT one — the only case where no lease can exist — it still
+    degrades to unlocked with a loud warning. Local roots still
+    flock."""
     import warnings
 
     from real_time_trip_processing_spark.operators.maintenance import (
@@ -176,7 +179,7 @@ def test_lake_lock_degrades_on_remote_schemes(tmp_path):
 
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        with _lake_write_lock("hdfs://nn:8020/lake"):
+        with _lake_write_lock("hdfs://nn:8020/lake"):  # no session passed
             pass
     assert len(w) == 1 and "UNLOCKED" in str(w[0].message)
 

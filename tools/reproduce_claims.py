@@ -161,13 +161,17 @@ def claim_recall(spark) -> dict:
         cosine_topk,
     )
     from real_time_trip_processing_spark.plans import REGISTRY
+    from real_time_trip_processing_spark.plans.vector_queries import (
+        _PQ_RECALL_BAND,
+    )
     from real_time_trip_processing_spark.sources import table
 
     row = REGISTRY["sim_ivf_recall"].builder(spark, SF_DIR).collect()[0]
     # the PQ twin keeps its raw recall OFF the declared output (PQ
     # training is not oracle-replayable), so the NUMBER is re-measured
     # here from the underlying ops — same shape as the declared query —
-    # and checked against both the declared 0.45 floor and the
+    # and checked against both the declared floor (imported — keeps
+    # this envelope in lockstep with the declared query) and the
     # documented 0.57–0.645 measurement envelope (with slack: the
     # envelope is a regression tripwire, not a tolerance contract)
     emb = table(spark, SF_DIR, "embeddings")
@@ -181,11 +185,11 @@ def claim_recall(spark) -> dict:
     n_hit = exact.join(approx, ["query_id", "cand_id"], "left_semi").count()
     pq_recall = n_hit / n_expected
     return {
-        "ok": bool(row["recall_ok"]) and pq_recall >= 0.45,
+        "ok": bool(row["recall_ok"]) and pq_recall >= _PQ_RECALL_BAND,
         "recall": float(row["recall"]),
         "band": 0.70,
         "pq_recall": round(pq_recall, 4),
-        "pq_band": 0.45,
+        "pq_band": _PQ_RECALL_BAND,
         "pq_envelope_0_5_to_0_75": bool(0.5 <= pq_recall <= 0.75),
         "claim": "IVF recall@10 (nprobe 4/16) above the declared band;"
         " IVF-PQ ADC recall re-measured above its floor",
