@@ -52,19 +52,22 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # let AQE run inside cached plans and keep their output
-        # partitioning visible to consumers (e.g. the minhash sig
-        # cache feeding the banded explode and both doc-keyed verify
-        # joins). Measured: capped-LSH 1.30 -> 0.88 s median at sf0.1
-        # with no other change (the win is cache-boundary
-        # re-exchanges around sig's five consumers); neutral on the
-        # 2M A/B where signature BUILD dominates. Plan-level only —
-        # the vanilla driver session never sets it, and the oracle
-        # sweep is green under both
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
+        # canChangeCachedPlanOutputPartitioning: DELIBERATELY LEFT AT
+        # ITS DEFAULT (false) since round 7. Round 6 enabled it for a
+        # measured capped-LSH win (1.30 -> 0.88 s) whose mechanism —
+        # exposing the persisted tagged frame's partitioning to its
+        # consumers — was itself reverted later that round (the tagged
+        # persist lost its own A/B). Round-7 re-measurement, two
+        # methodologies (runtime conf.set ABAB in one session; four
+        # fresh-JVM sessions with the conf at builder time, AB-BA),
+        # 12 medians at sf0.1: the conf cost the UNCAPPED
+        # dedup_near_minhash ~2x (0.58-0.94 s off vs 1.25-1.67 s on,
+        # zero overlap — the cache-boundary replan inserts an exchange
+        # its simpler consumer graph never needed; this was round-6
+        # verdict's +0.13 s drift, understated there by a warm-session
+        # bench) and was NOISE on the capped flavor on HEAD (off
+        # 1.61-2.02 vs on 1.91-2.10, overlapping). Net: strictly
+        # negative — off.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -49,6 +49,7 @@ K = 10
 
 
 def _parquet_files(root: str) -> int:
+    root = root.removeprefix("file://")  # glob is local-only
     return sum(1 for _ in glob.iglob(os.path.join(root, "**", "*.parquet"),
                                      recursive=True))
 
@@ -57,6 +58,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument(
+        "--file-uri", action="store_true",
+        help="address the index dir as a file:// URI so every staging "
+        "op (rename/marker/ledger/high-water) routes through the "
+        "Hadoop FS API — measures the object-store code path's "
+        "overhead against the plain-path os fast path",
+    )
     args = ap.parse_args()
 
     if not args.skip_gen and not os.path.isdir(OUT):
@@ -94,9 +102,11 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
     idx = os.path.join(work, "idx")
+    if args.file_uri:
+        idx = "file://" + idx
 
     res: dict = {"rows": args.rows, "n_centroids": N_CENTROIDS,
-                 "nprobe": NPROBE, "k": K}
+                 "nprobe": NPROBE, "k": K, "index_dir_form": idx[:7]}
 
     t0 = time.monotonic()
     ivf_index_build(base, idx, n_centroids=N_CENTROIDS, codebook=cb)
