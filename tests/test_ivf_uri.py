@@ -254,3 +254,33 @@ def test_lake_lock_takes_cas_lease(spark, tmp_path, monkeypatch):
                     pass
     assert not w
     assert not fs_exists(spark, root + "/.write_lock.cas")
+
+
+def test_fsio_primitives_edge_cases(spark, tmp_path):
+    """fsio building blocks: read-absent returns None, overwrite
+    replaces, create-exclusive refuses an existing path, rename onto
+    an existing destination raises (Hadoop reports it as a False
+    return — silent-False here would be quiet corruption), delete of
+    an absent path reports False."""
+    from real_time_trip_processing_spark.fsio import (
+        fs_delete,
+        fs_rename,
+        fs_write_text,
+    )
+
+    d = _uri(tmp_path / "prims")
+    f = d + "/x.txt"
+    assert fs_read_text(spark, f) is None
+    fs_write_text(spark, f, "one")
+    assert fs_read_text(spark, f) == "one"
+    fs_write_text(spark, f, "two")  # overwrite=True default
+    assert fs_read_text(spark, f) == "two"
+    assert not fs_create_exclusive(spark, f, "three")  # exists -> False
+    assert fs_read_text(spark, f) == "two"  # and unchanged
+    fs_write_text(spark, d + "/y.txt", "y")
+    with pytest.raises(OSError, match="rename failed"):
+        fs_rename(spark, d + "/y.txt", f)  # dst exists
+    fs_rename(spark, d + "/y.txt", d + "/z.txt")
+    assert fs_read_text(spark, d + "/z.txt") == "y"
+    assert fs_delete(spark, d + "/z.txt", recursive=False)
+    assert not fs_delete(spark, d + "/z.txt", recursive=False)  # absent
