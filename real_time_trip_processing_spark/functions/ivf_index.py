@@ -617,7 +617,13 @@ def ivf_persisted_topk(
     bit-identical to `ivf_topk` by integer exactness.
     """
     from ..operators.sorts import topk_per_group
+    from .similarity import has_quant_direction
 
+    # zero-direction exclusion, both sides — the serve-path mirror of
+    # ivf_topk's round-7 rule, keeping the two bit-identical: queries
+    # filtered before the driver collect; stored candidates by their
+    # stored integer norm (qn2 == 0 iff the vector quantized to zero)
+    queries = queries.filter(has_quant_direction(F.col(vec_col)))
     rows = _load_centroids(spark, index_dir)
     qrows = _quant_codebook(rows)  # cent_id-ascending
     ct = np.array([q for _, q, _ in qrows], dtype=np.float64).T  # dim × k
@@ -647,7 +653,7 @@ def ivf_persisted_topk(
     # read_index_cells unions any stream-appended cells; the cent_id
     # predicate prunes partitions on BOTH layouts
     cells = read_index_cells(spark, index_dir).filter(
-        F.col("cent_id").isin(probed_cents)
+        F.col("cent_id").isin(probed_cents) & (F.col("qn2") > 0)
     )
     id_type = dict(cells.dtypes)[id_col]
     schema = f"query_id {id_type}, cand_id {id_type}, score double"
@@ -819,7 +825,10 @@ def ivfpq_persisted_topk(
     and scoring is m codegen'd `element_at` lookups per row over the
     stored codes — no embedding is ever read at serve time."""
     from .pq import _adc_score, _rank_topk, probe_luts
+    from .similarity import has_quant_direction
 
+    # zero-direction queries excluded — see pq.pq_adc_topk (round 7)
+    queries = queries.filter(has_quant_direction(F.col(vec_col)))
     rows = _load_centroids(spark, index_dir, "pq")
     books, dim = _load_books(spark, index_dir)
 
@@ -954,9 +963,16 @@ def ann_join_persisted(
     from .similarity import (
         _qcent_literals,
         centroid_scores,
+        has_quant_direction,
         qnorm,
     )
 
+    # zero-direction exclusion (round 7): a zero query crashed the
+    # probe-selection expression under ANSI (divide by zero norm —
+    # same defect as ann_join_ivf); stored zero candidates drop by
+    # their stored integer norm. Keeps this path bit-identical to
+    # ann_join_ivf with the stored codebook.
+    queries = queries.filter(has_quant_direction(F.col(vec_col)))
     rows = _load_centroids(spark, index_dir)
     _, cid_arr, _ = _qcent_literals(rows)
 
@@ -976,7 +992,9 @@ def ann_join_persisted(
         F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
     ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
 
-    cells = read_index_cells(spark, index_dir).select(
+    cells = read_index_cells(spark, index_dir).filter(
+        F.col("qn2") > 0
+    ).select(
         F.col(id_col).alias("cand_id"), "qv", "qn2", "cent_id"
     )
     id_type = dict(cells.dtypes)["cand_id"]

@@ -180,7 +180,15 @@ def pq_adc_topk(
     ``m`` `element_at` lookups into each LUT: pure codegen'd
     expressions over the codes column; the embedding column does not
     exist in this plan at all."""
+    from .similarity import has_quant_direction
+
     spark = corpus_codes.sparkSession
+    # zero-direction queries have no cosine and would LUT-score as NaN
+    # everywhere — excluded, the engine-wide retrieval rule (round 7).
+    # Candidates are CODES here (zero-ness is not recoverable from
+    # them); a zero cand reconstructs to its subspace centroids and
+    # scores finitely, which PQ's approximation contract tolerates.
+    queries = queries.filter(has_quant_direction(F.col(vec_col)))
     q_rows = queries.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
     ).collect()
@@ -280,8 +288,10 @@ def ivfpq_topk(
     buckets are ever scored. Scores for surviving pairs are IDENTICAL
     to the full-scan `pq_adc_topk` (same codes, same LUTs — pinned in
     tests)."""
-    from .similarity import _resolve_centroids
+    from .similarity import _resolve_centroids, has_quant_direction
 
+    # zero-direction queries excluded — see pq_adc_topk (round 7)
+    queries = queries.filter(has_quant_direction(F.col(vec_col)))
     rows = _resolve_centroids(emb, codebook, n_centroids, id_col, vec_col)
     corpus = emb.select(
         F.col(id_col).alias("cand_id"),

@@ -500,6 +500,14 @@ def ivf_topk(
     """
     from ..operators.sorts import topk_per_group
 
+    # zero-direction vectors don't participate in cosine retrieval —
+    # same rule and rationale as cosine_topk (round 7: a zero PROBE
+    # divided by its zero norm in the probe-selection math, a zero
+    # candidate's NaN score could surface in an under-full bucket's
+    # top-k where numpy and SQL NaN orderings disagree); the _QDIR'd
+    # oracles replay the exclusion
+    corpus = corpus.filter(has_quant_direction(F.col(vec_col)))
+    queries = queries.filter(has_quant_direction(F.col(vec_col)))
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
 
     if impl == "arrow":
@@ -667,6 +675,14 @@ def ann_join_ivf(
     """
     from ..operators.sorts import topk_per_group
 
+    # zero-direction exclusion, both sides (round 7): a zero QUERY
+    # crashed the JVM probe-selection expression outright under ANSI
+    # mode (divide by its zero norm — found by the zero-vector parity
+    # suite), and a zero candidate's NaN score could leak into an
+    # under-full bucket's top-k. Same rule as cosine_topk/ivf_topk;
+    # the _QDIR'd oracle replays it.
+    corpus = corpus.filter(has_quant_direction(F.col(vec_col)))
+    queries = queries.filter(has_quant_direction(F.col(vec_col)))
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
     _, cid_arr, _ = _qcent_literals(rows)
 

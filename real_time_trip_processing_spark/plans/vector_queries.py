@@ -307,7 +307,8 @@ _IVF_COS = lambda x, y: (  # noqa: E731
 #: serve path is bit-identical to the in-query path by construction, so
 #: both declare the SAME DuckDB replay.
 _IVF_ORACLE = f"""
-    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings
+                WHERE {_QDIR(_QV)}),
          cent AS (SELECT vec_id AS cent_id, qv AS cv
                   FROM qn WHERE vec_id < 16),
          c AS (SELECT vec_id AS cand_id, qv AS c_vec FROM qn),
@@ -384,7 +385,8 @@ def sim_ivf_persisted(spark, sf_dir):
 _RECALL_BAND = 0.70
 
 _RECALL_ORACLE = f"""
-    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings
+                WHERE {_QDIR(_QV)}),
          cent AS (SELECT vec_id AS cent_id, qv AS cv
                   FROM qn WHERE vec_id < 16),
          c AS (SELECT vec_id AS cand_id, qv AS c_vec FROM qn),
@@ -408,8 +410,7 @@ _RECALL_ORACLE = f"""
                FROM s) WHERE rank <= 10),
          ex_s AS (SELECT q.query_id, c.cand_id,
                          {_IVF_COS("q.q_vec", "c.c_vec")} AS score
-                  FROM q CROSS JOIN c WHERE c.cand_id <> q.query_id
-                    AND {_QDIR("q.q_vec")} AND {_QDIR("c.c_vec")}),
+                  FROM q CROSS JOIN c WHERE c.cand_id <> q.query_id),
          exact AS (SELECT query_id, cand_id FROM (
                SELECT query_id, cand_id,
                       row_number() OVER (PARTITION BY query_id
@@ -610,10 +611,10 @@ def embedding_quantize_int8(spark, sf_dir):
 
 @declare(
     "sim_ivf_topk_trained",
-    oracle="""
+    oracle=f"""
     SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 5
+    FROM embeddings WHERE vec_id < 5 AND {_QDIR(_QV)}
     """,
 )
 def sim_ivf_topk_trained(spark, sf_dir):
@@ -657,10 +658,10 @@ def sim_ivf_topk_trained(spark, sf_dir):
 
 @declare(
     "sim_pq_topk",
-    oracle="""
+    oracle=f"""
     SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
            TRUE AS quality_ok
-    FROM embeddings WHERE vec_id < 5
+    FROM embeddings WHERE vec_id < 5 AND {_QDIR(_QV)}
     """,
 )
 def sim_pq_topk(spark, sf_dir):
@@ -701,10 +702,10 @@ def sim_pq_topk(spark, sf_dir):
 
 @declare(
     "sim_ivfpq_topk",
-    oracle="""
+    oracle=f"""
     SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
            TRUE AS quality_ok
-    FROM embeddings WHERE vec_id < 5
+    FROM embeddings WHERE vec_id < 5 AND {_QDIR(_QV)}
     """,
 )
 def sim_ivfpq_topk(spark, sf_dir):
@@ -910,9 +911,9 @@ def embedding_random_projection(spark, sf_dir):
     "knn_label_vote",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, {_QV} AS qv
-               FROM embeddings WHERE vec_id < 50),
+               FROM embeddings WHERE vec_id < 50 AND {_QDIR(_QV)}),
          c AS (SELECT vec_id AS cand_id, {_QV} AS cv
-               FROM embeddings),
+               FROM embeddings WHERE {_QDIR(_QV)}),
          s AS (SELECT query_id, cand_id, {_COS} AS score
                FROM q CROSS JOIN c WHERE cand_id <> query_id),
          r AS (SELECT query_id, cand_id,
@@ -1170,7 +1171,8 @@ def embedding_norm_stats(spark, sf_dir):
 #: serve path is bit-identical by construction (same stored codebook,
 #: same integer scores), so both declare the SAME DuckDB replay.
 _ANN_JOIN_ORACLE = f"""
-    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings),
+    WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings
+                WHERE {_QDIR(_QV)}),
          cent AS (SELECT vec_id AS cent_id, qv AS cv
                   FROM qn WHERE vec_id % 2 = 0 AND vec_id < 32),
          c AS (SELECT vec_id AS cand_id, qv AS c_vec

@@ -46,11 +46,26 @@ ZERO_VEC_QUERIES = [
     "dedup_semantic_clusters",
     "sim_ivf_recall",
     "sim_ivfpq_recall",
-    # and one whose Spark side does NOT exclude them (srp_buckets sign
-    # bits are well-defined at zero) — pins that the guard was not
-    # blanket-applied where it would WRONGLY drop rows.
+    # round-7 second pass: the IVF/ANN family — a zero QUERY used to
+    # CRASH the ann_join probe-selection expression under ANSI mode
+    # (divide by its zero norm), and a zero candidate's NaN score could
+    # surface in an under-full bucket's top-k
+    "sim_ivf_topk",
+    "sim_ivf_persisted",
+    "sim_ivf_topk_trained",
+    "sim_pq_topk",
+    "sim_ivfpq_topk",
+    "sim_ivfpq_persisted",
+    "ann_join_ivf",
+    "ann_join_persisted",
+    "knn_label_vote",
+    # and ones whose Spark side does NOT exclude them (srp_buckets sign
+    # bits are well-defined at zero; int8 quantization is row-local) —
+    # pins that the guard was not blanket-applied where it would
+    # WRONGLY drop rows.
     "dedup_near_embedding_lsh",
     "diversity_sample_srp",
+    "embedding_quantize_int8",
 ]
 
 
