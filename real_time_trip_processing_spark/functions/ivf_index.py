@@ -207,10 +207,16 @@ def _write_high_water(
     if is_uri(index_dir):
         # tmp + rename commit through the FS API. Hadoop rename fails
         # onto an existing destination, so the old marker is deleted
-        # first — the marker-absent window is safe because only
-        # mutators read the high-water and every mutator holds the
-        # single-writer lock around this call. Durability is the
-        # store's close/rename contract (HDFS hflush-on-close, S3 PUT).
+        # first. The delete→rename window is crash-safe by ORDERING,
+        # not atomicity: every call site writes the high-water while
+        # the LEDGER rows it summarizes still exist (compact removes
+        # the ledger only after this returns; the heal path likewise),
+        # so a crash inside the window leaves a ledger whose rerun
+        # recomputes and rewrites the same high-water — the marker is
+        # derivable until the moment it becomes the only record.
+        # Concurrent readers are excluded by the single-writer lock.
+        # Durability is the store's close/rename contract (HDFS
+        # hflush-on-close, S3 PUT).
         sp = _require_spark(spark, index_dir)
         hw = _high_water_path(index_dir)
         fs_write_text(sp, hw + ".tmp", str(int(batch_id)))
