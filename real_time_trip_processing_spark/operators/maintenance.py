@@ -36,7 +36,7 @@ import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..locking import _URI_SCHEME, dir_write_lock
+from ..locking import dir_write_lock
 
 
 @contextlib.contextmanager

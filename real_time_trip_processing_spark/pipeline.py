@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import schemas
 from .operators import aggregates as A
 from .operators import cleaning as P
 from .operators.dedup import dedup_keyed
