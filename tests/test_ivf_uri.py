@@ -284,3 +284,22 @@ def test_fsio_primitives_edge_cases(spark, tmp_path):
     assert fs_read_text(spark, d + "/z.txt") == "y"
     assert fs_delete(spark, d + "/z.txt", recursive=False)
     assert not fs_delete(spark, d + "/z.txt", recursive=False)  # absent
+
+
+def test_index_lock_mixed_spellings_exclude(spark, tmp_path):
+    """A file:///x mutator and a /x mutator must take the SAME lock
+    (the decoded local path) — two spellings of one directory can
+    never run concurrently under different mechanisms."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _index_lock,
+    )
+    from real_time_trip_processing_spark.locking import dir_write_lock
+
+    p = str(tmp_path / "mixed")
+    with _index_lock("file://" + p, spark):
+        with pytest.raises(TimeoutError):
+            with dir_write_lock(p, timeout_sec=0.4):
+                pass
+    # released: plain-path lock acquires immediately
+    with dir_write_lock(p, timeout_sec=5):
+        pass
