@@ -128,3 +128,88 @@ def dedup_incremental(
     else:
         corpus_hashes = corpus.select(_h(F.col(text_col)).alias(hash_out))
     return batch_best.join(corpus_hashes, hash_out, "left_anti")
+
+
+def dedup_spans(
+    docs: DataFrame,
+    span_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """X1 at SUB-document granularity — C4-style span dedup: split each
+    document into non-overlapping ``span_words``-word spans, keep only
+    the globally FIRST occurrence of each exact span (lowest (doc, span
+    position) — later repeats in other docs AND within the same doc are
+    removed), and reassemble what survives. This is the technique that
+    strips boilerplate/quotation duplication that whole-document dedup
+    can't see (C4 did it at three-sentence spans; the reference has no
+    text surface — mandated LLM-pipeline extension).
+
+    Returns one row per input doc:
+    ``(id, n_spans, n_spans_removed, rebuilt_sha)`` — the rebuilt text
+    is hashed rather than emitted so the declared output stays compact
+    and engine-comparable; callers wanting the text itself use the same
+    ``rebuilt`` aggregation without the hash.
+
+    Scale shape: span construction is map-side array arithmetic; the
+    first-occurrence decision is ONE window over the 32-byte span hash
+    (spans shuffle once, keyed by content hash — skew-safe: exact
+    duplicates of one span all land in one group, bounded by its global
+    frequency); reassembly is one doc-keyed aggregate. NULL text =
+    empty content (zero spans), the X1-family rule.
+    """
+    sw = int(span_words)
+    prepared = docs.select(
+        F.col(id_col),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("__w"),
+    ).select(
+        id_col,
+        F.expr(
+            f"filter(transform(sequence(0, greatest(int(ceil(size(__w)"
+            f" / {sw}.0)) - 1, 0)),"
+            f" i -> array_join(slice(__w, i * {sw} + 1, {sw}), ' ')),"
+            " s -> s <> '')"
+        ).alias("__spans"),
+    )
+    per_doc = prepared.select(
+        id_col, F.size("__spans").cast("long").alias("n_spans")
+    )
+    ex = prepared.select(
+        id_col, F.posexplode("__spans").alias("idx", "span")
+    ).withColumn("__h", F.sha2(F.col("span"), 256))
+    w = Window.partitionBy("__h")
+    first = F.min(F.struct(F.col(id_col), F.col("idx"))).over(w)
+    kept = (
+        ex.withColumn("__first", first)
+        .filter(
+            (F.col(f"__first.{id_col}") == F.col(id_col))
+            & (F.col("__first.idx") == F.col("idx"))
+        )
+        .drop("__first", "__h")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sha2(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("span")))
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ),
+            256,
+        ).alias("rebuilt_sha"),
+    )
+    empty_sha = F.sha2(F.lit(""), 256)
+    return per_doc.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_spans",
+        (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_spans_removed"),
+        F.coalesce(F.col("rebuilt_sha"), empty_sha).alias("rebuilt_sha"),
+    )

@@ -642,3 +642,58 @@ def dataset_split_by_source(spark, sf_dir):
             F.sum("n_tokens").cast("long").alias("tot_tokens"),
         )
     )
+
+
+_SPAN_W = 16
+
+@declare(
+    "dedup_spans",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+                  FROM documents),
+         sp AS (SELECT doc_id,
+                       list_filter(
+                         [array_to_string(w[i:i+{_SPAN_W - 1}], ' ')
+                          FOR i IN range(1, greatest(len(w), 1) + 1, {_SPAN_W})],
+                         s -> s <> '') AS spans
+                FROM toks),
+         ex AS (SELECT doc_id, u.idx AS idx, u.span AS span
+                FROM (SELECT doc_id,
+                             unnest([{{'idx': i - 1, 'span': spans[i]}}
+                                     FOR i IN range(1, len(spans) + 1)]) AS u
+                      FROM sp)),
+         kept AS (SELECT doc_id, idx, span
+                  FROM (SELECT doc_id, idx, span,
+                               row_number() OVER (PARTITION BY sha256(span)
+                                                  ORDER BY doc_id, idx) AS rn
+                        FROM ex)
+                  WHERE rn = 1),
+         reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                        sha256(string_agg(span, ' ' ORDER BY idx)) AS rebuilt_sha
+                 FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, CAST(len(s.spans) AS BIGINT) AS n_spans,
+           CAST(len(s.spans) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_spans_removed,
+           COALESCE(r.rebuilt_sha, sha256('')) AS rebuilt_sha
+    FROM sp s LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def dedup_spans_q(spark, sf_dir):
+    """X1 at SUB-document granularity — C4-style span dedup
+    (operators/dedup.dedup_spans): non-overlapping 16-word spans, keep
+    each exact span's globally first occurrence (lowest (doc, position);
+    later repeats across AND within docs are removed), reassemble, and
+    emit the per-doc audit (span count, removals, sha256 of the rebuilt
+    text). The technique that strips boilerplate/quotation duplication
+    whole-document dedup can't see.
+
+    Scale shape: span construction is map-side; the keep decision is
+    ONE window over the 32-byte span hash (spans shuffle once, by
+    content hash); reassembly is one doc-keyed aggregate. The oracle
+    replays split → span → first-occurrence → reassembly bit-for-bit
+    (sha256 on both sides)."""
+    from ..operators.dedup import dedup_spans
+
+    return dedup_spans(
+        table(spark, sf_dir, "documents"), span_words=_SPAN_W
+    )

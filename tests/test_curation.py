@@ -491,3 +491,36 @@ def test_dedup_incremental_null_text_consistent(spark):
     # the null-text batch winner is now KILLED by the corpus's null-text
     # doc; only the real new text survives
     assert {r["doc_id"] for r in out} == {12}
+
+
+def test_dedup_spans_semantics(spark):
+    """C4-style span dedup: global first occurrence wins (lowest
+    (doc, position)); later repeats across AND within docs are removed;
+    NULL text = zero spans; rebuilt hash proves reassembly order."""
+    import hashlib
+
+    from real_time_trip_processing_spark.operators.dedup import dedup_spans
+
+    rows = [
+        (1, "a b c d e f g h"),    # owns both its spans
+        (2, "x y z w a b c d"),    # 2nd span duplicates doc1's 1st
+        (3, "a b c d a b c d"),    # both spans are doc1's — all removed
+        (4, None),                  # null text: zero spans
+        (5, "q r"),                 # short doc: one partial span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_spans(df, span_words=4).collect()}
+
+    def sha(s):
+        return hashlib.sha256(s.encode()).hexdigest()
+
+    assert (got[1]["n_spans"], got[1]["n_spans_removed"]) == (2, 0)
+    assert got[1]["rebuilt_sha"] == sha("a b c d e f g h")
+    assert (got[2]["n_spans"], got[2]["n_spans_removed"]) == (2, 1)
+    assert got[2]["rebuilt_sha"] == sha("x y z w")
+    assert (got[3]["n_spans"], got[3]["n_spans_removed"]) == (2, 2)
+    assert got[3]["rebuilt_sha"] == sha("")
+    assert (got[4]["n_spans"], got[4]["n_spans_removed"]) == (0, 0)
+    assert got[4]["rebuilt_sha"] == sha("")
+    assert (got[5]["n_spans"], got[5]["n_spans_removed"]) == (1, 0)
+    assert got[5]["rebuilt_sha"] == sha("q r")
