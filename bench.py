@@ -59,6 +59,8 @@ HEADLINE = [
     "dedup_keyed",
     "sessionize",
     "dedup_exact_text",
+    # round-7: C4-style sub-document span dedup
+    "dedup_spans",
     "dedup_near_minhash",
     # round-6: the hot-bucket-capped production configuration, now a
     # declared oracled query — benched beside the uncapped flavor

@@ -159,26 +159,54 @@ def dedup_spans(
     empty content (zero spans), the X1-family rule.
     """
     sw = int(span_words)
-    prepared = docs.select(
+    base = docs.select(
         F.col(id_col),
         F.split(
             F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
         ).alias("__w"),
+    )
+    # EXPLODE-FIRST, build spans after: exploding a computed span array
+    # re-evaluates the whole construction expression once per OUTPUT
+    # row (Catalyst inlines the projection into Generate, and neither a
+    # post-projection exchange nor a nondeterministic sibling stops it
+    # — only a cache barrier did). Measured at 200k docs: explode of
+    # the span array 26 s vs 3 s for exploding the cheap INDEX sequence
+    # and slicing each span once per exploded row. The per-row __w copy
+    # the explode carries never shuffles — the hash exchange below
+    # projects it away first.
+    ex0 = base.select(
+        id_col,
+        "__w",
+        F.posexplode(
+            F.expr(
+                f"sequence(0, greatest(int(ceil(size(__w) / {sw}.0))"
+                " - 1, 0))"
+            )
+        ).alias("idx", "_i"),
     ).select(
         id_col,
-        F.expr(
-            f"filter(transform(sequence(0, greatest(int(ceil(size(__w)"
-            f" / {sw}.0)) - 1, 0)),"
-            f" i -> array_join(slice(__w, i * {sw} + 1, {sw}), ' ')),"
-            " s -> s <> '')"
-        ).alias("__spans"),
+        "idx",
+        F.expr(f"array_join(slice(__w, _i * {sw} + 1, {sw}), ' ')")
+        .alias("span"),
     )
-    per_doc = prepared.select(
-        id_col, F.size("__spans").cast("long").alias("n_spans")
+    # count BEFORE dropping empty spans: every doc emits ≥1 exploded
+    # row (the sequence is never empty), so empty/NULL-text docs stay
+    # in the audit with n_spans = 0 instead of vanishing
+    per_doc = ex0.groupBy(id_col).agg(
+        F.sum(F.when(F.col("span") != "", 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans")
     )
-    ex = prepared.select(
-        id_col, F.posexplode("__spans").alias("idx", "span")
-    ).withColumn("__h", F.sha2(F.col("span"), 256))
+    ex = ex0.filter(F.col("span") != "").withColumn(
+        "__h", F.sha2(F.col("span"), 256)
+    )
+    # pin the hash exchange to default parallelism: the window's sort
+    # and the downstream reassembly are compute-dense per span, and
+    # AQE's bytes advisory would coalesce a ~100 MB span exchange to a
+    # handful of tasks (the dedup_near_embedding round-6 lesson: bytes
+    # advisories are for byte-bound stages)
+    n_part = max(1, docs.sparkSession.sparkContext.defaultParallelism)
+    ex = ex.repartition(n_part, "__h")
     w = Window.partitionBy("__h")
     first = F.min(F.struct(F.col(id_col), F.col("idx"))).over(w)
     kept = (

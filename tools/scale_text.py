@@ -96,12 +96,15 @@ def bench(
     from real_time_trip_processing_spark.functions import curation as C
     from real_time_trip_processing_spark.functions.minhash import minhash_lsh_pairs
     from real_time_trip_processing_spark.functions.text import doc_lm_score
-    from real_time_trip_processing_spark.operators.dedup import dedup_exact_text
+    from real_time_trip_processing_spark.operators.dedup import (
+        dedup_exact_text,
+        dedup_spans,
+    )
 
     full = spark.read.parquet(corpus_dir)
     results: dict[str, dict] = {}
 
-    def timed(name, size, build):
+    def timed(name, size, build, action="count"):
         if ops is not None and name not in ops:
             return  # --ops filter: e.g. the 8M capped row without the
             # projected-90-min uncapped quadratic row beside it
@@ -109,7 +112,19 @@ def bench(
         for _ in range(3):
             df = build()
             t0 = time.monotonic()
-            n = df.count()
+            if action == "noop":
+                # bench.py's sink: materializes EVERY output column.
+                # count() silently prunes ops whose last stage is a
+                # row-preserving join/projection (dedup_spans: a left
+                # join keeps row count, so count computed NONE of the
+                # span work), and a filter-on-output workaround is
+                # worse (the predicate pushes down, inlining the whole
+                # expression into an un-codegen'd Filter and
+                # double-evaluating it).
+                df.write.mode("overwrite").format("noop").save()
+                n = -1
+            else:
+                n = df.count()
             runs.append(round(time.monotonic() - t0, 2))
             # per-run isolation (same rule as bench.py): ops that
             # persist internally (the LSH signature+shingle-set frame
@@ -147,6 +162,8 @@ def bench(
               lambda: C.ngram_decontaminate(
                   docs, bench_pred=F.col("doc_id") % 97 == 0, n=4))
         timed("doc_lm_score", size, lambda: doc_lm_score(docs))
+        timed("dedup_spans", size,
+              lambda: dedup_spans(docs, span_words=16), action="noop")
         timed("dataset_split_audit", size, lambda: docs.groupBy(
             (F.conv(F.substring(F.md5(F.concat(F.lit("split:v1:"),
              F.col("doc_id").cast("string"))), 1, 8), 16, 10)
