@@ -535,3 +535,53 @@ def test_scd2_merge_equals_full_rebuild(spark, events, split_hour):
     full = scd2_history(df)
     key = lambda r: (r.user_id, r.state, r.valid_from, r.valid_to)  # noqa: E731
     assert sorted(map(key, merged.collect())) == sorted(map(key, full.collect()))
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=40),
+        min_size=0,
+        max_size=12,
+    ),
+    sw=st.sampled_from([2, 4]),
+)
+def test_dedup_spans_matches_brute_force(spark, texts, sw):
+    """dedup_spans vs a Python model: split on ASCII whitespace,
+    non-overlapping sw-word spans, global first occurrence by
+    (doc_id, position) wins, docs reassembled from survivors in
+    position order — counts and rebuilt hashes must match exactly."""
+    import hashlib
+    import re as _re
+
+    from real_time_trip_processing_spark.operators.dedup import dedup_spans
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_spans_removed"], r["rebuilt_sha"])
+        for r in dedup_spans(df, span_words=sw).collect()
+    }
+
+    # model (JVM-exact tokenization: SQL trim strips ' ' only, Java \s)
+    def spans_of(t):
+        w = _re.split(r"[ \t\n\x0b\f\r]+", t.strip(" "))
+        out = [" ".join(w[i : i + sw]) for i in range(0, max(len(w), 1), sw)]
+        return [s for s in out if s != ""]
+
+    seen = set()
+    for i, t in enumerate(texts):
+        sp = spans_of(t)
+        kept = []
+        for s in sp:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        want_sha = hashlib.sha256(" ".join(kept).encode()).hexdigest()
+        n, removed, sha = got[i]
+        assert n == len(sp), (i, t, got[i], sp)
+        assert removed == len(sp) - len(kept), (i, t, got[i], sp)
+        assert sha == want_sha, (i, t)
+    assert len(got) == len(texts)
