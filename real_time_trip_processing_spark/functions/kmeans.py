@@ -18,7 +18,8 @@ Scale shape (the one that survives 100 TB of vectors):
 - no lineage growth: every iteration's plan starts fresh from the
   corpus scan plus new literals, so no checkpointing is needed.
 
-Deterministic by construction: init = the k lowest-id vectors, cosine
+Deterministic by construction: init = the k lowest-id vectors that
+have a cosine direction (zero-quantized rows are never seeds), cosine
 ties break toward the lower centroid id — re-running on the same data
 yields the same codebook up to float-summation order in the means
 (which is why the declared `kmeans_codebook` query asserts structural
@@ -29,7 +30,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .similarity import CentroidRows, nearest_centroid, nearest_centroid_kernel
+from .similarity import (
+    CentroidRows, has_quant_direction, nearest_centroid,
+    nearest_centroid_kernel,
+)
 
 
 def assign_clusters(
@@ -96,7 +100,14 @@ def kmeans_fit_rows(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    init = vecs.orderBy("vid").limit(k).collect()
+    # init from the k lowest-id vectors WITH a cosine direction — a
+    # zero-quantized init row would seed a zero-norm centroid, which
+    # every cosine assignment downstream divides by (the same rule
+    # _resolve_centroids applies to the default first-N codebook)
+    init = (
+        vecs.filter(has_quant_direction(F.col("v")))
+        .orderBy("vid").limit(k).collect()
+    )
     centroids: CentroidRows = [(i, list(r["v"])) for i, r in enumerate(init)]
     for _ in range(iters):
         assigned = assign_clusters(vecs, centroids)

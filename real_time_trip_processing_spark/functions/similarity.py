@@ -438,10 +438,21 @@ def _resolve_centroids(
 ) -> CentroidRows:
     """Driver-side codebook rows from whichever form the caller holds.
     Collecting is k × dim scalars — the codebook is driver-resident by
-    design (MLlib KMeans discipline); the corpus never moves."""
+    design (MLlib KMeans discipline); the corpus never moves.
+
+    The default first-N-ids codebook excludes zero-direction vectors
+    HERE, not in each caller: a zero-quantized vector at id <
+    n_centroids would become a stored zero-norm centroid, and every
+    downstream probe-selection cosine divides by the centroid norm —
+    the persisted builders (ivf_index_build / ivfpq_index_build) used
+    to resolve from the unfiltered corpus while ivf_topk pre-filtered,
+    so the 'bit-identical' in-query and persisted paths could diverge
+    (and ANSI mode crashed on the division). Filters commute, so the
+    pre-filtering callers see the same rows as before."""
     if codebook is None:
         rows = (
-            corpus.filter(F.col(id_col) < n_centroids)
+            corpus.filter(has_quant_direction(F.col(vec_col)))
+            .filter(F.col(id_col) < n_centroids)
             .select(
                 F.col(id_col).cast("int").alias("cent_id"),
                 F.col(vec_col).cast("array<double>").alias("cv"),

@@ -754,10 +754,10 @@ def _ivfpq_contract(emb, queries, ivfpq):
 
 @declare(
     "sim_ivfpq_persisted",
-    oracle="""
+    oracle=f"""
     SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
            TRUE AS quality_ok
-    FROM embeddings WHERE vec_id < 5
+    FROM embeddings WHERE vec_id < 5 AND {_QDIR(_QV)}
     """,
 )
 def sim_ivfpq_persisted(spark, sf_dir):
@@ -1210,11 +1210,17 @@ def ann_join_ivf(spark, sf_dir):
     gate, not just unit-pinned: buckets wider than 50 rows split into
     hash-salted sub-buckets, bit-identically (the oracle is the same
     either way)."""
-    from ..functions.similarity import ann_join_ivf as _aj
+    from ..functions.similarity import ann_join_ivf as _aj, has_quant_direction
 
     emb = table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
-    codebook = corpus.filter(F.col("vec_id") < 32).select(
+    # explicit codebook mirrors the oracle's cent CTE exactly: even ids
+    # < 32 WITH a cosine direction — _quant_codebook fails loudly on a
+    # zero-norm centroid, so the direction filter is load-bearing the
+    # moment the corpus contains a zero vector at a codebook id
+    codebook = corpus.filter(F.col("vec_id") < 32).filter(
+        has_quant_direction(F.col("embedding"))
+    ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("centroid"),
     )
@@ -1242,10 +1248,14 @@ def ann_join_persisted_q(spark, sf_dir):
     from ..functions.ivf_index import (
         ann_join_persisted, default_index_root, ivf_index_ensure,
     )
+    from ..functions.similarity import has_quant_direction
 
     emb = table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") % 2 == 0)
-    codebook = corpus.filter(F.col("vec_id") < 32).select(
+    # direction-filtered like ann_join_ivf's (and the oracle's cent CTE)
+    codebook = corpus.filter(F.col("vec_id") < 32).filter(
+        has_quant_direction(F.col("embedding"))
+    ).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("centroid"),
     )

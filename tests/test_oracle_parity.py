@@ -107,3 +107,54 @@ def test_oracle_parity_with_zero_vectors(spark, name, zero_vec_sf_dir):
     flat = spark_pdf.to_numpy().ravel().tolist()
     if name in ("sim_topk", "dedup_near_embedding"):
         assert 50 not in flat and 51 not in flat
+
+
+@pytest.fixture(scope="module")
+def zero_vec_low_id_sf_dir(tmp_path_factory):
+    """The ADVICE-r7 corpus shape the high-id fixture deliberately
+    dodged: zero-direction vectors at LOW ids — id 3 sits inside BOTH
+    the default-codebook range (vec_id < 16) and the query range
+    (vec_id < 5); id 12 inside the codebook range only. Before round 8
+    the persisted builders resolved the default first-N codebook from
+    the UNFILTERED corpus, so id 3 became a stored zero-norm centroid:
+    probe-selection cosine divides by the centroid norm (ANSI crash /
+    NaN ranking) and the persisted path diverged from the in-query
+    path. Both sides now exclude zero-direction rows at codebook
+    resolution (_resolve_centroids) and at kmeans init."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, size=(60, 64)).astype(np.float32)
+    vecs[3] = 0.0                   # exact zero: query + centroid range
+    vecs[12] = np.float32(1e-9)     # sub-resolution zero: centroid range
+    d = tmp_path_factory.mktemp("zerovec_lowid")
+    tbl = pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([i % 3 for i in range(60)], pa.int32()),
+    })
+    papq.write_table(tbl, str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ZERO_VEC_QUERIES)
+def test_oracle_parity_with_zero_vectors_at_low_ids(
+    spark, name, zero_vec_low_id_sf_dir
+):
+    q = REGISTRY[name]
+    spark_pdf = q.builder(spark, zero_vec_low_id_sf_dir).toPandas()
+    duck_pdf = duck_con(zero_vec_low_id_sf_dir).execute(q.oracle).fetchdf()
+    issues = [i for i in compare(name, spark_pdf, duck_pdf)
+              if not i.startswith("dtype note")]
+    assert not issues, f"{name}: {issues}"
+    # zero vectors excluded from pair/score outputs even when they sit
+    # in the codebook/query id ranges (only id columns — low ids like 3
+    # legitimately appear as rank values)
+    id_cols = [c for c in spark_pdf.columns
+               if c.endswith("_id") or c in ("vec_id", "left", "right")]
+    ids = spark_pdf[id_cols].to_numpy().ravel().tolist() if id_cols else []
+    if name in ("sim_topk", "dedup_near_embedding"):
+        assert 3 not in ids and 12 not in ids
