@@ -140,21 +140,97 @@ def fs_write_text(
         out.close()
 
 
+#: exception CLASSES that mean "the path already exists" — classified
+#: by class name only, never by message text: an unrelated FS error
+#: whose message happens to contain "already exists" must propagate,
+#: not read as 'lock busy' and silently spin out the lease timeout.
+_EXISTS_EXCEPTION_CLASSES = frozenset({
+    "org.apache.hadoop.fs.FileAlreadyExistsException",  # local, HDFS, S3A 412
+    "org.apache.hadoop.fs.PathExistsException",
+    "java.nio.file.FileAlreadyExistsException",
+    # another client holds the create lease on this path — busy, not broken
+    "org.apache.hadoop.hdfs.protocol.AlreadyBeingCreatedException",
+})
+
+
+def _is_exists_exception(jex) -> bool:
+    """True iff the Java exception (or any link of its cause chain)
+    is one of the known path-exists classes. RemoteException is
+    unwrapped via the server-side class name it carries."""
+    seen = 0
+    while jex is not None and seen < 16:  # cycle guard
+        seen += 1
+        name = str(jex.getClass().getName())
+        if name in _EXISTS_EXCEPTION_CLASSES:
+            return True
+        if name == "org.apache.hadoop.ipc.RemoteException":
+            if str(jex.getClassName() or "") in _EXISTS_EXCEPTION_CLASSES:
+                return True
+        jex = jex.getCause()
+    return False
+
+
 def fs_create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     """Create-if-absent: True on success, False when the path already
     exists; any OTHER failure propagates (an FS error must not read as
-    'lock busy' and spin out the whole timeout)."""
+    'lock busy' and spin out the whole timeout). Exists-classification
+    is by exception CLASS NAME only — substring-matching the message
+    would misread e.g. a permission error mentioning an existing
+    sibling as contention (ADVICE r7)."""
     try:
         fs_write_text(spark, path, text, overwrite=False)
         return True
     except Exception as e:  # Py4JJavaError — py4j not imported directly
-        jex = getattr(e, "java_exception", None)
-        if jex is not None:
-            name = str(jex.getClass().getName())
-            msg = str(jex.getMessage() or "")
-            if "FileAlreadyExists" in name or "already exists" in msg.lower():
-                return False
+        if _is_exists_exception(getattr(e, "java_exception", None)):
+            return False
         raise
+
+
+#: schemes whose CAS atomicity depends on the connector version —
+#: S3A maps create(overwrite=false) to a conditional If-None-Match put
+#: only from Hadoop 3.4.1; below that it is check-then-put (a razor-thin
+#: race two concurrent FIRST acquirers could both win).
+_CHECK_THEN_PUT_SCHEMES = ("s3a", "s3", "s3n")
+_warned_non_atomic_cas: set[str] = set()
+
+
+def _hadoop_version(spark: SparkSession) -> tuple[int, ...]:
+    v = str(spark.sparkContext._jvm.org.apache.hadoop.util.VersionInfo.getVersion())
+    parts = []
+    for tok in v.split("-")[0].split("."):
+        if not tok.isdigit():
+            break
+        parts.append(int(tok))
+    return tuple(parts) or (0,)
+
+
+def _warn_if_cas_not_atomic(spark: SparkSession, target_dir: str) -> None:
+    """One-time (per scheme per process) warning when the lease's CAS
+    primitive is check-then-put on this stack — the docstring states
+    the weakening; this puts it where the operator actually sees it
+    (ADVICE r7 #2). Version probe failures warn too: an unknown stack
+    must not silently read as atomic."""
+    scheme = (target_dir.split("://", 1)[0].lower()
+              if "://" in target_dir else "")
+    if scheme not in _CHECK_THEN_PUT_SCHEMES or scheme in _warned_non_atomic_cas:
+        return
+    try:
+        atomic = _hadoop_version(spark) >= (3, 4, 1)
+    except Exception:
+        atomic = False
+    if not atomic:
+        import warnings
+
+        _warned_non_atomic_cas.add(scheme)
+        warnings.warn(
+            f"CAS lease on {scheme}:// with a Hadoop connector below "
+            "3.4.1: create(overwrite=false) is check-then-put, not a "
+            "conditional write — two concurrent FIRST acquirers can "
+            "both win the lease. Upgrade hadoop-aws to >= 3.4.1 for "
+            "real CAS, or serialize writers externally.",
+            RuntimeWarning,
+            stacklevel=4,
+        )
 
 
 @contextlib.contextmanager
@@ -175,6 +251,7 @@ def fs_cas_write_lock(
     ``fs_force_unlock``. No staleness auto-break — see module
     docstring for why guessing loses races to live-but-slow holders.
     """
+    _warn_if_cas_not_atomic(spark, target_dir)
     fs_mkdirs(spark, target_dir)
     lock = target_dir.rstrip("/") + "/" + name
     token = f"{socket.gethostname()} pid={os.getpid()} t={time.time()}"

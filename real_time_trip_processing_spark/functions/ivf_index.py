@@ -320,6 +320,20 @@ def _index_lock(
     writer do NOT exclude each other, so never set it in production.
     """
     force_cas = os.environ.get("SPARK_GRAFT_FORCE_CAS_LOCK") == "1"
+    if force_cas and "PYTEST_CURRENT_TEST" not in os.environ:
+        # the override weakens a safety property with no other runtime
+        # signal (a forced-CAS writer and a flock writer don't exclude
+        # each other) — a leaked setting outside the test suite must
+        # not stay silent (ADVICE r7)
+        import warnings
+
+        warnings.warn(
+            "SPARK_GRAFT_FORCE_CAS_LOCK=1 is active outside pytest: "
+            "local-dir writers using flock will NOT exclude this one. "
+            "This override is test plumbing only — unset it.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     local = None if force_cas else local_form(index_dir)
     if local is not None:
         with dir_write_lock(local, timeout_sec=timeout_sec):
