@@ -50,8 +50,8 @@ from .locking import _URI_SCHEME
 
 __all__ = [
     "is_uri", "local_form", "fs_exists", "fs_mkdirs", "fs_delete",
-    "fs_rename", "fs_read_text", "fs_write_text", "fs_create_exclusive",
-    "fs_cas_write_lock", "fs_force_unlock",
+    "fs_count_files", "fs_rename", "fs_read_text", "fs_write_text",
+    "fs_create_exclusive", "fs_cas_write_lock", "fs_force_unlock",
 ]
 
 
@@ -101,6 +101,29 @@ def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     if not fs.exists(p):
         return False
     return bool(fs.delete(p, recursive))
+
+
+def fs_count_files(spark: SparkSession, path: str) -> int:
+    """Recursive count of FILES (not dirs) under ``path``; 0 if absent.
+    Used by the fold's crashed-rename heal: S3A's copy+delete rename
+    deletes a source key only after copying it, so whichever side of a
+    crashed rename holds >= files is authoritative (ties mean the copy
+    phase completed — both sides hold identical content)."""
+    fs, p, _ = _fs_path(spark, path)
+    if not fs.exists(p):
+        return 0
+    # explicit listStatus recursion, not fs.listFiles(p, true): the
+    # base-class recursive iterator round-trips paths through
+    # java.io.File(URI), which rejects non-file schemes
+    n = 0
+    stack = [p]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                n += 1
+    return n
 
 
 def fs_rename(spark: SparkSession, src: str, dst: str) -> None:

@@ -170,6 +170,14 @@ def _st_rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
     fs_rename(_require_spark(spark, src), src, dst)
 
 
+def _st_count_files(path: str, spark: SparkSession | None = None) -> int:
+    if not is_uri(path):
+        return sum(len(fns) for _, _, fns in os.walk(path))
+    from ..fsio import fs_count_files
+
+    return fs_count_files(_require_spark(spark, path), path)
+
+
 def _st_touch(path: str, text: str, spark: SparkSession | None = None) -> None:
     if not is_uri(path):
         with open(path, "w") as f:
@@ -1252,7 +1260,13 @@ def ivf_index_compact_stream(
        without a ledger just re-converges through the marker path on
        the next run.
 
-    Rerun-after-crash matrix: before the marker, the parity guard
+    Rerun-after-crash matrix: a crash INSIDE step 1's rename on a
+    copy+delete store (S3A) leaves both dirs — healed at entry by file
+    count: src >= dst means the copy phase was still running (source
+    authoritative — drop dst, re-rename), dst > src means deletes began
+    (destination authoritative — drop the source remnant); correct for
+    every copy-then-delete interleaving because a source key is deleted
+    only after its copy. Before the marker, the parity guard
     either passes (nothing appended — redo) or fails loudly (partial
     append — rebuild repairs); after the marker, the append is skipped
     and steps 3-5 re-run idempotently. A crash in the step-5 window is
@@ -1270,7 +1284,28 @@ def ivf_index_compact_stream(
         stream_dir = os.path.join(index_dir, "cells_stream")
         folding = stream_dir + ".folding"
         ledger_dir = os.path.join(index_dir, "applied_batches")
-        if _st_exists(stream_dir, spark):
+        if _st_exists(stream_dir, spark) and _st_exists(folding, spark):
+            # CRASHED NON-ATOMIC RENAME heal (S3A renames are per-object
+            # copy THEN delete — a crash inside step 1 leaves both dirs).
+            # Whichever side holds >= files is authoritative: the delete
+            # phase removes a source key only AFTER copying it, so
+            # src >= dst means the copy phase was still running (src
+            # complete, dst partial — or both complete at the boundary,
+            # identical content either way) and dst > src means deletes
+            # began (dst complete). Object PUTs are atomic, so every
+            # present file is whole — file COUNT is the right granularity.
+            # (A live stream recreating cells_stream mid-fold violates
+            # the stop-the-stream contract; if it happens anyway, the
+            # ledger/cells parity check below fails loudly rather than
+            # silently dropping the batch.)
+            src_n = _st_count_files(stream_dir, spark)
+            dst_n = _st_count_files(folding, spark)
+            if src_n >= dst_n:
+                _st_rmtree(folding, spark)
+                _st_rename(stream_dir, folding, spark)
+            else:
+                _st_rmtree(stream_dir, spark)
+        elif _st_exists(stream_dir, spark):
             _st_rename(stream_dir, folding, spark)
         if not _st_exists(folding, spark):
             if _st_exists(ledger_dir, spark):
