@@ -133,15 +133,28 @@ def run_one(spark, name: str, sf_dir: str, gc_first: bool = False) -> float:
 HISTORY_PATH = os.path.join(REPO, "BENCH_HISTORY.jsonl")
 
 
+def _classify_idle(l1: float, l5: float, cpus: int) -> bool:
+    """Idle means comparable: instant load low AND the box settled for
+    the last five minutes. The l5 bound is TIGHTER than l1's (0.15 vs
+    0.25 of cores) because a 5-minute average that high means heavy
+    work ran within the measurement horizon — page cache and thermal
+    state are still smeared even though the instant load has dropped
+    (round-7 verdict: a line at loadavg [4.22, 7.33, 7.13] on 32 cpus
+    was delta'd as idle against a [0.07, 1.44, 3.75] line; with
+    ±0.2-0.3 s noise on ~1 s queries that smear is exactly what the
+    fingerprint exists to refuse)."""
+    return bool(0 <= l1 < cpus * 0.25 and 0 <= l5 < cpus * 0.15)
+
+
 def machine_state(jvm_fresh: bool) -> dict:
     """Per-run machine fingerprint, recorded with every history line so
     a future reader can tell a code regression from an environment
     smear WITHOUT re-deriving it (round-6 verdict: a 16.5 s line right
     after a 2 M-doc scale run was only commit-message-flagged). ``idle``
-    is the comparability flag: 1-min loadavg under a quarter of the
-    cores at bench START (the load the bench inherits, not the load it
-    makes — a concurrent scale run on this box shows up as load ~15/32,
-    which must NOT read as idle)."""
+    is the comparability flag — see `_classify_idle` (the load the
+    bench inherits, not the load it makes — a concurrent scale run on
+    this box shows up as load ~15/32, which must NOT read as idle, and
+    a scale run that ENDED minutes ago shows up in l5)."""
     try:
         l1, l5, l15 = os.getloadavg()
     except OSError:  # platform without loadavg
@@ -150,7 +163,7 @@ def machine_state(jvm_fresh: bool) -> dict:
     return {
         "loadavg": [round(l1, 2), round(l5, 2), round(l15, 2)],
         "cpus": cpus,
-        "idle": bool(0 <= l1 < cpus * 0.25),
+        "idle": _classify_idle(l1, l5, cpus),
         "jvm_fresh": bool(jvm_fresh),
     }
 

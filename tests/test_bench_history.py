@@ -20,6 +20,22 @@ def test_machine_state_shape():
     assert isinstance(m["idle"], bool) and m["jvm_fresh"] is True
 
 
+def test_idle_requires_settled_five_minute_load():
+    """The round-7 verdict case: a bench started minutes after a scale
+    run finished (l1 back down, l5 still high) must NOT read as idle —
+    page cache and thermal state are still smeared."""
+    # the exact 12:20:31Z shape the verdict flagged: [4.22, 7.33, 7.13] on 32 cpus
+    assert not bench._classify_idle(4.22, 7.33, 32)
+    # the good settling line it was delta'd against: [0.07, 1.44, 3.75]
+    assert bench._classify_idle(0.07, 1.44, 32)
+    # instant churn still refuses regardless of l5
+    assert not bench._classify_idle(15.0, 1.0, 32)
+    # genuinely quiet box
+    assert bench._classify_idle(0.0, 0.0, 32)
+    # loadavg unavailable (-1 sentinel) is never idle
+    assert not bench._classify_idle(-1.0, -1.0, 32)
+
+
 def test_delta_refused_on_flag_mismatch():
     cur = {"loadavg": [0.1, 0.1, 0.1], "cpus": 32, "idle": True,
            "jvm_fresh": True}
