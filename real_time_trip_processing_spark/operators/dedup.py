@@ -135,6 +135,7 @@ def dedup_spans(
     span_words: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    _pin_exchange: bool = True,
 ) -> DataFrame:
     """X1 at SUB-document granularity — C4-style span dedup: split each
     document into non-overlapping ``span_words``-word spans, keep only
@@ -204,9 +205,13 @@ def dedup_spans(
     # and the downstream reassembly are compute-dense per span, and
     # AQE's bytes advisory would coalesce a ~100 MB span exchange to a
     # handful of tasks (the dedup_near_embedding round-6 lesson: bytes
-    # advisories are for byte-bound stages)
-    n_part = max(1, docs.sparkSession.sparkContext.defaultParallelism)
-    ex = ex.repartition(n_part, "__h")
+    # advisories are for byte-bound stages). ``_pin_exchange=False`` is
+    # the A/B seam for the scale harness only — it hands the width back
+    # to AQE so the pin's value stays a measured fact, not an
+    # inherited assumption (measurements in SCALE.md).
+    if _pin_exchange:
+        n_part = max(1, docs.sparkSession.sparkContext.defaultParallelism)
+        ex = ex.repartition(n_part, "__h")
     w = Window.partitionBy("__h")
     first = F.min(F.struct(F.col(id_col), F.col("idx"))).over(w)
     kept = (

@@ -376,13 +376,17 @@ def sim_ivf_persisted(spark, sf_dir):
 
 #: declared recall floor for sim_ivf_recall (k=10, nprobe=4 of 16
 #: centroids, 20 probes). Measured recall@10 on the driver testdata:
-#: 0.830 (sf0.001), 0.805 (sf0.01), 0.895 (sf0.1) — the 0.70 band sits
-#: comfortably under all three, so a pass means the index geometry is
-#: sound, and a centroid/pruning regression (recall collapse) flips
+#: 0.830 (sf0.001), 0.805 (sf0.01), 0.895 (sf0.1). The floor follows
+#: the same just-under-the-band rule as _PQ_RECALL_BAND (round 8:
+#: 0.70 → 0.73, ~0.07 under the 0.805 low end — recall is
+#: DETERMINISTIC here: first-N centroids, quantized-integer scoring,
+#: no seed variance, so the observed band is exact per corpus): a pass
+#: means the index geometry is sound, and a centroid/pruning
+#: regression (recall collapse toward nprobe/n_centroids = 0.25) flips
 #: recall_ok and fails the hash compare. The oracle ALSO replays both
 #: sides exactly (IVF replay + exact top-k in SQL), so even a recall
 #: change WITHIN the band is caught as a value mismatch on n_hit.
-_RECALL_BAND = 0.70
+_RECALL_BAND = 0.73
 
 _RECALL_ORACLE = f"""
     WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings

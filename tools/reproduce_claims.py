@@ -20,7 +20,8 @@ Claims checked:
 - streaming: 100k-event replay through the watermarked matcher loses
              ZERO matches (n_completed == n_events / 2).
 - recall:    IVF recall@10 (nprobe=4/16) on the driver testdata >= the
-             declared 0.70 band of `sim_ivf_recall`.
+             declared band of `sim_ivf_recall` (imported, 0.73 as of
+             round 8 -- the just-under-the-measured-low-end rule).
 - ivf_index: persisted-index serve is bit-identical to the in-query
              path, and append == rebuild (the O(delta) maintenance
              claim) on the testdata corpus.
@@ -163,6 +164,7 @@ def claim_recall(spark) -> dict:
     from real_time_trip_processing_spark.plans import REGISTRY
     from real_time_trip_processing_spark.plans.vector_queries import (
         _PQ_RECALL_BAND,
+        _RECALL_BAND,
     )
     from real_time_trip_processing_spark.sources import table
 
@@ -187,7 +189,7 @@ def claim_recall(spark) -> dict:
     return {
         "ok": bool(row["recall_ok"]) and pq_recall >= _PQ_RECALL_BAND,
         "recall": float(row["recall"]),
-        "band": 0.70,
+        "band": _RECALL_BAND,
         "pq_recall": round(pq_recall, 4),
         "pq_band": _PQ_RECALL_BAND,
         "pq_envelope_0_5_to_0_75": bool(0.5 <= pq_recall <= 0.75),
