@@ -96,6 +96,10 @@ HEADLINE = [
     # Bloom-pruned semi join, mergeable quantile state, search, locf
     "doc_lm_score",
     "ann_join_ivf",
+    # round-8: the full-table join over persisted COMPRESSED cells —
+    # completes the serve matrix {topk,join} x {ivf,ivfpq} x
+    # {in-query,persisted}
+    "ann_join_ivfpq_persisted",
     "bloom_semi_join",
     "quantile_sketch_rollup",
     "keyword_search",

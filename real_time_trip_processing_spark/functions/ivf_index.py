@@ -1066,6 +1066,140 @@ def ann_join_persisted(
     )
 
 
+def ann_join_ivfpq_persisted(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN JOIN served from the persisted IVF-PQ layout — the
+    full-table query shape over COMPRESSED cells: every query row finds
+    its top-k ADC neighbors without the query side ever being
+    collected, and without any embedding being read at serve time (the
+    scan is m code-bytes per candidate, the 100 TB win of the PQ
+    layout).
+
+    `ivfpq_persisted_topk` deliberately treats queries as bounded
+    (driver-side probe_luts + broadcast); that shape dies when
+    |Q| ≈ |corpus|. Here BOTH sides stay distributed, mirroring
+    `ann_join_persisted`: query rows take their nprobe probe buckets
+    IN-ROW against the stored coarse codebook (JVM probe explosion —
+    same quantized-cosine ranking as `pq.probe_luts`, exact by integer
+    arithmetic in float64), and the bucket meeting is a cogroup whose
+    kernel replays `pq._adc_score`'s float64 math exactly: per-query
+    dot LUTs via `pq._query_lut` (the same np.dot per subspace slice),
+    subspace terms accumulated in ascending-j left-associated order,
+    score = dot / (q_norm · sqrt(Σ nrm)) — so results are
+    BIT-IDENTICAL to `ivfpq_persisted_topk` on the same (queries, k,
+    nprobe), which is test-pinned. Local bucket top-k is exact because
+    a candidate lives in exactly one bucket.
+
+    Scale shape: the codes cells shuffle once by cent_id (m bytes +
+    id per row — compare ann_join_persisted's dim integers), probe
+    rows nprobe·|Q|; per-bucket work is Q_b·m gathers over C_b codes
+    (one LUT row indexed per subspace), with the per-query LUT build
+    itself only dim·k flops. Zero-direction queries are excluded like
+    every cosine entry point; zero-direction CANDIDATES are
+    unrecoverable from codes alone (documented PQ caveat — the decoded
+    centroids of a zero vector are cluster means, which are nonzero on
+    any real corpus) and score like the in-query path.
+    """
+    from ..operators.sorts import topk_per_group
+    from .pq import _query_lut
+    from .similarity import (
+        _qcent_literals,
+        centroid_scores,
+        has_quant_direction,
+        qnorm,
+    )
+
+    queries = queries.filter(has_quant_direction(F.col(vec_col)))
+    rows = _load_centroids(spark, index_dir, "pq")
+    books, dim = _load_books(spark, index_dir)
+    _, cid_arr, _ = _qcent_literals(rows)
+    m = len(books)
+    # per-(subspace, code) squared-norm table — the norm_lut literal of
+    # pq._adc_score, computed once driver-side and closed over
+    norm_mat = [
+        np.array([float(np.dot(np.asarray(c, dtype=np.float64),
+                                np.asarray(c, dtype=np.float64)))
+                  for c in cb])
+        for cb in books
+    ]
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+        quant_vec(F.col(vec_col)).alias("q_qv"),
+    ).withColumn("q_qn", qnorm(F.col("q_qv")))
+    probe_pairs = F.zip_with(
+        centroid_scores(F.col("q_qv"), F.col("q_qn"), rows),
+        cid_arr,
+        lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
+    )
+    probes = q.select(
+        "query_id",
+        "q_vec",
+        F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
+    ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
+
+    cells = spark.read.parquet(os.path.join(index_dir, "cells_pq")).select(
+        "cand_id", "codes", "cent_id"
+    )
+    id_type = dict(cells.dtypes)["cand_id"]
+    schema = f"query_id {id_type}, cand_id {id_type}, score double"
+
+    def score_bucket(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame({"query_id": [], "cand_id": [], "score": []})
+        codes = np.stack(
+            [np.asarray(c, dtype=np.int64) for c in left["codes"]]
+        )  # C × m
+        cids = left["cand_id"].to_numpy()
+        # reconstructed squared norms: ascending-j left-assoc adds, the
+        # exact accumulation _adc_score's nrm_expr performs
+        nrm = None
+        for j in range(m):
+            nj = norm_mat[j][codes[:, j]]
+            nrm = nj if nrm is None else nrm + nj
+        denom_c = np.sqrt(nrm)
+        out_q, out_c, out_s = [], [], []
+        for qid, q_vec in zip(right["query_id"], right["q_vec"]):
+            q_norm, dot_lut = _query_lut(q_vec, books, dim)
+            dot = None
+            for j in range(m):
+                dj = np.asarray(dot_lut[j], dtype=np.float64)[codes[:, j]]
+                dot = dj if dot is None else dot + dj
+            sc = dot / (q_norm * denom_c)
+            mask = cids != qid
+            if not mask.any():
+                continue
+            idx = np.flatnonzero(mask)
+            take = idx[np.lexsort((cids[idx], -sc[idx]))[:k]]
+            out_q.extend([qid] * len(take))
+            out_c.extend(cids[take])
+            out_s.extend(sc[take])
+        return pd.DataFrame(
+            {"query_id": out_q, "cand_id": out_c, "score": out_s}
+        )
+
+    scored = (
+        cells.groupby("cent_id")
+        .cogroup(probes.groupby("cent_id"))
+        .applyInPandas(score_bucket, schema)
+    )
+    top = topk_per_group(
+        scored, ["query_id"], [F.desc("score"), F.col("cand_id")], k
+    )
+    return top.select(
+        "query_id", "cand_id", F.round("score", 8).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def ivfpq_index_append(
     corpus_delta: DataFrame,
     index_dir: str,

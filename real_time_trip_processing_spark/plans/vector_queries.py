@@ -1276,6 +1276,82 @@ def ann_join_persisted_q(spark, sf_dir):
 
 
 @declare(
+    "ann_join_ivfpq_persisted",
+    oracle=f"""
+    SELECT vec_id AS query_id, CAST(3 AS BIGINT) AS n_results,
+           TRUE AS corpus_quality_ok
+    FROM embeddings WHERE vec_id % 2 = 1 AND {_QDIR(_QV)}
+    """,
+)
+def ann_join_ivfpq_persisted_q(spark, sf_dir):
+    """The full-table ANN join served from the persisted COMPRESSED
+    layout (functions/ivf_index.ann_join_ivfpq_persisted): every odd-id
+    vector finds its top-3 even-id neighbors by ADC over stored m-byte
+    codes — both sides distributed (in-row probe explosion + cogrouped
+    bucket LUT-gathers), no embedding read at serve time. Completes the
+    serve matrix: {{topk, join}} × {{ivf, ivf-pq}} × {{in-query,
+    persisted}}.
+
+    PQ training is a float fixpoint, so the declared result is the
+    index's deterministic CONTRACT: every query returns exactly k
+    results, plus a corpus-level quality flag — the fraction of queries
+    whose ADC top-3 intersects the exact brute-force top-10 must clear
+    0.99 (measured: 1.0 at sf0.001/sf0.01, 0.998 at sf0.1 — 2 of 1,000
+    odd queries genuinely land all-compressed-misses at this geometry,
+    so a per-query flag would encode corpus noise, not index health;
+    the rate is deterministic per corpus). Bit-identity of the
+    underlying op with `ivfpq_persisted_topk` is pinned in
+    tests/test_ivf_persisted.py."""
+    import hashlib
+    import os
+
+    from ..functions.ivf_index import (
+        ann_join_ivfpq_persisted, default_index_root, ivfpq_index_ensure,
+    )
+    from ..functions.pq import pq_train
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 2 == 0)
+    queries = emb.filter(F.col("vec_id") % 2 == 1)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    idx = ivfpq_index_ensure(
+        corpus,
+        os.path.join(default_index_root(), f"ivfpq_even_{tag}_c8"),
+        books_factory=lambda: pq_train(corpus, m=32, k=16, iters=2),
+        n_centroids=8,
+        m=32,
+        k=16,
+    )
+    adc = ann_join_ivfpq_persisted(
+        spark, idx, queries, k=3, nprobe=4
+    ).select("query_id", "cand_id")
+    exact = cosine_topk(corpus, queries, k=10).select("query_id", "cand_id")
+    hits = (
+        adc.join(exact, ["query_id", "cand_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    per_q = adc.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_results")
+    )
+    qual = (
+        per_q.join(hits, "query_id", "left")
+        .agg(
+            (
+                F.avg(
+                    F.when(F.coalesce(F.col("hits"), F.lit(0)) >= 1, 1.0)
+                    .otherwise(0.0)
+                )
+                >= 0.99
+            ).alias("corpus_quality_ok")
+        )
+    )
+    return per_q.crossJoin(qual).select(
+        "query_id", "n_results", "corpus_quality_ok"
+    )
+
+
+@declare(
     "diversity_sample_srp",
     oracle=f"""
     WITH {_srp_sql_ctes(10, 1, 64)}

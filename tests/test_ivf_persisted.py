@@ -171,6 +171,29 @@ def test_ann_join_persisted_matches_in_query(spark, tmp_path):
     assert len(_rows(got)) > 0
 
 
+def test_ann_join_ivfpq_persisted_bit_identical_to_topk(spark, tmp_path):
+    """The full-table ADC join must be BIT-identical to the bounded
+    ivfpq_persisted_topk on the same (queries, k, nprobe): the cogroup
+    kernel replays _adc_score's float64 math (same _query_lut np.dot
+    LUTs, ascending-j left-assoc accumulation, dot/(qn*sqrt(nrm))), so
+    the two serve paths may never diverge — not within tolerance,
+    exactly."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ann_join_ivfpq_persisted, ivfpq_index_build, ivfpq_persisted_topk,
+    )
+    from real_time_trip_processing_spark.functions.pq import pq_train
+
+    emb = table(spark, SF_DIR, "embeddings")
+    books = pq_train(emb, m=32, k=16, iters=2)
+    idx = str(tmp_path / "ajpq")
+    ivfpq_index_build(emb, idx, books, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = ann_join_ivfpq_persisted(spark, idx, queries, k=3, nprobe=4)
+    want = ivfpq_persisted_topk(spark, idx, queries, k=3, nprobe=4)
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) == 60  # 20 queries x k=3, every query full
+
+
 def test_ivfpq_index_append_equals_full_rebuild(spark, tmp_path):
     """IVF-PQ grow-by-append: the delta is encoded with the STORED
     books, so build(half) + append(half) serves identically to a

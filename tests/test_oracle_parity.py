@@ -58,6 +58,7 @@ ZERO_VEC_QUERIES = [
     "sim_ivfpq_persisted",
     "ann_join_ivf",
     "ann_join_persisted",
+    "ann_join_ivfpq_persisted",  # round 8: compressed-cells join flavor
     "knn_label_vote",
     # and ones whose Spark side does NOT exclude them (srp_buckets sign
     # bits are well-defined at zero; int8 quantization is row-local) —

@@ -420,6 +420,7 @@ def test_semantic_decontaminate_zero_exchange(spark):
 # corpus-size N) or a handful of broadcast probe rows scored against
 # the scan. Anything new landing here must justify itself.
 _SCALAR_FRAME_JOINS = {
+    "ann_join_ivfpq_persisted",   # 1-row corpus-quality flag broadcast
     "bloom_semi_join",            # 1-row Bloom-bitmap frame broadcast
     "keyword_search",             # 1-row corpus-count frame broadcast
     "doc_lm_score",               # 1-row vocabulary-size frame broadcast
