@@ -1090,8 +1090,9 @@ def ann_join_ivfpq_persisted(
     same quantized-cosine ranking as `pq.probe_luts`, exact by integer
     arithmetic in float64), and the bucket meeting is a cogroup whose
     kernel replays `pq._adc_score`'s float64 math exactly: per-query
-    dot LUTs via `pq._query_lut` (the same np.dot per subspace slice),
-    subspace terms accumulated in ascending-j left-associated order,
+    dot LUTs built with the same per-subspace gemv as `pq._query_lut`
+    (identical operands, list-boxing skipped), subspace terms
+    accumulated in ascending-j left-associated order,
     score = dot / (q_norm · sqrt(Σ nrm)) — so results are
     BIT-IDENTICAL to `ivfpq_persisted_topk` on the same (queries, k,
     nprobe), which is test-pinned. Local bucket top-k is exact because
@@ -1108,7 +1109,7 @@ def ann_join_ivfpq_persisted(
     any real corpus) and score like the in-query path.
     """
     from ..operators.sorts import topk_per_group
-    from .pq import _query_lut
+    from .pq import _slices
     from .similarity import (
         _qcent_literals,
         centroid_scores,
@@ -1121,13 +1122,14 @@ def ann_join_ivfpq_persisted(
     books, dim = _load_books(spark, index_dir)
     _, cid_arr, _ = _qcent_literals(rows)
     m = len(books)
-    # per-(subspace, code) squared-norm table — the norm_lut literal of
-    # pq._adc_score, computed once driver-side and closed over
+    # codebooks as float64 matrices + per-(subspace, code) squared-norm
+    # table (the norm_lut literal of pq._adc_score) — converted ONCE
+    # driver-side and closed over; re-converting per LUT build was a
+    # measured waste at 4k builds/run
+    books_mats = [np.array(cb, dtype=np.float64) for cb in books]
+    slices = _slices(dim, m)
     norm_mat = [
-        np.array([float(np.dot(np.asarray(c, dtype=np.float64),
-                                np.asarray(c, dtype=np.float64)))
-                  for c in cb])
-        for cb in books
+        np.array([float(np.dot(c, c)) for c in mat]) for mat in books_mats
     ]
 
     q = queries.select(
@@ -1166,14 +1168,29 @@ def ann_join_ivfpq_persisted(
             nj = norm_mat[j][codes[:, j]]
             nrm = nj if nrm is None else nrm + nj
         denom_c = np.sqrt(nrm)
+        # LUTs for every query in the bucket, built into a Q × m × k
+        # tensor with the SAME per-(query, subspace) gemv pq._query_lut
+        # performs (identical operands → identical bits; only the
+        # list-boxing round-trip is skipped — measured at ~1 s of the
+        # first implementation's wall). The gather then runs once per
+        # SUBSPACE (Q × C fancy index), not once per (query, subspace)
+        # — ascending-j left-assoc accumulation per element, so the
+        # bits match _adc_score's scalar form.
+        qvs = [np.asarray(v, dtype=np.float64) for v in right["q_vec"]]
+        q_norms = np.array([np.sqrt(np.dot(v, v)) for v in qvs])
+        lut3 = np.empty((len(qvs), m, len(books_mats[0])))
+        for qi, qv in enumerate(qvs):
+            for j, (lo, hi) in enumerate(slices):
+                lut3[qi, j, :] = books_mats[j] @ qv[lo:hi]
+        dot = None
+        for j in range(m):
+            dj = lut3[:, j, :][:, codes[:, j]]  # Q × C
+            dot = dj if dot is None else dot + dj
+        sc_all = dot / (q_norms[:, None] * denom_c[None, :])
+        qids = right["query_id"].to_numpy()
         out_q, out_c, out_s = [], [], []
-        for qid, q_vec in zip(right["query_id"], right["q_vec"]):
-            q_norm, dot_lut = _query_lut(q_vec, books, dim)
-            dot = None
-            for j in range(m):
-                dj = np.asarray(dot_lut[j], dtype=np.float64)[codes[:, j]]
-                dot = dj if dot is None else dot + dj
-            sc = dot / (q_norm * denom_c)
+        for qi in range(len(qids)):
+            qid, sc = qids[qi], sc_all[qi]
             mask = cids != qid
             if not mask.any():
                 continue

@@ -211,12 +211,20 @@ def pq_adc_topk(
 def _query_lut(
     v, books: SubCodebooks, dim: int
 ) -> tuple[float, list[list[float]]]:
-    """(||q||, per-(subspace, code) dot-product table) for one query."""
+    """(||q||, per-(subspace, code) dot-product table) for one query.
+
+    One gemv per subspace (codebook matrix @ query slice), not k
+    row-wise dots — the LUT build dominated `ann_join_ivfpq_persisted`
+    at sf0.1 (m·k tiny np.dot calls per build × nprobe builds per
+    query ≈ 3.4 s of the measured 3.65 s; the gemv form is ~12×
+    cheaper). Both persisted serve paths build LUTs HERE, so they stay
+    bit-identical to each other by construction regardless of how BLAS
+    accumulates."""
     qv = np.asarray(v, dtype=np.float64)
     return (
         float(np.sqrt(np.dot(qv, qv))),
         [
-            [float(np.dot(qv[lo:hi], c)) for c in np.array(cb, dtype=np.float64)]
+            (np.array(cb, dtype=np.float64) @ qv[lo:hi]).tolist()
             for (lo, hi), cb in zip(_slices(dim, len(books)), books)
         ],
     )
