@@ -361,6 +361,10 @@ def _crashed_rename_state(local_stream: str, mode: str) -> None:
     elif mode == "mid_delete":      # all copied; some src keys deleted
         to_copy = files
         src_keep = files[len(files) // 2:]
+    elif mode == "delete_done":     # all copied; every src key deleted,
+        to_copy = files             # only the empty src dir remains
+        src_keep = []               # (dir markers outlive their keys
+        # on real object stores; RawLocal keeps empty dirs the same way)
     else:
         raise AssertionError(mode)
     for f in to_copy:
@@ -372,7 +376,9 @@ def _crashed_rename_state(local_stream: str, mode: str) -> None:
             os.unlink(f)
 
 
-@pytest.mark.parametrize("mode", ["mid_copy", "post_copy", "mid_delete"])
+@pytest.mark.parametrize(
+    "mode", ["mid_copy", "post_copy", "mid_delete", "delete_done"]
+)
 def test_compact_heals_crashed_copy_delete_rename(
     spark, tmp_path, mk_uri, mode
 ):
@@ -380,9 +386,10 @@ def test_compact_heals_crashed_copy_delete_rename(
     step-1 rename on a copy+delete store. States: mid-copy (dst
     partial, src full — source authoritative), post-copy-pre-delete
     (both full — identical content), mid-delete (src partial, dst full
-    — destination authoritative). After the heal, compaction completes
-    with the exact manifest a crash-free run produces and the index
-    serves bit-identically."""
+    — destination authoritative), delete-done (only the empty src dir
+    marker remains — destination authoritative). After the heal,
+    compaction completes with the exact manifest a crash-free run
+    produces and the index serves bit-identically."""
     from real_time_trip_processing_spark.functions.ivf_index import (
         _read_high_water,
     )
