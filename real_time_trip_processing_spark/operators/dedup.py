@@ -160,36 +160,7 @@ def dedup_spans(
     empty content (zero spans), the X1-family rule.
     """
     sw = int(span_words)
-    base = docs.select(
-        F.col(id_col),
-        F.split(
-            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
-        ).alias("__w"),
-    )
-    # EXPLODE-FIRST, build spans after: exploding a computed span array
-    # re-evaluates the whole construction expression once per OUTPUT
-    # row (Catalyst inlines the projection into Generate, and neither a
-    # post-projection exchange nor a nondeterministic sibling stops it
-    # — only a cache barrier did). Measured at 200k docs: explode of
-    # the span array 26 s vs 3 s for exploding the cheap INDEX sequence
-    # and slicing each span once per exploded row. The per-row __w copy
-    # the explode carries never shuffles — the hash exchange below
-    # projects it away first.
-    ex0 = base.select(
-        id_col,
-        "__w",
-        F.posexplode(
-            F.expr(
-                f"sequence(0, greatest(int(ceil(size(__w) / {sw}.0))"
-                " - 1, 0))"
-            )
-        ).alias("idx", "_i"),
-    ).select(
-        id_col,
-        "idx",
-        F.expr(f"array_join(slice(__w, _i * {sw} + 1, {sw}), ' ')")
-        .alias("span"),
-    )
+    ex0 = _span_rows(docs, sw, id_col, text_col)
     # count BEFORE dropping empty spans: every doc emits ≥1 exploded
     # row (the sequence is never empty), so empty/NULL-text docs stay
     # in the audit with n_spans = 0 instead of vanishing
@@ -222,6 +193,53 @@ def dedup_spans(
         )
         .drop("__first", "__h")
     )
+    return _span_audit(per_doc, kept, id_col)
+
+
+def _span_rows(
+    docs: DataFrame, sw: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, idx, span) rows — one per non-overlapping ``sw``-word span.
+
+    EXPLODE-FIRST, build spans after: exploding a computed span array
+    re-evaluates the whole construction expression once per OUTPUT
+    row (Catalyst inlines the projection into Generate, and neither a
+    post-projection exchange nor a nondeterministic sibling stops it
+    — only a cache barrier did). Measured at 200k docs: explode of
+    the span array 26 s vs 3 s for exploding the cheap INDEX sequence
+    and slicing each span once per exploded row. The per-row __w copy
+    the explode carries never shuffles — the hash exchange downstream
+    projects it away first. Every doc emits ≥1 row (the sequence is
+    never empty); empty/NULL text yields one empty-string span so the
+    doc stays visible to audits."""
+    base = docs.select(
+        F.col(id_col),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("__w"),
+    )
+    return base.select(
+        id_col,
+        "__w",
+        F.posexplode(
+            F.expr(
+                f"sequence(0, greatest(int(ceil(size(__w) / {sw}.0))"
+                " - 1, 0))"
+            )
+        ).alias("idx", "_i"),
+    ).select(
+        id_col,
+        "idx",
+        F.expr(f"array_join(slice(__w, _i * {sw} + 1, {sw}), ' ')")
+        .alias("span"),
+    )
+
+
+def _span_audit(per_doc: DataFrame, kept: DataFrame, id_col: str) -> DataFrame:
+    """Reassemble kept spans per doc into the audit frame
+    ``(id, n_spans, n_spans_removed, rebuilt_sha)`` — one doc-keyed
+    aggregate; collect_list is bounded by spans-per-doc (document
+    length), the bound the whole text suite carries."""
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.sha2(
@@ -246,3 +264,70 @@ def dedup_spans(
         .alias("n_spans_removed"),
         F.coalesce(F.col("rebuilt_sha"), empty_sha).alias("rebuilt_sha"),
     )
+
+
+def dedup_spans_incremental(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    span_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    corpus_span_hash_col: str | None = None,
+    _pin_exchange: bool = True,
+) -> DataFrame:
+    """`dedup_spans`, incremental flavor — the per-ingest-cycle shape of
+    C4-style span dedup: spans of a NEW batch survive iff they (a) are
+    the first occurrence within the batch (lowest (doc, position)) and
+    (b) do not occur anywhere in the already-ingested corpus. Returns
+    the same per-incoming-doc audit as `dedup_spans`.
+
+    Equivalence contract (property-tested): when every corpus id orders
+    before every batch id, this equals `dedup_spans(corpus ∪ batch)`
+    restricted to the batch docs — the incremental path must never keep
+    a span the global path would remove, or vice versa.
+
+    Scale shape: batch spans shuffle ONCE by 32-byte content hash
+    (window + anti-join share the key); the corpus side contributes
+    only hashes. At 100 TB pass the persisted span-hash index of prior
+    ingests via ``corpus_span_hash_col`` (bucketed on the hash →
+    co-located anti-join), making the cycle cost proportional to the
+    BATCH; the default re-derives corpus spans each cycle — the
+    small-corpus convenience path (same dial as `dedup_incremental`).
+    """
+    sw = int(span_words)
+    ex0 = _span_rows(incoming, sw, id_col, text_col)
+    per_doc = ex0.groupBy(id_col).agg(
+        F.sum(F.when(F.col("span") != "", 1).otherwise(0))
+        .cast("long")
+        .alias("n_spans")
+    )
+    ex = ex0.filter(F.col("span") != "").withColumn(
+        "__h", F.sha2(F.col("span"), 256)
+    )
+    if _pin_exchange:  # same rationale as dedup_spans
+        n_part = max(
+            1, incoming.sparkSession.sparkContext.defaultParallelism
+        )
+        ex = ex.repartition(n_part, "__h")
+    w = Window.partitionBy("__h")
+    first = F.min(F.struct(F.col(id_col), F.col("idx"))).over(w)
+    batch_first = (
+        ex.withColumn("__first", first)
+        .filter(
+            (F.col(f"__first.{id_col}") == F.col(id_col))
+            & (F.col("__first.idx") == F.col("idx"))
+        )
+        .drop("__first")
+    )
+    if corpus_span_hash_col is not None:
+        corpus_hashes = corpus.select(
+            F.col(corpus_span_hash_col).alias("__h")
+        )
+    else:
+        corpus_hashes = (
+            _span_rows(corpus, sw, id_col, text_col)
+            .filter(F.col("span") != "")
+            .select(F.sha2(F.col("span"), 256).alias("__h"))
+        )
+    kept = batch_first.join(corpus_hashes, "__h", "left_anti").drop("__h")
+    return _span_audit(per_doc, kept, id_col)

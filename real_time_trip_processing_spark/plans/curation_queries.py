@@ -647,6 +647,62 @@ def dataset_split_by_source(spark, sf_dir):
 _SPAN_W = 16
 
 @declare(
+    "dedup_spans_incremental",
+    oracle=rf"""
+    WITH toks AS (SELECT doc_id,
+                         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS w
+                  FROM documents),
+         sp AS (SELECT doc_id,
+                       list_filter(
+                         [array_to_string(w[i:i+{_SPAN_W - 1}], ' ')
+                          FOR i IN range(1, greatest(len(w), 1) + 1, {_SPAN_W})],
+                         s -> s <> '') AS spans
+                FROM toks),
+         ex AS (SELECT doc_id, u.idx AS idx, u.span AS span
+                FROM (SELECT doc_id,
+                             unnest([{{'idx': i - 1, 'span': spans[i]}}
+                                     FOR i IN range(1, len(spans) + 1)]) AS u
+                      FROM sp)),
+         cx AS (SELECT DISTINCT sha256(span) AS h
+                FROM ex WHERE doc_id % 7 <> 0),
+         kept AS (SELECT doc_id, idx, span
+                  FROM (SELECT doc_id, idx, span,
+                               row_number() OVER (PARTITION BY sha256(span)
+                                                  ORDER BY doc_id, idx) AS rn
+                        FROM ex WHERE doc_id % 7 = 0)
+                  WHERE rn = 1
+                    AND sha256(span) NOT IN (SELECT h FROM cx)),
+         reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                        sha256(string_agg(span, ' ' ORDER BY idx)) AS rebuilt_sha
+                 FROM kept GROUP BY doc_id)
+    SELECT s.doc_id, CAST(len(s.spans) AS BIGINT) AS n_spans,
+           CAST(len(s.spans) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_spans_removed,
+           COALESCE(r.rebuilt_sha, sha256('')) AS rebuilt_sha
+    FROM sp s LEFT JOIN reb r USING (doc_id)
+    WHERE s.doc_id % 7 = 0
+    """,
+)
+def _dedup_spans_incremental_q_impl(spark, sf_dir):
+    """`dedup_spans`, incremental flavor
+    (operators/dedup.dedup_spans_incremental): every-7th doc is the new
+    ingest batch, the rest the already-ingested corpus — batch spans
+    survive iff first within the batch AND absent from every corpus
+    document. The per-ingest-cycle shape of C4-style span dedup; equals
+    the global pass restricted to the batch when corpus ids order first
+    (property-tested). The oracle replays split → span →
+    batch-first-occurrence → corpus exclusion → reassembly bit-for-bit
+    (sha256 both sides)."""
+    from ..operators.dedup import dedup_spans_incremental
+
+    docs = table(spark, sf_dir, "documents")
+    return dedup_spans_incremental(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+        span_words=_SPAN_W,
+    )
+
+
+@declare(
     "dedup_spans",
     oracle=rf"""
     WITH toks AS (SELECT doc_id,

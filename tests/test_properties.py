@@ -585,3 +585,41 @@ def test_dedup_spans_matches_brute_force(spark, texts, sw):
         assert removed == len(sp) - len(kept), (i, t, got[i], sp)
         assert sha == want_sha, (i, t)
     assert len(got) == len(texts)
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=40),
+        min_size=2,
+        max_size=12,
+    ),
+    sw=st.sampled_from([2, 4]),
+    split=st.integers(min_value=1, max_value=11),
+)
+def test_dedup_spans_incremental_equals_global(spark, texts, sw, split):
+    """The incremental equivalence contract: when every corpus id
+    orders before every batch id, dedup_spans_incremental(batch,
+    corpus) == dedup_spans(corpus ∪ batch) restricted to batch docs —
+    for ANY split point. The incremental path must never keep a span
+    the global pass removes, or vice versa."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.operators.dedup import (
+        dedup_spans,
+        dedup_spans_incremental,
+    )
+
+    split = min(split, len(texts) - 1)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    corpus = df.filter(F.col("doc_id") < split)
+    batch = df.filter(F.col("doc_id") >= split)
+    inc = dedup_spans_incremental(batch, corpus, span_words=sw)
+    glob = dedup_spans(df, span_words=sw).filter(F.col("doc_id") >= split)
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, inc.collect())) == sorted(
+        map(key, glob.collect())
+    )
