@@ -294,6 +294,27 @@ def dedup_spans_incremental(
     BATCH; the default re-derives corpus spans each cycle — the
     small-corpus convenience path (same dial as `dedup_incremental`).
     """
+    per_doc, kept = _kept_spans_incremental(
+        incoming, corpus, span_words, id_col, text_col,
+        corpus_span_hash_col, _pin_exchange,
+    )
+    return _span_audit(per_doc, kept.drop("__h"), id_col)
+
+
+def _kept_spans_incremental(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    span_words: int,
+    id_col: str,
+    text_col: str,
+    corpus_span_hash_col: str | None,
+    _pin_exchange: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """(per_doc span counts, surviving span rows WITH their ``__h``
+    hash) — the shared core of the batch audit and the streaming sink
+    (which appends the survivors' hashes to its persisted index: kept
+    spans are exactly the hashes the index does not yet contain, so
+    appending them keeps index == every-span-hash-ever-seen)."""
     sw = int(span_words)
     ex0 = _span_rows(incoming, sw, id_col, text_col)
     per_doc = ex0.groupBy(id_col).agg(
@@ -329,5 +350,5 @@ def dedup_spans_incremental(
             .filter(F.col("span") != "")
             .select(F.sha2(F.col("span"), 256).alias("__h"))
         )
-    kept = batch_first.join(corpus_hashes, "__h", "left_anti").drop("__h")
-    return _span_audit(per_doc, kept, id_col)
+    kept = batch_first.join(corpus_hashes, "__h", "left_anti")
+    return per_doc, kept

@@ -98,3 +98,107 @@ def stream_dedup_incremental(
     else:
         raise ValueError("pass corpus or corpus_index")
     return hashed.join(corpus_hashes, "text_hash", "left_anti")
+
+
+def seed_span_index(
+    corpus: DataFrame,
+    index_dir: str,
+    span_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Bootstrap a span-hash index from an already-ingested corpus so a
+    span-dedup stream starts excluding against it: every distinct span
+    hash of the corpus lands in the reserved ``__batch_id = -1``
+    partition (stream batch ids start at 0, so the seed is always
+    visible to `stream_dedup_spans_sink`'s own-batch-excluding read)."""
+    from ..operators.dedup import _span_rows
+
+    (
+        _span_rows(corpus, int(span_words), id_col, text_col)
+        .filter(F.col("span") != "")
+        .select(F.sha2(F.col("span"), 256).alias("span_hash"))
+        .distinct()
+        .withColumn("__batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(index_dir)
+    )
+
+
+def stream_dedup_spans_sink(
+    index_dir: str,
+    audit_dir: str,
+    span_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming SPAN-level dedup — the continuous-ingest twin of
+    ``operators/dedup.dedup_spans_incremental``, as a ``foreachBatch``
+    sink: each micro-batch's spans are deduped against (a) the batch
+    itself (lowest (doc, position) wins — the batch op's deterministic
+    rule, which streaming ``dropDuplicates`` on span rows could not
+    give) and (b) every span seen by PRIOR batches via the persisted
+    span-hash index at ``index_dir``; the per-doc audit
+    ``(id, n_spans, n_spans_removed, rebuilt_sha)`` lands under
+    ``audit_dir``.
+
+    Exactly-once under replay WITHOUT a ledger: both writes are
+    partitioned by ``__batch_id`` with dynamic overwrite (the
+    `upsert_foreach_batch` trick), and the index read EXCLUDES the
+    running batch's own partition (``__batch_id < batch_id`` — a
+    partition-pruned filter). A replayed batch therefore sees exactly
+    the index state its first attempt saw and overwrites exactly its
+    own output partitions — bit-identical rerun, no double-exclusion
+    of its own spans and no duplicate hashes.
+
+    The index stays minimal by construction: kept spans are precisely
+    the hashes the index lacks, so appending them maintains
+    index == {every span hash ever seen}, one row per hash. Seed it
+    from an existing corpus with `seed_span_index`. Scale shape per
+    batch: the batch's span rows shuffle once by 32-byte hash; the
+    index side ships hashes only (at 100 TB, bucket the index on
+    span_hash for a co-located anti-join).
+    """
+    from ..operators.dedup import _kept_spans_incremental, _span_audit
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            # the own-batch exclusion ALSO makes cache-eviction
+            # recomputes safe: if `kept` is recomputed after this
+            # batch's index partition landed, the re-read still
+            # excludes it — the lineage sees the same index state as
+            # the first evaluation
+            idx = spark.read.parquet(index_dir).filter(
+                F.col("__batch_id") < int(batch_id)
+            )
+        except Exception:  # first batch, nothing seeded — empty index
+            idx = spark.createDataFrame([], "span_hash string")
+        per_doc, kept = _kept_spans_incremental(
+            batch_df, idx, span_words, id_col, text_col,
+            corpus_span_hash_col="span_hash",
+        )
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            audit = _span_audit(per_doc, kept.drop("__h"), id_col)
+            (
+                audit.withColumn("__batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(audit_dir)
+            )
+            (
+                kept.select(F.col("__h").alias("span_hash"))
+                .withColumn("__batch_id", F.lit(int(batch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__batch_id")
+                .parquet(index_dir)
+            )
+        finally:
+            kept.unpersist()
+
+    return apply

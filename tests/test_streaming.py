@@ -802,6 +802,97 @@ def test_stream_dedup_incremental_vs_corpus(spark, tmp_path):
     assert len(ids) == 2
 
 
+def _span_rows_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_dedup_spans_cross_batch_and_replay(spark, tmp_path):
+    """Streaming span dedup (foreachBatch sink): spans seen by an
+    earlier batch are removed in later ones; batch output equals the
+    batch twin `dedup_spans_incremental` run against the accumulated
+    index; a REPLAYED batch reproduces its first attempt bit-for-bit
+    (own-partition-excluding index read + dynamic overwrite) and leaves
+    the index semantically unchanged."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.operators.dedup import dedup_spans
+    from real_time_trip_processing_spark.streaming.dedup import (
+        stream_dedup_spans_sink,
+    )
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d x y z w"),          # first span dups doc 0
+        (10, "x y z w q r s t"),          # first span dups doc 1's tail
+        (11, None),
+        (20, "q r s t a b c d new1 new2 new3 new4"),  # dups both batches
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    b0 = df.filter(F.col("doc_id") < 10)
+    b1 = df.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    b2 = df.filter(F.col("doc_id") >= 20)
+    idx_dir = str(tmp_path / "span_idx")
+    audit_dir = str(tmp_path / "audit")
+    sink = stream_dedup_spans_sink(idx_dir, audit_dir, span_words=4)
+
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b2, 2)
+
+    # the stream's accumulated audit == the GLOBAL batch pass (ids
+    # arrive in id order, so first-occurrence precedence coincides)
+    got = _span_rows_sorted(
+        spark.read.parquet(audit_dir).drop("__batch_id")
+    )
+    want = _span_rows_sorted(dedup_spans(df, span_words=4))
+    assert got == want
+
+    # index holds every span hash ever seen, exactly once
+    idx = spark.read.parquet(idx_dir)
+    n_hashes = idx.count()
+    assert n_hashes == idx.select("span_hash").distinct().count()
+
+    # REPLAY batch 1 (at-least-once delivery): same audit rows, same
+    # index contents — bit-identical rerun, no double exclusion
+    sink(b1, 1)
+    assert _span_rows_sorted(
+        spark.read.parquet(audit_dir).drop("__batch_id")
+    ) == want
+    assert spark.read.parquet(idx_dir).count() == n_hashes
+
+
+def test_stream_dedup_spans_seeded_corpus(spark, tmp_path):
+    """seed_span_index: a pre-ingested corpus excludes stream spans
+    from batch 0 onwards, equal to the batch twin against that corpus."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.operators.dedup import (
+        dedup_spans_incremental,
+    )
+    from real_time_trip_processing_spark.streaming.dedup import (
+        seed_span_index,
+        stream_dedup_spans_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "a b c d p q r s"), (11, "")], "doc_id long, text string"
+    )
+    idx_dir = str(tmp_path / "seeded_idx")
+    audit_dir = str(tmp_path / "audit")
+    seed_span_index(corpus, idx_dir, span_words=4)
+    stream_dedup_spans_sink(idx_dir, audit_dir, span_words=4)(batch, 0)
+    got = _span_rows_sorted(
+        spark.read.parquet(audit_dir).drop("__batch_id")
+    )
+    want = _span_rows_sorted(
+        dedup_spans_incremental(batch, corpus, span_words=4)
+    )
+    assert got == want
+
+
 def test_stream_dedup_corpus_index_caller_owned(spark, tmp_path):
     """Production corpus path: the caller builds the persisted hash
     index (corpus_hash_index), the stream anti-joins it, and the caller
