@@ -27,7 +27,11 @@ Layout under ``index_dir``::
 
 Lifecycle: `*_build` (full), `ivf_index_append` (O(delta) growth —
 assign the delta against stored centroids, append to cells, advance
-the manifest), `*_ensure` (content-addressed skip/rebuild).
+the manifest), `*_ensure` (content-addressed skip/rebuild),
+`*_index_delete` (targeted erasure — partition-scoped rewrite, the
+index-side twin of the lake's GDPR purge; serve results afterwards
+are bit-identical to a rebuild over the purged corpus with the same
+codebook, and the manifest reads FRESH against the purged corpus).
 
 Single-index concurrency: every mutating entry point (builds, appends,
 the streaming sink's per-batch apply) serializes on the single-writer
@@ -116,6 +120,7 @@ __all__ = [
     "ivfpq_index_build", "ivfpq_index_ensure", "ivfpq_persisted_topk",
     "ivfpq_index_append", "ivf_index_compact_stream",
     "ivf_index_reset_stream",
+    "ivf_index_delete", "ivfpq_index_delete",
     "ann_join_persisted", "streaming_index_append", "read_index_cells",
 ]
 
@@ -184,6 +189,18 @@ def _st_touch(path: str, text: str, spark: SparkSession | None = None) -> None:
             f.write(text)
         return
     fs_write_text(_require_spark(spark, path), path, text)
+
+
+def _st_read_text(path: str, spark: SparkSession | None = None) -> str | None:
+    """Small-file text read; None when absent (dual-path twin of
+    ``_st_touch`` — the delete intent marker round-trips through it)."""
+    if not is_uri(path):
+        try:
+            with open(path) as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+    return fs_read_text(_require_spark(spark, path), path)
 
 
 def _read_high_water(index_dir: str, spark: SparkSession | None = None) -> int:
@@ -1572,6 +1589,318 @@ def ivf_index_reset_stream(
         for staging in ("applied_batches", "cells_stream"):
             _st_rmtree(os.path.join(index_dir, staging), spark)
         _st_unlink(_high_water_path(index_dir), spark)
+
+
+def _delete_ids_frame(
+    spark: SparkSession, ids, id_col: str, id_type: str
+) -> DataFrame:
+    """Normalize the caller's id set — a DataFrame (column ``id_col`` or
+    its only column) or a plain iterable — into a distinct single-column
+    frame cast to the CELLS' stored id type, so the semi/anti joins
+    below never fall into a cast-both-sides plan that defeats pruning."""
+    if isinstance(ids, DataFrame):
+        col = id_col if id_col in ids.columns else ids.columns[0]
+        picked = ids.select(F.col(col).cast(id_type).alias("__del_id"))
+    else:
+        picked = spark.createDataFrame(
+            [(i,) for i in ids], f"__del_id {id_type}"
+        )
+    return picked.where(F.col("__del_id").isNotNull()).distinct()
+
+
+def _index_delete(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    layout: str,
+    cells_name: str,
+    cell_id_col: str,
+    id_col: str,
+) -> dict:
+    """Shared core of `ivf_index_delete` / `ivfpq_index_delete` —
+    targeted erasure from one persisted layout, the index-side twin of
+    the lake's right-to-be-forgotten purge (operators/maintenance.py
+    `delete_rows`): a GDPR purge that rewrites the lake but leaves the
+    user's vectors serving from the ANN index has not erased anything.
+
+    Shape: ONE full scan of the cells finds the hit rows (their count,
+    their summed ``row_fp`` — the per-row fingerprint term stored at
+    build time exactly so deletes can subtract it — and their cell
+    set); then ONLY the affected ``cent_id`` partitions are rewritten.
+    O(corpus) read, O(affected cells) write — the same partition-scoped
+    rewrite contract as the lake's `delete_rows`. The manifest moves to
+    (n_rows − deleted, fingerprint − Σ row_fp mod M), so a subsequent
+    `*_ensure` over the purged corpus reads FRESH — delete never forces
+    the O(corpus) rebuild it exists to avoid. At 100 TB, if single
+    cells outgrow a comfortable rewrite, split cells first (the build's
+    repartitionByRange note) — tombstones were rejected deliberately:
+    they tax every serve read forever to make the rare delete cheaper,
+    and the eventual tombstone-folding compaction IS this rewrite.
+
+    Crash-safe stage-and-swap under the single-writer lock (a direct
+    dynamic-partition overwrite would trip Spark's self-read guard and
+    give per-partition commit no retry anchor):
+
+    1. write a ``<cells>.delete_intent`` marker recording the ABSOLUTE
+       target manifest, the affected/emptied cell lists, the deleted
+       count, and a content hash of the id set — the retry anchor. A
+       retry MUST present the same ids (hash-checked): the deltas were
+       computed against the pre-delete cells and would be wrong for any
+       other set.
+    2. write the kept rows of affected cells to a ``<cells>.deleting``
+       staging dir; commit it with a ``.staged`` marker. Guarded on
+       that marker: a retry that finds it SKIPS recompute — after any
+       swap in step 3, live cells no longer hold the kept rows of
+       swapped partitions, so recomputing here would stage empty
+       partitions and lose the survivors.
+    3. per affected cell, in either order across cells: drop the old
+       partition dir (recorded with a per-cell ``.dropped`` marker in
+       the staging dir), then rename the staged one in. Idempotent per
+       cell because the staged dir IS the progress record — a swapped
+       cell's staging is gone, so a retry skips it; the old dir is
+       only dropped while its staged replacement exists. A crashed
+       copy+delete rename (S3A) that leaves BOTH dirs is healed by the
+       compact fold's file-count rule, made unambiguous by the marker:
+       with ``.dropped`` present the destination can only be new
+       content, so src >= dst means the copy phase was still running
+       (redo the rename) and dst > src means deletes began (dst
+       complete — drop the source remnant). Emptied cells (every row
+       deleted) just drop. Readers (no lock) can observe a cell
+       briefly absent mid-swap — the same bounded invisibility window
+       the stream compaction documents, never duplicates and never
+       resurrection.
+    4. commit the target manifest; 5. clear marker, then staging.
+       Every crash point re-converges by rerunning with the same ids:
+       before ``.staged`` the recompute is against untouched cells;
+       after it, steps 3-5 are pure replays.
+
+    Preconditions (checked, loud): no stream staging/ledger — each
+    ledger row carries its batch's (rows, fingerprint delta), which a
+    delete would silently falsify; compact the stream into the base
+    first. Cells must carry ``row_fp`` (pre-round-7 layouts: rebuild).
+    Cells/manifest parity is verified before any mutation.
+
+    Erasure caveat (documented, not hidden): this removes every STORED
+    copy of the vectors (quantized ints / PQ codes). The coarse
+    codebook — and PQ books — persist. A kmeans-trained codebook holds
+    cluster means (aggregates); but the default first-N-ids codebook
+    copies seed vectors VERBATIM, so strict erasure of a seed vector
+    requires a rebuild with a retrained or explicitly-seeded codebook.
+    """
+    import json
+
+    with _index_lock(index_dir, spark):
+        for staged in ("cells_stream", "applied_batches"):
+            if _st_exists(os.path.join(index_dir, staged), spark):
+                raise RuntimeError(
+                    f"index {index_dir!r} has live stream staging "
+                    f"({staged}): run ivf_index_compact_stream first — "
+                    "deleting from under the ledger would falsify its "
+                    "per-batch (rows, fingerprint) deltas."
+                )
+        prev = _read_manifest(spark, index_dir, layout)
+        int(prev["fingerprint"])  # reject pre-fingerprint layouts up front
+        cells_dir = os.path.join(index_dir, cells_name)
+        cells = spark.read.parquet(cells_dir)
+        if "row_fp" not in cells.columns:
+            raise RuntimeError(
+                f"{cells_name} predates per-row fingerprints (no row_fp "
+                "column) — rebuild the index to enable targeted deletes."
+            )
+        id_type = dict(cells.dtypes)[cell_id_col]
+        del_ids = _delete_ids_frame(spark, ids, id_col, id_type).persist()
+        intent_path = os.path.join(index_dir, f"{cells_name}.delete_intent")
+        staging = os.path.join(index_dir, f"{cells_name}.deleting")
+        staged_marker = os.path.join(staging, ".staged")
+        try:
+            idr = del_ids.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(
+                        F.xxhash64(F.col("__del_id").cast("string")).cast(
+                            "decimal(38,0)"
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("s"),
+            ).collect()[0]
+            ids_n, ids_fp = int(idr["n"]), int(idr["s"]) % _FP_MOD
+            intent_txt = _st_read_text(intent_path, spark)
+            if intent_txt is None:
+                _check_cells_parity(
+                    spark, index_dir, cells_name, int(prev["n_rows"])
+                )
+                hit = cells.join(
+                    del_ids,
+                    F.col(cell_id_col) == F.col("__del_id"),
+                    "left_semi",
+                )
+                agg = hit.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.sum(F.col("row_fp").cast("decimal(38,0)")),
+                        F.lit(0),
+                    ).alias("s"),
+                    F.collect_set("cent_id").alias("cents"),
+                ).collect()[0]
+                dn = int(agg["n"])
+                if dn == 0:
+                    manifest = dict(prev.asDict())
+                    manifest["n_deleted"] = 0
+                    return manifest
+                dfp = int(agg["s"]) % _FP_MOD
+                affected = sorted(int(c) for c in agg["cents"])
+                kept_cents = {
+                    int(r["cent_id"])
+                    for r in cells.filter(F.col("cent_id").isin(affected))
+                    .join(
+                        del_ids,
+                        F.col(cell_id_col) == F.col("__del_id"),
+                        "left_anti",
+                    )
+                    .select("cent_id")
+                    .distinct()
+                    .collect()
+                }
+                emptied = sorted(set(affected) - kept_cents)
+                intent = {
+                    "target": {
+                        "n_rows": int(prev["n_rows"]) - dn,
+                        "fingerprint": (int(prev["fingerprint"]) - dfp)
+                        % _FP_MOD,
+                        "n_centroids": int(prev["n_centroids"]),
+                        "dim": int(prev["dim"]),
+                        "codebook_fp": int(
+                            prev.asDict().get("codebook_fp") or 0
+                        ),
+                    },
+                    "affected": affected,
+                    "emptied": emptied,
+                    "n_deleted": dn,
+                    "ids_n": ids_n,
+                    "ids_fp": ids_fp,
+                }
+                _st_touch(intent_path, json.dumps(intent), spark)
+            else:
+                intent = json.loads(intent_txt)
+                if (intent["ids_n"], intent["ids_fp"]) != (ids_n, ids_fp):
+                    raise RuntimeError(
+                        f"a crashed delete on {cells_name} is pending with "
+                        "a DIFFERENT id set — retry it with the original "
+                        "ids to converge (its deltas were computed against "
+                        "the pre-delete cells), or rebuild the index."
+                    )
+            target = intent["target"]
+            affected = [int(c) for c in intent["affected"]]
+            emptied = {int(c) for c in intent["emptied"]}
+            to_stage = [c for c in affected if c not in emptied]
+            if not _st_exists(staged_marker, spark):
+                # recompute ONLY while no swap has happened (guarded by
+                # the .staged marker — see step 2 of the docstring)
+                _st_rmtree(staging, spark)
+                if to_stage:
+                    (
+                        cells.filter(F.col("cent_id").isin(to_stage))
+                        .join(
+                            del_ids,
+                            F.col(cell_id_col) == F.col("__del_id"),
+                            "left_anti",
+                        )
+                        .repartition(max(1, len(to_stage)), "cent_id")
+                        .write.partitionBy("cent_id")
+                        .mode("overwrite")
+                        .parquet(staging)
+                    )
+                else:
+                    _st_mkdirs_local_or_fs(staging, spark)
+                _st_touch(staged_marker, "staged", spark)
+            for c in affected:
+                old = os.path.join(cells_dir, f"cent_id={c}")
+                if c in emptied:
+                    _st_rmtree(old, spark)
+                    continue
+                src = os.path.join(staging, f"cent_id={c}")
+                if not _st_exists(src, spark):
+                    continue  # already swapped by a prior attempt
+                dropped = os.path.join(staging, f".dropped_{c}")
+                if not _st_exists(dropped, spark):
+                    # first visit: the live partition still holds the
+                    # PRE-delete content — disposable, src (complete,
+                    # under .staged) holds every kept row
+                    _st_rmtree(old, spark)
+                    _st_touch(dropped, "dropped", spark)
+                if _st_exists(old, spark):
+                    # only a CRASHED copy+delete rename (S3A) reaches
+                    # here: old is partial-or-complete NEW content (the
+                    # .dropped marker proves the pre-delete dir is
+                    # gone). Same count heal as the compact fold: a
+                    # source key is deleted only after its copy, so
+                    # src >= old means the copy phase was still running
+                    # (src authoritative) and old > src means deletes
+                    # began (old complete — authoritative).
+                    if _st_count_files(src, spark) >= _st_count_files(
+                        old, spark
+                    ):
+                        _st_rmtree(old, spark)
+                        _st_rename(src, old, spark)
+                    else:
+                        _st_rmtree(src, spark)
+                else:
+                    _st_rename(src, old, spark)
+            _write_manifest(spark, index_dir, target, layout)
+            _st_unlink(intent_path, spark)
+            _st_rmtree(staging, spark)
+            manifest = dict(target)
+            manifest["n_deleted"] = int(intent["n_deleted"])
+            return manifest
+        finally:
+            del_ids.unpersist()
+
+
+def _st_mkdirs_local_or_fs(path: str, spark: SparkSession | None) -> None:
+    if not is_uri(path):
+        os.makedirs(path, exist_ok=True)
+        return
+    from ..fsio import fs_mkdirs
+
+    fs_mkdirs(_require_spark(spark, path), path)
+
+
+def ivf_index_delete(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    id_col: str = "vec_id",
+) -> dict:
+    """Erase ``ids`` from the persisted IVF layout (right-to-be-
+    forgotten / retention). ``ids``: a DataFrame (column ``id_col`` or
+    its only column) or a plain iterable. Returns the advanced manifest
+    plus ``n_deleted``. Semantics, crash matrix, scale shape and the
+    codebook-erasure caveat: `_index_delete`. Serve results afterwards
+    are bit-identical to an index REBUILT over the purged corpus with
+    the same codebook (test-pinned) — and `ivf_index_ensure` over the
+    purged corpus reads fresh, so the delete never triggers the rebuild
+    it replaces."""
+    return _index_delete(
+        spark, index_dir, ids, "ivf", "cells", id_col, id_col
+    )
+
+
+def ivfpq_index_delete(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+    id_col: str = "vec_id",
+) -> dict:
+    """Erase ``ids`` from the persisted IVF-PQ layout (``cells_pq``
+    stores the id as ``cand_id`` regardless of the build's source
+    column; ``id_col`` only names the caller's DataFrame column).
+    Contract and crash matrix: `_index_delete`. The PQ books persist —
+    they are subspace kmeans aggregates, but see the codebook caveat
+    for default-seeded COARSE centroids."""
+    return _index_delete(
+        spark, index_dir, ids, "pq", "cells_pq", "cand_id", id_col
+    )
 
 
 def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -328,6 +328,80 @@ def claim_compact(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def claim_delete(spark) -> dict:
+    """Round-8 erasure claim (tests/test_index_delete.py at full
+    matrix): `ivf_index_delete` is the index-side GDPR purge — serve
+    results afterwards are BIT-IDENTICAL to an index rebuilt over the
+    purged corpus with the same codebook, the manifest reads FRESH
+    against the purged corpus (the delete replaces the O(corpus)
+    rebuild instead of triggering it), deleted ids never serve, and
+    only the affected cells are rewritten (unaffected partition files
+    are byte-untouched)."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _load_centroids,
+        ivf_index_build,
+        ivf_index_delete,
+        ivf_index_is_fresh,
+        ivf_persisted_topk,
+    )
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    del_ids = [3, 17, 40, 41]
+    queries = emb.filter(F.col("vec_id") < 6)
+    work = tempfile.mkdtemp(prefix="repro_delete_")
+    try:
+        idx, idx2 = os.path.join(work, "idx"), os.path.join(work, "idx2")
+        ivf_index_build(emb, idx, n_centroids=16)
+        stored = _load_centroids(spark, idx)
+        before = {}  # (path, mtime, size) of every cell file pre-delete
+        for root, _, fns in os.walk(os.path.join(idx, "cells")):
+            for fn in fns:
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                before[p] = (st.st_mtime_ns, st.st_size)
+        t0 = time.monotonic()
+        res = ivf_index_delete(spark, idx, del_ids)
+        delete_sec = round(time.monotonic() - t0, 2)
+        purged = emb.filter(~F.col("vec_id").isin(del_ids))
+        ivf_index_build(purged, idx2, n_centroids=16, codebook=stored)
+        got = sorted(tuple(r) for r in ivf_persisted_topk(
+            spark, idx, queries, k=3, nprobe=4).collect())
+        want = sorted(tuple(r) for r in ivf_persisted_topk(
+            spark, idx2, queries, k=3, nprobe=4).collect())
+        # unaffected partitions byte-untouched (partition-scoped claim)
+        survivors = [p for p in before if os.path.exists(p)]
+        untouched = sum(
+            1 for p in survivors
+            if (os.stat(p).st_mtime_ns, os.stat(p).st_size) == before[p]
+        )
+        fresh_flip = (
+            ivf_index_is_fresh(spark, purged, idx, 16)
+            and not ivf_index_is_fresh(spark, emb, idx, 16)
+        )
+        ok = (
+            got == want
+            and res["n_deleted"] == len(del_ids)
+            and fresh_flip
+            and not any(r[1] in del_ids for r in got)
+            and untouched > 0
+        )
+        return {
+            "ok": ok,
+            "serve_equals_rebuild_minus": got == want,
+            "freshness_flips": fresh_flip,
+            "untouched_files": untouched,
+            "total_files_before": len(before),
+            "delete_sec": delete_sec,
+            "claim": "index delete == rebuild-over-purged-corpus "
+                     "(same codebook); partition-scoped rewrite",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def claim_lsh_cap(spark) -> dict:
     from pyspark.sql import functions as F
 
@@ -417,6 +491,7 @@ def main() -> None:
         ("recall", lambda: claim_recall(spark)),
         ("ivf_index", lambda: claim_ivf_index(spark)),
         ("compact", lambda: claim_compact(spark)),
+        ("delete", lambda: claim_delete(spark)),
         ("lsh_cap", lambda: claim_lsh_cap(spark)),
     ):
         t0 = time.monotonic()
