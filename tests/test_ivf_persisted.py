@@ -882,3 +882,47 @@ def test_reset_stream_crash_residue_is_not_poisonous(spark, tmp_path):
     # fresh stream batch 0 applies
     streaming_index_append(idx)(d1, 0)
     assert read_index_cells(spark, idx).count() == emb.count()
+
+
+def test_serve_state_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The driver-side serve-state memo (round 8: codebooks/books are
+    collected once per CONTENT, keyed on the layout dir's file
+    signature) must never serve stale geometry: a rebuild of the SAME
+    index dir with a DIFFERENT codebook must flow into the very next
+    serve call — pinned by comparing against an identically-rebuilt
+    index at a fresh path (no cache entry possible)."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _load_centroids,
+    )
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cb_a = [
+        (int(r[0]), list(r[1]))
+        for r in emb.filter(F.col("vec_id") < 16)
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    ]
+    cb_b = [
+        (int(r[0]), list(r[1]))
+        for r in emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 116))
+        .select("vec_id", F.col("embedding").cast("array<double>"))
+        .collect()
+    ]
+    cb_b = [(i, v) for i, (_, v) in enumerate(cb_b)]
+    idx, fresh = str(tmp_path / "idx"), str(tmp_path / "fresh")
+    ivf_index_build(emb, idx, n_centroids=16, codebook=cb_a)
+    _ = ivf_persisted_topk(spark, idx, queries, k=3, nprobe=4)  # warm cache
+    assert sorted(_load_centroids(spark, idx)) == sorted(
+        (int(c), [float(x) for x in v]) for c, v in cb_a
+    )
+    # rebuild IN PLACE with different geometry, then serve immediately
+    ivf_index_build(emb, idx, n_centroids=16, codebook=cb_b)
+    ivf_index_build(emb, fresh, n_centroids=16, codebook=cb_b)
+    got = _rows(ivf_persisted_topk(spark, idx, queries, k=3, nprobe=2))
+    want = _rows(ivf_persisted_topk(spark, fresh, queries, k=3, nprobe=2))
+    assert got == want
+    assert sorted(_load_centroids(spark, idx)) == sorted(
+        (int(c), [float(x) for x in v]) for c, v in cb_b
+    )
