@@ -1945,6 +1945,8 @@ def _index_delete(
             _st_rmtree(staging, spark)
             manifest = dict(target)
             manifest["n_deleted"] = int(intent["n_deleted"])
+            manifest["n_cells_rewritten"] = len(affected) - len(emptied)
+            manifest["n_cells_emptied"] = len(emptied)
             return manifest
         finally:
             del_ids.unpersist()

@@ -167,8 +167,51 @@ def main() -> None:
     ).collect()))
     res["pre_compact_parity"] = pre_rows == want
     res["post_compact_parity"] = post_rows == want
+
+    # --- targeted erasure on the folded 1M layout (round 8) ---------
+    # two shapes: a "single user" (10 ids -> <= 10 cells rewritten,
+    # the common GDPR case) and a scattered 1,000-id purge (random ids
+    # land in ~all 256 cells — the honest worst case, approaching a
+    # full cells rewrite). Both verified: manifest == purged corpus
+    # (is_fresh), deleted ids never served.
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_delete,
+        ivf_index_is_fresh,
+    )
+
+    gone: set[int] = set()
+    for label, ids in (
+        ("delete_10", list(range(N_QUERIES, N_QUERIES + 10))),
+        ("delete_1000", list(range(half - 1000, half))),
+    ):
+        t0 = time.monotonic()
+        d = ivf_index_delete(spark, idx, ids)
+        res[f"{label}_sec"] = round(time.monotonic() - t0, 2)
+        res[f"{label}_cells_rewritten"] = d["n_cells_rewritten"]
+        res[f"{label}_cells_emptied"] = d["n_cells_emptied"]
+        gone.update(ids)
+        assert d["n_deleted"] == len(ids), (label, d)
+        print(f"{label}: {res[f'{label}_sec']}s "
+              f"({d['n_cells_rewritten']} cells rewritten)", flush=True)
+    purged = emb.filter(~F.col("vec_id").isin(list(gone)))
+    res["delete_freshness"] = ivf_index_is_fresh(
+        spark, purged, idx, N_CENTROIDS, codebook=cb
+    )
+    t0 = time.monotonic()
+    after_rows = sorted(map(tuple, ivf_persisted_topk(
+        spark, idx, queries, k=K, nprobe=NPROBE
+    ).collect()))
+    res["serve_post_delete_sec"] = round(time.monotonic() - t0, 2)
+    res["deleted_never_served"] = not any(
+        r[1] in gone for r in after_rows
+    )
+    print(f"post-delete: fresh={res['delete_freshness']} "
+          f"serve {res['serve_post_delete_sec']}s", flush=True)
+
     res["ok"] = bool(res["pre_compact_parity"] and res["post_compact_parity"]
-                     and n_union == args.rows)
+                     and n_union == args.rows
+                     and res["delete_freshness"]
+                     and res["deleted_never_served"])
 
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(res))
