@@ -1783,14 +1783,19 @@ def _index_delete(
     import json
 
     with _index_lock(index_dir, spark):
-        for staged in ("cells_stream", "applied_batches"):
-            if _st_exists(os.path.join(index_dir, staged), spark):
-                raise RuntimeError(
-                    f"index {index_dir!r} has live stream staging "
-                    f"({staged}): run ivf_index_compact_stream first — "
-                    "deleting from under the ledger would falsify its "
-                    "per-batch (rows, fingerprint) deltas."
-                )
+        if layout == "ivf":
+            # stream staging + ledger belong to the IVF layout ONLY
+            # (streaming_index_append writes IVF cells; PQ has no
+            # streaming ingest), so a PQ delete is safe alongside them
+            # — the lock already serializes against in-flight batches
+            for staged in ("cells_stream", "applied_batches"):
+                if _st_exists(os.path.join(index_dir, staged), spark):
+                    raise RuntimeError(
+                        f"index {index_dir!r} has live stream staging "
+                        f"({staged}): run ivf_index_compact_stream first "
+                        "— deleting from under the ledger would falsify "
+                        "its per-batch (rows, fingerprint) deltas."
+                    )
         prev = _read_manifest(spark, index_dir, layout)
         int(prev["fingerprint"])  # reject pre-fingerprint layouts up front
         cells_dir = os.path.join(index_dir, cells_name)

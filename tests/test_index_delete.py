@@ -351,3 +351,24 @@ def test_delete_lifecycle_on_uri(spark, tmp_path, mk_uri):
     local = str(tmp_path / "idx")
     assert not os.path.exists(os.path.join(local, "cells.delete_intent"))
     assert not os.path.exists(os.path.join(local, "cells.deleting"))
+
+
+def test_pq_delete_allowed_alongside_ivf_stream_staging(spark, tmp_path):
+    """Stream staging and the ledger belong to the IVF layout only —
+    a PQ delete must proceed alongside them (the write lock already
+    serializes against in-flight batches), while the IVF delete keeps
+    refusing."""
+    emb = _corpus(spark)
+    idx = str(tmp_path / "idx")
+    ivf_index_build(emb, idx, n_centroids=16)
+    books = pq_train(emb, m=8, k=16, dim=64)
+    ivfpq_index_build(emb, idx, books, n_centroids=16, dim=64)
+    os.makedirs(os.path.join(idx, "cells_stream"))
+    with pytest.raises(RuntimeError, match="compact"):
+        ivf_index_delete(spark, idx, DEL_IDS)
+    res = ivfpq_index_delete(spark, idx, DEL_IDS)
+    assert res["n_deleted"] == len(DEL_IDS)
+    got = ivfpq_persisted_topk(
+        spark, idx, emb.filter(F.col("vec_id") < 4), k=3, nprobe=16
+    )
+    assert not any(r[1] in DEL_IDS for r in _rows(got))
