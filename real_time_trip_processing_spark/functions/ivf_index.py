@@ -650,6 +650,12 @@ def ivf_index_build(
         for staging in ("cells_stream", "applied_batches"):
             _st_rmtree(os.path.join(index_dir, staging), spark)
         _st_unlink(_high_water_path(index_dir), spark)
+        # a rebuild is also the universal repair for a crashed DELETE —
+        # clear its intent marker and staged rows, or a later retry of
+        # that delete would swap STALE staged partitions into the
+        # freshly rebuilt cells (the same poisoned-retry class the
+        # stream-staging clear above prevents)
+        _clear_delete_debris(index_dir, "cells", spark)
         # driver-small artifact: one file, not one-per-parallelism —
         # serve paths list + collect this dir on every memo validation
         spark.createDataFrame(
@@ -859,6 +865,8 @@ def ivfpq_index_build(
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
     cells = _pq_cells_frame(corpus, rows, books, dim, id_col, vec_col)
     with _index_lock(index_dir, spark):
+        # rebuild clears crashed-delete debris — see ivf_index_build
+        _clear_delete_debris(index_dir, "cells_pq", spark)
         cells.repartition(
             max(1, int(n_centroids)), "cent_id"
         ).write.partitionBy("cent_id").mode("overwrite").parquet(
@@ -1682,6 +1690,20 @@ def ivf_index_reset_stream(
         for staging in ("applied_batches", "cells_stream"):
             _st_rmtree(os.path.join(index_dir, staging), spark)
         _st_unlink(_high_water_path(index_dir), spark)
+
+
+def _clear_delete_debris(
+    index_dir: str, cells_name: str, spark: SparkSession | None
+) -> None:
+    """Remove a crashed delete's intent marker and staged rows — called
+    by the BUILDS inside their locked section, because a rebuild is the
+    documented universal repair and must reset the delete lifecycle the
+    way it resets the stream lifecycle: a retry of the crashed delete
+    against a rebuilt index would otherwise swap stale staged
+    partitions (kept rows of the PRE-rebuild cells) into the new
+    layout and then commit the pre-rebuild target manifest over it."""
+    _st_unlink(os.path.join(index_dir, f"{cells_name}.delete_intent"), spark)
+    _st_rmtree(os.path.join(index_dir, f"{cells_name}.deleting"), spark)
 
 
 def _delete_ids_frame(

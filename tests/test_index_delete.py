@@ -372,3 +372,27 @@ def test_pq_delete_allowed_alongside_ivf_stream_staging(spark, tmp_path):
         spark, idx, emb.filter(F.col("vec_id") < 4), k=3, nprobe=16
     )
     assert not any(r[1] in DEL_IDS for r in _rows(got))
+
+
+def test_rebuild_clears_crashed_delete_debris(spark, tmp_path, monkeypatch):
+    """A rebuild is the universal repair: after a crashed delete, a
+    rebuild must clear the intent marker and staged rows — otherwise a
+    retry of the delete would swap the PRE-rebuild staging into the
+    fresh cells and commit the pre-rebuild manifest over it (silent
+    resurrection of pre-rebuild content + a wrong fingerprint)."""
+    emb = _corpus(spark)
+    idx = str(tmp_path / "idx")
+    ivf_index_build(emb, idx, n_centroids=16)
+    assert _delete_with_crash(
+        spark, idx, DEL_IDS, "_st_rename", lambda a: True, monkeypatch
+    )
+    assert os.path.exists(os.path.join(idx, "cells.delete_intent"))
+    assert os.path.exists(os.path.join(idx, "cells.deleting"))
+    ivf_index_build(emb, idx, n_centroids=16)  # the repair
+    assert not os.path.exists(os.path.join(idx, "cells.delete_intent"))
+    assert not os.path.exists(os.path.join(idx, "cells.deleting"))
+    assert ivf_index_is_fresh(spark, emb, idx, 16)
+    # the delete now runs FRESH against the rebuilt index and converges
+    res = ivf_index_delete(spark, idx, DEL_IDS)
+    assert res["n_deleted"] == len(DEL_IDS)
+    _assert_converged(spark, idx, emb, DEL_IDS)
