@@ -103,12 +103,16 @@ def fs_delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(p, recursive))
 
 
-def fs_count_files(spark: SparkSession, path: str) -> int:
+def fs_count_files(
+    spark: SparkSession, path: str, suffix: str | None = None
+) -> int:
     """Recursive count of FILES (not dirs) under ``path``; 0 if absent.
     Used by the fold's crashed-rename heal: S3A's copy+delete rename
     deletes a source key only after copying it, so whichever side of a
     crashed rename holds >= files is authoritative (ties mean the copy
-    phase completed — both sides hold identical content)."""
+    phase completed — both sides hold identical content). With
+    ``suffix`` only matching names count (e.g. ``.parquet`` to ask
+    "does this staging hold any DATA files, or only markers?")."""
     fs, p, _ = _fs_path(spark, path)
     if not fs.exists(p):
         return 0
@@ -121,7 +125,9 @@ def fs_count_files(spark: SparkSession, path: str) -> int:
         for st in fs.listStatus(stack.pop()):
             if st.isDirectory():
                 stack.append(st.getPath())
-            else:
+            elif suffix is None or str(st.getPath().getName()).endswith(
+                suffix
+            ):
                 n += 1
     return n
 

@@ -175,12 +175,17 @@ def _st_rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
     fs_rename(_require_spark(spark, src), src, dst)
 
 
-def _st_count_files(path: str, spark: SparkSession | None = None) -> int:
+def _st_count_files(
+    path: str, spark: SparkSession | None = None, suffix: str | None = None
+) -> int:
     if not is_uri(path):
-        return sum(len(fns) for _, _, fns in os.walk(path))
+        return sum(
+            1 for _, _, fns in os.walk(path) for fn in fns
+            if suffix is None or fn.endswith(suffix)
+        )
     from ..fsio import fs_count_files
 
-    return fs_count_files(_require_spark(spark, path), path)
+    return fs_count_files(_require_spark(spark, path), path, suffix)
 
 
 def _st_touch(path: str, text: str, spark: SparkSession | None = None) -> None:
@@ -696,6 +701,14 @@ def ivf_index_is_fresh(
     cells were assigned under the old geometry). ``codebook=None``
     skips the check — trained-from-corpus centroids are a deterministic
     function of (corpus, n_centroids), both already fingerprinted."""
+    cells_name = "cells" if layout == "ivf" else "cells_pq"
+    if _st_exists(
+        os.path.join(index_dir, f"{cells_name}.delete_intent"), spark
+    ):
+        # a pending crashed delete means the layout is mid-surgery —
+        # not fresh by definition; the ensure() rebuild this triggers
+        # clears the debris (the universal repair, self-healing here)
+        return False
     try:
         m = _read_manifest(spark, index_dir, layout)
         stored = (int(m["n_rows"]), int(m["fingerprint"]), int(m["n_centroids"]))
@@ -922,6 +935,11 @@ def ivfpq_index_ensure(
     # and books shape follow
     fresh = False
     try:
+        if _st_exists(
+            os.path.join(index_dir, "cells_pq.delete_intent"), spark
+        ):
+            raise ValueError("pending crashed delete — mid-surgery, "
+                             "rebuild repairs (see ivf_index_is_fresh)")
         mrow = _read_manifest(spark, index_dir, "pq")
         if int(mrow["dim"]) == int(dim) and int(
             mrow["n_centroids"]
@@ -1028,6 +1046,7 @@ def ivf_index_append(
         # parent (the CAS discipline from the module docstring)
         prev = _read_manifest(spark, index_dir, "ivf")
         int(prev["fingerprint"])  # reject pre-fingerprint layouts up front
+        _require_no_pending_delete(spark, index_dir, "cells")
         _check_cells_parity(spark, index_dir, "cells", int(prev["n_rows"]))
         rows = _load_centroids(spark, index_dir)
         # same widening as streaming_index_append: a one-file delta
@@ -1056,6 +1075,26 @@ def ivf_index_append(
         }
         _write_manifest(spark, index_dir, manifest, "ivf")
     return manifest
+
+
+def _require_no_pending_delete(
+    spark: SparkSession, index_dir: str, cells_name: str
+) -> None:
+    """Append/compact guard: a crashed delete that stopped BEFORE its
+    first swap leaves cells == manifest, so the parity guard alone
+    would let an append (or a compaction fold) write rows into the
+    very partitions the delete retry's committed staging then swaps
+    away — silently dropping the new rows and committing a manifest
+    computed before they existed. Mutators other than the delete
+    retry itself therefore refuse while an intent marker is pending."""
+    intent = os.path.join(index_dir, f"{cells_name}.delete_intent")
+    if _st_exists(intent, spark):
+        raise RuntimeError(
+            f"index {index_dir!r} has a pending crashed delete on "
+            f"{cells_name} ({intent}): retry ivf[pq]_index_delete with "
+            "the ORIGINAL id set to converge it (its staged rows would "
+            "swap away anything written now), or rebuild the index."
+        )
 
 
 def _check_cells_parity(
@@ -1352,6 +1391,7 @@ def ivfpq_index_append(
         # ivf_index_append
         prev = _read_manifest(spark, index_dir, "pq")
         int(prev["fingerprint"])
+        _require_no_pending_delete(spark, index_dir, "cells_pq")
         _check_cells_parity(spark, index_dir, "cells_pq", int(prev["n_rows"]))
         dim = int(prev["dim"])
         rows = _load_centroids(spark, index_dir, "pq")
@@ -1445,6 +1485,15 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
             if int(batch_id) <= _read_high_water(index_dir, spark):
                 # replayed across a compaction: the fold consumed this
                 # batch's ledger row after moving its rows into the base
+                return
+            if batch_df.isEmpty():
+                # an empty micro-batch stages nothing and records
+                # nothing — writing it would create a data-less
+                # __stream_batch partition (zero parquet files) that
+                # schema inference chokes on at fold time, plus a
+                # zero-extent ledger row. Replay-safe to skip entirely:
+                # emptiness is a deterministic function of the source
+                # offsets, so a replay of this batch is empty too.
                 return
             rows = _load_centroids(spark, index_dir)
             # a file-source micro-batch often arrives as ONE input
@@ -1550,6 +1599,10 @@ def ivf_index_compact_stream(
     Returns the advanced manifest, or None if there was nothing staged.
     """
     with _index_lock(index_dir, spark):
+        # the fold appends into base cells — the same write a pending
+        # crashed delete's retry would swap away (see
+        # _require_no_pending_delete); converge the delete first
+        _require_no_pending_delete(spark, index_dir, "cells")
         stream_dir = os.path.join(index_dir, "cells_stream")
         folding = stream_dir + ".folding"
         ledger_dir = os.path.join(index_dir, "applied_batches")
@@ -1576,6 +1629,22 @@ def ivf_index_compact_stream(
                 _st_rmtree(stream_dir, spark)
         elif _st_exists(stream_dir, spark):
             _st_rename(stream_dir, folding, spark)
+        if (
+            _st_exists(folding, spark)
+            and not _st_exists(os.path.join(folding, ".appended"), spark)
+            and _st_count_files(folding, spark, suffix=".parquet") == 0
+        ):
+            # UN-appended staging with no DATA files — every batch
+            # since the last fold was empty (the sink now skips those,
+            # but pre-fix streams left this shape) or a crash landed
+            # before any data file: nothing to fold. Drop it and fall
+            # through to the orphaned-ledger path, which promotes any
+            # committed batch ids into the high-water. Reading it
+            # instead would die on schema inference. A folding WITH
+            # the .appended marker is exempt regardless of content —
+            # the marker-present path never reads it, only replays
+            # steps 3-5.
+            _st_rmtree(folding, spark)
         if not _st_exists(folding, spark):
             if _st_exists(ledger_dir, spark):
                 # orphaned ledger (ledger rows, no staging). Provenance
@@ -1789,11 +1858,21 @@ def _index_delete(
        before ``.staged`` the recompute is against untouched cells;
        after it, steps 3-5 are pure replays.
 
-    Preconditions (checked, loud): no stream staging/ledger — each
-    ledger row carries its batch's (rows, fingerprint delta), which a
-    delete would silently falsify; compact the stream into the base
-    first. Cells must carry ``row_fp`` (pre-round-7 layouts: rebuild).
-    Cells/manifest parity is verified before any mutation.
+    Preconditions (checked, loud): a FIRST attempt refuses while
+    stream staging/ledger exist — the hit-scan reads base cells only,
+    so ids whose vectors arrived through the stream would silently
+    survive in the staging and keep serving (incomplete erasure);
+    compact first. A RETRY is exempt (scope fixed at intent time —
+    see the code comment; blocking it would deadlock against the
+    mutator guard below). Cells must carry ``row_fp`` (pre-round-7
+    layouts: rebuild). Cells/manifest parity is verified before any
+    mutation. Conversely, while an intent is PENDING the other
+    mutators (appends, the compaction fold) refuse
+    (`_require_no_pending_delete`) — a pre-swap crash leaves parity
+    intact, and anything they wrote into affected partitions would be
+    swapped away by the retry's already-committed staging; freshness
+    reads stale mid-surgery, so `*_ensure`'s rebuild (which clears
+    delete debris) is the self-healing repair path.
 
     Erasure caveat (documented, not hidden): this removes every STORED
     copy of the vectors (quantized ints / PQ codes). The coarse
@@ -1805,18 +1884,30 @@ def _index_delete(
     import json
 
     with _index_lock(index_dir, spark):
-        if layout == "ivf":
-            # stream staging + ledger belong to the IVF layout ONLY
-            # (streaming_index_append writes IVF cells; PQ has no
-            # streaming ingest), so a PQ delete is safe alongside them
-            # — the lock already serializes against in-flight batches
+        intent_path = os.path.join(index_dir, f"{cells_name}.delete_intent")
+        intent_txt = _st_read_text(intent_path, spark)
+        if layout == "ivf" and intent_txt is None:
+            # FIRST attempts refuse while stream staging exists: the
+            # hit-scan reads base cells only, so copies of the ids
+            # living in cells_stream would silently survive and serve
+            # — incomplete erasure, the one failure a GDPR op must
+            # never have. Stream staging + ledger belong to the IVF
+            # layout ONLY (PQ has no streaming ingest), so a PQ delete
+            # proceeds alongside them. A RETRY (intent on disk) is
+            # exempt: its scope was fixed at intent time, when no
+            # staging existed — batches that arrived after the crash
+            # are new data, not missed erasure targets — and blocking
+            # it would deadlock (compact refuses under a pending
+            # delete, the retry would refuse under the ledger).
             for staged in ("cells_stream", "applied_batches"):
                 if _st_exists(os.path.join(index_dir, staged), spark):
                     raise RuntimeError(
                         f"index {index_dir!r} has live stream staging "
                         f"({staged}): run ivf_index_compact_stream first "
-                        "— deleting from under the ledger would falsify "
-                        "its per-batch (rows, fingerprint) deltas."
+                        "— ids whose vectors arrived through the stream "
+                        "live in the staging, which this delete does not "
+                        "scan; deleting now could silently leave them "
+                        "serving (incomplete erasure)."
                     )
         prev = _read_manifest(spark, index_dir, layout)
         int(prev["fingerprint"])  # reject pre-fingerprint layouts up front
@@ -1829,7 +1920,6 @@ def _index_delete(
             )
         id_type = dict(cells.dtypes)[cell_id_col]
         del_ids = _delete_ids_frame(spark, ids, id_col, id_type).persist()
-        intent_path = os.path.join(index_dir, f"{cells_name}.delete_intent")
         staging = os.path.join(index_dir, f"{cells_name}.deleting")
         staged_marker = os.path.join(staging, ".staged")
         try:
@@ -1845,7 +1935,6 @@ def _index_delete(
                 ).alias("s"),
             ).collect()[0]
             ids_n, ids_fp = int(idr["n"]), int(idr["s"]) % _FP_MOD
-            intent_txt = _st_read_text(intent_path, spark)
             if intent_txt is None:
                 _check_cells_parity(
                     spark, index_dir, cells_name, int(prev["n_rows"])

@@ -246,8 +246,17 @@ def test_crash_before_cleanup_then_retry(spark, tmp_path, monkeypatch):
         spark, idx, DEL_IDS, "_st_unlink",
         lambda a: str(a[0]).endswith(".delete_intent"), monkeypatch,
     )
-    # manifest already committed to the target
-    assert ivf_index_is_fresh(spark, _minus(emb, DEL_IDS), idx, 16)
+    # the MANIFEST is already committed to the target, but freshness
+    # deliberately reads stale while the intent marker is pending
+    # (mid-surgery — the ensure() rebuild is the alternate repair)
+    m = _read_manifest(spark, idx, "ivf")
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _corpus_stats,
+    )
+
+    n, fp = _corpus_stats(_minus(emb, DEL_IDS), "vec_id", "embedding")
+    assert (int(m["n_rows"]), int(m["fingerprint"])) == (n, fp)
+    assert not ivf_index_is_fresh(spark, _minus(emb, DEL_IDS), idx, 16)
     res = ivf_index_delete(spark, idx, DEL_IDS)
     assert res["n_deleted"] == len(DEL_IDS)
     _assert_converged(spark, idx, emb, DEL_IDS)
@@ -396,3 +405,80 @@ def test_rebuild_clears_crashed_delete_debris(spark, tmp_path, monkeypatch):
     res = ivf_index_delete(spark, idx, DEL_IDS)
     assert res["n_deleted"] == len(DEL_IDS)
     _assert_converged(spark, idx, emb, DEL_IDS)
+
+
+def _crash_pre_swap(spark, idx, ids, monkeypatch):
+    """Crash the delete AFTER its staging commits but BEFORE any swap
+    touches the live cells (first swap-loop rmtree of a cells
+    partition): parity still holds — the state the mutator guards
+    exist for."""
+    fired = _delete_with_crash(
+        spark, idx, ids, "_st_rmtree",
+        lambda a: "cent_id=" in str(a[0]), monkeypatch,
+    )
+    assert fired
+    assert os.path.exists(os.path.join(idx, "cells.delete_intent"))
+    assert os.path.exists(os.path.join(idx, "cells.deleting", ".staged"))
+
+
+def test_mutators_refuse_under_pending_delete(spark, tmp_path, monkeypatch):
+    """A pre-swap crashed delete leaves cells == manifest, so the
+    parity guard alone would let append/compact write rows the delete
+    retry's committed staging then swaps away. Both must refuse; the
+    retry converges; then the append proceeds. Freshness reads stale
+    mid-surgery (the ensure() rebuild path is the self-heal)."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_compact_stream,
+    )
+
+    emb = _corpus(spark)
+    base = emb.filter(F.col("vec_id") < 450)
+    delta = emb.filter(F.col("vec_id") >= 450)
+    idx = str(tmp_path / "idx")
+    ivf_index_build(base, idx, n_centroids=16)
+    _crash_pre_swap(spark, idx, DEL_IDS, monkeypatch)
+    assert not ivf_index_is_fresh(spark, base, idx, 16)  # mid-surgery
+    with pytest.raises(RuntimeError, match="pending crashed delete"):
+        ivf_index_append(delta, idx)
+    with pytest.raises(RuntimeError, match="pending crashed delete"):
+        ivf_index_compact_stream(spark, idx)
+    res = ivf_index_delete(spark, idx, DEL_IDS)  # retry converges
+    assert res["n_deleted"] == len(DEL_IDS)
+    _assert_converged(spark, idx, base, DEL_IDS)
+    ivf_index_append(delta, idx)  # unblocked
+    assert ivf_index_is_fresh(
+        spark, _minus(base, DEL_IDS).unionByName(delta), idx, 16
+    )
+
+
+def test_delete_retry_allowed_alongside_ledger(spark, tmp_path, monkeypatch):
+    """A stream that attaches AFTER a delete crashed must not deadlock
+    the lifecycle: the retry's scope was fixed at intent time (no
+    staging existed then — later batches are new data, not missed
+    erasure targets), so the retry proceeds despite the ledger, and
+    the compaction that was refusing under the pending delete then
+    folds normally."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        ivf_index_compact_stream,
+        read_index_cells,
+        streaming_index_append,
+    )
+
+    emb = _corpus(spark)
+    idx = str(tmp_path / "idx")
+    base = emb.filter(F.col("vec_id") < 450)
+    late = emb.filter(F.col("vec_id") >= 450)
+    ivf_index_build(base, idx, n_centroids=16)
+    _crash_pre_swap(spark, idx, DEL_IDS, monkeypatch)
+    streaming_index_append(idx)(late, 0)  # stream lands mid-surgery
+    with pytest.raises(RuntimeError, match="pending crashed delete"):
+        ivf_index_compact_stream(spark, idx)
+    res = ivf_index_delete(spark, idx, DEL_IDS)  # retry, despite ledger
+    assert res["n_deleted"] == len(DEL_IDS)
+    assert ivf_index_compact_stream(spark, idx) is not None  # unblocked
+    served = {
+        int(r["vec_id"])
+        for r in read_index_cells(spark, idx).select("vec_id").collect()
+    }
+    assert not served & set(DEL_IDS)
+    assert served >= {int(r["vec_id"]) for r in late.select("vec_id").collect()}

@@ -926,3 +926,44 @@ def test_serve_state_cache_invalidates_on_rewrite(spark, tmp_path):
     assert sorted(_load_centroids(spark, idx)) == sorted(
         (int(c), [float(x) for x in v]) for c, v in cb_b
     )
+
+
+def test_empty_micro_batch_is_skipped_and_foldable(spark, tmp_path):
+    """An empty micro-batch must stage nothing and record nothing (a
+    data-less __stream_batch partition would kill fold-time schema
+    inference), and a PRE-FIX staging shape — a cells_stream holding
+    zero parquet files next to a committed zero-extent ledger — must
+    compact to a no-op that still promotes the ledger into the
+    high-water instead of dying on UNABLE_TO_INFER_SCHEMA."""
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _read_high_water,
+        ivf_index_compact_stream,
+        streaming_index_append,
+    )
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    idx = str(tmp_path / "idx")
+    ivf_index_build(emb, idx, n_centroids=16)
+    empty = emb.filter(F.col("vec_id") < 0)
+    streaming_index_append(idx)(empty, 0)
+    assert not os.path.exists(os.path.join(idx, "cells_stream"))
+    assert not os.path.exists(os.path.join(idx, "applied_batches"))
+    assert ivf_index_compact_stream(spark, idx) is None
+
+    # pre-fix on-disk shape: empty staging dir + committed ledger row
+    os.makedirs(os.path.join(idx, "cells_stream", "__stream_batch=3"))
+    spark.createDataFrame(
+        [(3, 0, 0)], "batch_id long, n_rows long, fingerprint_delta long"
+    ).write.partitionBy("batch_id").parquet(
+        os.path.join(idx, "applied_batches")
+    )
+    assert ivf_index_compact_stream(spark, idx) is None
+    assert _read_high_water(idx) == 3  # promoted, not poisonous
+    assert not os.path.exists(os.path.join(idx, "cells_stream"))
+    assert not os.path.exists(os.path.join(idx, "cells_stream.folding"))
+    # the index still serves
+    got = ivf_persisted_topk(
+        spark, idx, emb.filter(F.col("vec_id") < 3), k=3, nprobe=4
+    )
+    assert got.count() > 0
