@@ -1781,10 +1781,29 @@ def _delete_ids_frame(
     """Normalize the caller's id set — a DataFrame (column ``id_col`` or
     its only column) or a plain iterable — into a distinct single-column
     frame cast to the CELLS' stored id type, so the semi/anti joins
-    below never fall into a cast-both-sides plan that defeats pruning."""
+    below never fall into a cast-both-sides plan that defeats pruning.
+
+    An id whose cast FAILS raises instead of vanishing: silently not
+    erasing an id the caller asked to erase is the one failure mode a
+    right-to-be-forgotten op must never have (an id absent from the
+    index is a fine no-op; an id that never got LOOKED UP is not)."""
     if isinstance(ids, DataFrame):
         col = id_col if id_col in ids.columns else ids.columns[0]
-        picked = ids.select(F.col(col).cast(id_type).alias("__del_id"))
+        picked = ids.select(
+            F.col(col).alias("__raw_id"),
+            F.col(col).try_cast(id_type).alias("__del_id"),
+        )
+        lost = picked.where(
+            F.col("__raw_id").isNotNull() & F.col("__del_id").isNull()
+        ).limit(3).collect()
+        if lost:
+            raise ValueError(
+                f"delete ids do not cast to the index's stored id type "
+                f"{id_type!r} (e.g. {[r['__raw_id'] for r in lost]!r}) — "
+                "erasing would silently skip them; pass ids of the "
+                "stored type."
+            )
+        picked = picked.select("__del_id")
     else:
         picked = spark.createDataFrame(
             [(i,) for i in ids], f"__del_id {id_type}"

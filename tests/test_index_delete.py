@@ -482,3 +482,22 @@ def test_delete_retry_allowed_alongside_ledger(spark, tmp_path, monkeypatch):
     }
     assert not served & set(DEL_IDS)
     assert served >= {int(r["vec_id"]) for r in late.select("vec_id").collect()}
+
+
+def test_uncastable_ids_raise_not_skip(spark, tmp_path):
+    """An id that cannot cast to the index's stored id type must raise
+    — a right-to-be-forgotten op silently skipping an id it was asked
+    to erase is the one unacceptable failure mode. Castable DataFrame
+    ids keep working."""
+    emb = _corpus(spark)
+    idx = str(tmp_path / "idx")
+    ivf_index_build(emb, idx, n_centroids=16)
+    bad = spark.createDataFrame(
+        [("not-a-number",), ("3",)], "vec_id string"
+    )
+    with pytest.raises(ValueError, match="do not cast"):
+        ivf_index_delete(spark, idx, bad)
+    ok = spark.createDataFrame([("3",), ("17",)], "vec_id string")
+    res = ivf_index_delete(spark, idx, ok)
+    assert res["n_deleted"] == 2
+    assert ivf_index_is_fresh(spark, _minus(emb, [3, 17]), idx, 16)
