@@ -165,16 +165,38 @@ def stream_dedup_spans_sink(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        if batch_df.isEmpty():
+            # nothing to audit, nothing to record — and emptiness is a
+            # deterministic function of the source offsets, so a
+            # replay of this batch skips identically (same rule as
+            # streaming_index_append's empty-batch skip)
+            return
+        # EXPLICIT existence gate + EXPLICIT schema, not a blanket
+        # try/except: the repo rule from read_index_cells — swallowing
+        # a genuine read failure (corrupt parquet, permissions,
+        # transient FS error) here would silently dedup against an
+        # EMPTY index, admitting every duplicate span in the batch as
+        # novel; a real error must fail the micro-batch so the stream
+        # retries it. The fixed schema also keeps an index dir holding
+        # only _SUCCESS (an empty seed corpus) readable — schema
+        # inference would die on it.
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        if fs.exists(hpath):
             # the own-batch exclusion ALSO makes cache-eviction
             # recomputes safe: if `kept` is recomputed after this
             # batch's index partition landed, the re-read still
             # excludes it — the lineage sees the same index state as
             # the first evaluation
-            idx = spark.read.parquet(index_dir).filter(
+            idx = spark.read.schema(
+                "span_hash string, __batch_id int"
+            ).parquet(index_dir).filter(
                 F.col("__batch_id") < int(batch_id)
             )
-        except Exception:  # first batch, nothing seeded — empty index
+        else:  # first batch, nothing seeded — empty index
             idx = spark.createDataFrame([], "span_hash string")
         per_doc, kept = _kept_spans_incremental(
             batch_df, idx, span_words, id_col, text_col,
