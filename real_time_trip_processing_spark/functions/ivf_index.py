@@ -120,13 +120,38 @@ __all__ = [
     "ivfpq_index_build", "ivfpq_index_ensure", "ivfpq_persisted_topk",
     "ivfpq_index_append", "ivf_index_compact_stream",
     "ivf_index_reset_stream",
+    "ivfpq_index_compact_stream", "ivfpq_index_reset_stream",
+    "streaming_pq_index_append", "read_index_cells_pq",
     "ivf_index_delete", "ivfpq_index_delete",
     "ann_join_persisted", "streaming_index_append", "read_index_cells",
 ]
 
 
-def _high_water_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "compacted_through")
+def _high_water_path(index_dir: str, name: str = "compacted_through") -> str:
+    return os.path.join(index_dir, name)
+
+
+#: per-layout streaming lifecycle paths — the IVF machinery
+#: (streaming_index_append / compact / reset / read_index_cells) is
+#: parameterized over this so the IVF-PQ layout rides the SAME
+#: battle-tested sink/fold/heal code instead of a diverging copy.
+#: Names are layout-disjoint on purpose: a dir can host both layouts'
+#: streams without their ledgers/high-waters vouching for each other
+#: (the same isolation rule as the per-layout manifests/codebooks).
+_STREAM_CFG = {
+    "ivf": {
+        "cells": "cells",
+        "staging": "cells_stream",
+        "ledger": "applied_batches",
+        "high_water": "compacted_through",
+    },
+    "pq": {
+        "cells": "cells_pq",
+        "staging": "cells_pq_stream",
+        "ledger": "applied_batches_pq",
+        "high_water": "compacted_through_pq",
+    },
+}
 
 
 def _require_spark(spark: SparkSession | None, path: str) -> SparkSession:
@@ -208,7 +233,11 @@ def _st_read_text(path: str, spark: SparkSession | None = None) -> str | None:
     return fs_read_text(_require_spark(spark, path), path)
 
 
-def _read_high_water(index_dir: str, spark: SparkSession | None = None) -> int:
+def _read_high_water(
+    index_dir: str,
+    spark: SparkSession | None = None,
+    name: str = "compacted_through",
+) -> int:
     """Highest ledger batch_id folded into the base by a compaction, or
     -1. Compaction deletes the ledger (its idempotency record), so this
     marker is what stops a micro-batch REPLAYED across the compaction —
@@ -218,21 +247,25 @@ def _read_high_water(index_dir: str, spark: SparkSession | None = None) -> int:
     moved into the base."""
     if is_uri(index_dir):
         txt = fs_read_text(
-            _require_spark(spark, index_dir), _high_water_path(index_dir)
+            _require_spark(spark, index_dir),
+            _high_water_path(index_dir, name),
         )
         try:
             return int((txt or "").strip())
         except ValueError:
             return -1
     try:
-        with open(_high_water_path(index_dir)) as f:
+        with open(_high_water_path(index_dir, name)) as f:
             return int(f.read().strip())
     except (FileNotFoundError, ValueError):
         return -1
 
 
 def _write_high_water(
-    index_dir: str, batch_id: int, spark: SparkSession | None = None
+    index_dir: str,
+    batch_id: int,
+    spark: SparkSession | None = None,
+    name: str = "compacted_through",
 ) -> None:
     if is_uri(index_dir):
         # tmp + rename commit through the FS API. Hadoop rename fails
@@ -248,7 +281,7 @@ def _write_high_water(
         # Durability is the store's close/rename contract (HDFS
         # hflush-on-close, S3 PUT).
         sp = _require_spark(spark, index_dir)
-        hw = _high_water_path(index_dir)
+        hw = _high_water_path(index_dir, name)
         fs_write_text(sp, hw + ".tmp", str(int(batch_id)))
         fs_delete(sp, hw, recursive=False)
         fs_rename(sp, hw + ".tmp", hw)
@@ -259,12 +292,12 @@ def _write_high_water(
     # "no high-water" and silently re-opens the replay window this
     # marker exists to close; the directory fsync makes the rename
     # itself durable
-    tmp = _high_water_path(index_dir) + ".tmp"
+    tmp = _high_water_path(index_dir, name) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(int(batch_id)))
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, _high_water_path(index_dir))
+    os.replace(tmp, _high_water_path(index_dir, name))
     dfd = os.open(index_dir, os.O_RDONLY)
     try:
         os.fsync(dfd)
@@ -878,7 +911,15 @@ def ivfpq_index_build(
     rows = _resolve_centroids(corpus, codebook, n_centroids, id_col, vec_col)
     cells = _pq_cells_frame(corpus, rows, books, dim, id_col, vec_col)
     with _index_lock(index_dir, spark):
-        # rebuild clears crashed-delete debris — see ivf_index_build
+        # rebuild-after-stream + crashed-delete repair, exactly as in
+        # ivf_index_build: the full corpus scan already contains any
+        # streamed vectors, so the PQ staging/ledger/high-water and any
+        # delete debris are cleared before the manifest commit point
+        for staging in ("cells_pq_stream", "applied_batches_pq"):
+            _st_rmtree(os.path.join(index_dir, staging), spark)
+        _st_unlink(
+            _high_water_path(index_dir, "compacted_through_pq"), spark
+        )
         _clear_delete_debris(index_dir, "cells_pq", spark)
         cells.repartition(
             max(1, int(n_centroids)), "cent_id"
@@ -999,7 +1040,9 @@ def ivfpq_persisted_topk(
     ).collect()
     lut_rows = probe_luts(rows, books, q_rows, nprobe, dim, id_col)
     probed = sorted({r[1] for r in lut_rows})
-    cells = spark.read.parquet(os.path.join(index_dir, "cells_pq")).filter(
+    # read_index_cells_pq: streamed codes are servable before the fold;
+    # the cent_id predicate prunes partitions on BOTH layouts
+    cells = read_index_cells_pq(spark, index_dir).filter(
         F.col("cent_id").isin(probed)  # partition pruning
     )
     id_type = dict(cells.dtypes)["cand_id"]  # not hard-coded: string ids work
@@ -1305,7 +1348,7 @@ def ann_join_ivfpq_persisted(
         F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
     ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
 
-    cells = spark.read.parquet(os.path.join(index_dir, "cells_pq")).select(
+    cells = read_index_cells_pq(spark, index_dir).select(
         "cand_id", "codes", "cent_id"
     )
     id_type = dict(cells.dtypes)["cand_id"]
@@ -1464,10 +1507,35 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
                  streaming_index_append(idx))
              .option("checkpointLocation", ckpt).start())
     """
+    return _streaming_append(index_dir, "ivf", id_col, vec_col)
+
+
+def streaming_pq_index_append(index_dir: str, id_col: str = "vec_id",
+                              vec_col: str = "embedding"):
+    """foreachBatch sink for the persisted IVF-PQ layout — the
+    compressed-cells twin of `streaming_index_append`, riding the SAME
+    sink/ledger/high-water machinery (one code path, two layouts).
+    Each micro-batch is assigned AND PQ-encoded against the STORED
+    coarse centroids and STORED books (never retrained — old codes and
+    new codes must share their decoder, the `ivfpq_index_append` rule)
+    and staged under ``cells_pq_stream``; its own ledger
+    (``applied_batches_pq``) and high-water (``compacted_through_pq``)
+    keep the two layouts' stream lifecycles from vouching for each
+    other, like their manifests. Serve paths see streamed codes
+    through `read_index_cells_pq`; fold with
+    `ivfpq_index_compact_stream`; reset with
+    `ivfpq_index_reset_stream`. Exactly-once semantics, crash matrix
+    and the empty-batch rule: `streaming_index_append`."""
+    return _streaming_append(index_dir, "pq", id_col, vec_col)
+
+
+def _streaming_append(index_dir: str, layout: str, id_col: str,
+                      vec_col: str):
+    cfg = _STREAM_CFG[layout]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        ledger_dir = os.path.join(index_dir, "applied_batches")
+        ledger_dir = os.path.join(index_dir, cfg["ledger"])
         # the per-batch lock serializes this micro-batch against a
         # concurrent ivf_index_append (or a second stream) on the same
         # index; the ledger check runs INSIDE it so a batch committed by
@@ -1482,7 +1550,9 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
                 applied = set()
             if int(batch_id) in applied:
                 return  # replayed batch — already fully committed
-            if int(batch_id) <= _read_high_water(index_dir, spark):
+            if int(batch_id) <= _read_high_water(
+                index_dir, spark, cfg["high_water"]
+            ):
                 # replayed across a compaction: the fold consumed this
                 # batch's ledger row after moving its rows into the base
                 return
@@ -1495,7 +1565,20 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
                 # emptiness is a deterministic function of the source
                 # offsets, so a replay of this batch is empty too.
                 return
-            rows = _load_centroids(spark, index_dir)
+            if layout == "ivf":
+                rows = _load_centroids(spark, index_dir)
+
+                def make_cells(b: DataFrame) -> DataFrame:
+                    return _quant_cells_frame(b, rows, id_col, vec_col)
+            else:
+                dim = int(_read_manifest(spark, index_dir, "pq")["dim"])
+                rows = _load_centroids(spark, index_dir, "pq")
+                books, dim = _load_books(spark, index_dir, dim)
+
+                def make_cells(b: DataFrame) -> DataFrame:
+                    return _pq_cells_frame(
+                        b, rows, books, dim, id_col, vec_col
+                    )
             # a file-source micro-batch often arrives as ONE input
             # partition (a single ~maxPartitionBytes file per trigger),
             # which would run the compute-dense assignment kernel and
@@ -1510,14 +1593,14 @@ def streaming_index_append(index_dir: str, id_col: str = "vec_id",
                 spark.sparkContext.defaultParallelism
             ).persist()
             try:
-                cells = _quant_cells_frame(batch, rows, id_col, vec_col)
+                cells = make_cells(batch)
                 (
                     cells.withColumn("__stream_batch", F.lit(int(batch_id)))
                     .repartition(max(1, len(rows)), "cent_id")
                     .write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
                     .partitionBy("__stream_batch", "cent_id")
-                    .parquet(os.path.join(index_dir, "cells_stream"))
+                    .parquet(os.path.join(index_dir, cfg["staging"]))
                 )
                 dn, dfp = _corpus_stats(batch, id_col, vec_col)
             finally:
@@ -1598,14 +1681,33 @@ def ivf_index_compact_stream(
 
     Returns the advanced manifest, or None if there was nothing staged.
     """
+    return _compact_stream(spark, index_dir, "ivf")
+
+
+def ivfpq_index_compact_stream(
+    spark: SparkSession, index_dir: str
+) -> dict | None:
+    """Fold the IVF-PQ layout's stream staging (``cells_pq_stream``)
+    into ``cells_pq`` — the compressed-cells twin of
+    `ivf_index_compact_stream`, riding the SAME fold/heal machinery
+    over the PQ layout's own staging/ledger/high-water names and the
+    ``manifest_pq``. Semantics, crash matrix and the
+    stop-the-stream/resume-same-checkpoint contract are identical."""
+    return _compact_stream(spark, index_dir, "pq")
+
+
+def _compact_stream(
+    spark: SparkSession, index_dir: str, layout: str
+) -> dict | None:
+    cfg = _STREAM_CFG[layout]
     with _index_lock(index_dir, spark):
         # the fold appends into base cells — the same write a pending
         # crashed delete's retry would swap away (see
         # _require_no_pending_delete); converge the delete first
-        _require_no_pending_delete(spark, index_dir, "cells")
-        stream_dir = os.path.join(index_dir, "cells_stream")
+        _require_no_pending_delete(spark, index_dir, cfg["cells"])
+        stream_dir = os.path.join(index_dir, cfg["staging"])
         folding = stream_dir + ".folding"
-        ledger_dir = os.path.join(index_dir, "applied_batches")
+        ledger_dir = os.path.join(index_dir, cfg["ledger"])
         if _st_exists(stream_dir, spark) and _st_exists(folding, spark):
             # CRASHED NON-ATOMIC RENAME heal (S3A renames are per-object
             # copy THEN delete — a crash inside step 1 leaves both dirs).
@@ -1664,14 +1766,17 @@ def ivf_index_compact_stream(
                         index_dir,
                         max(
                             max(int(r["batch_id"]) for r in lrows),
-                            _read_high_water(index_dir, spark),
+                            _read_high_water(
+                                index_dir, spark, cfg["high_water"]
+                            ),
                         ),
                         spark,
+                        cfg["high_water"],
                     )
                 _st_rmtree(ledger_dir, spark)
             return None  # nothing staged
         marker = os.path.join(folding, ".appended")
-        prev = _read_manifest(spark, index_dir, "ivf")
+        prev = _read_manifest(spark, index_dir, layout)
         if _st_exists(ledger_dir, spark):
             lrows = spark.read.parquet(ledger_dir).collect()
             committed = [int(r["batch_id"]) for r in lrows]
@@ -1681,7 +1786,7 @@ def ivf_index_compact_stream(
             committed, dn, dfp = [], 0, 0
         if not _st_exists(marker, spark):
             _check_cells_parity(
-                spark, index_dir, "cells", int(prev["n_rows"])
+                spark, index_dir, cfg["cells"], int(prev["n_rows"])
             )
             # fold ONLY ledger-committed batches: a partition from a
             # batch that crashed before its ledger row belongs to the
@@ -1695,10 +1800,12 @@ def ivf_index_compact_stream(
             n_cent = max(1, int(prev["n_centroids"]))
             staged.repartition(n_cent, "cent_id").write.partitionBy(
                 "cent_id"
-            ).mode("append").parquet(os.path.join(index_dir, "cells"))
+            ).mode("append").parquet(os.path.join(index_dir, cfg["cells"]))
             _st_touch(marker, "appended", spark)
         cells_count = int(
-            spark.read.parquet(os.path.join(index_dir, "cells")).count()
+            spark.read.parquet(
+                os.path.join(index_dir, cfg["cells"])
+            ).count()
         )
         if int(prev["n_rows"]) == cells_count - dn:
             manifest = {
@@ -1708,21 +1815,26 @@ def ivf_index_compact_stream(
                 "dim": int(prev["dim"]),
                 "codebook_fp": int(prev.asDict().get("codebook_fp") or 0),
             }
-            _write_manifest(spark, index_dir, manifest, "ivf")
+            _write_manifest(spark, index_dir, manifest, layout)
         elif int(prev["n_rows"]) == cells_count:
             manifest = dict(prev.asDict())  # rerun after a 3-4 crash
         else:
             raise RuntimeError(
-                f"cells holds {cells_count} rows; manifest records "
+                f"{cfg['cells']} holds {cells_count} rows; manifest records "
                 f"{int(prev['n_rows'])} with a staged extent of {dn} — "
                 "an earlier fold or append half-applied. Rebuild the "
-                "index (ivf_index_build) over the full corpus to repair."
+                "index (ivf[pq]_index_build) over the full corpus to "
+                "repair."
             )
         if committed:
             _write_high_water(
                 index_dir,
-                max(max(committed), _read_high_water(index_dir, spark)),
+                max(
+                    max(committed),
+                    _read_high_water(index_dir, spark, cfg["high_water"]),
+                ),
                 spark,
+                cfg["high_water"],
             )
         # ledger BEFORE folding dir — see docstring step 5
         _st_rmtree(ledger_dir, spark)
@@ -1755,10 +1867,28 @@ def ivf_index_reset_stream(
     order would leave a ledger whose batches were never folded — a
     state the compact-heal would wrongly promote into the high-water,
     silently dropping a fresh stream's first batches."""
+    _reset_stream(index_dir, "ivf", spark)
+
+
+def ivfpq_index_reset_stream(
+    index_dir: str, spark: SparkSession | None = None
+) -> None:
+    """Reset the IVF-PQ layout's streaming lifecycle (staging, ledger,
+    high-water) so a fresh stream can attach — the compressed-cells
+    twin of `ivf_index_reset_stream`, same semantics and the same
+    ledger-first crash ordering."""
+    _reset_stream(index_dir, "pq", spark)
+
+
+def _reset_stream(
+    index_dir: str, layout: str, spark: SparkSession | None
+) -> None:
+    cfg = _STREAM_CFG[layout]
     with _index_lock(index_dir, spark):
-        for staging in ("applied_batches", "cells_stream"):
+        # LEDGER first — see ivf_index_reset_stream's crash ordering
+        for staging in (cfg["ledger"], cfg["staging"]):
             _st_rmtree(os.path.join(index_dir, staging), spark)
-        _st_unlink(_high_water_path(index_dir), spark)
+        _st_unlink(_high_water_path(index_dir, cfg["high_water"]), spark)
 
 
 def _clear_delete_debris(
@@ -1905,28 +2035,30 @@ def _index_delete(
     with _index_lock(index_dir, spark):
         intent_path = os.path.join(index_dir, f"{cells_name}.delete_intent")
         intent_txt = _st_read_text(intent_path, spark)
-        if layout == "ivf" and intent_txt is None:
-            # FIRST attempts refuse while stream staging exists: the
-            # hit-scan reads base cells only, so copies of the ids
-            # living in cells_stream would silently survive and serve
-            # — incomplete erasure, the one failure a GDPR op must
-            # never have. Stream staging + ledger belong to the IVF
-            # layout ONLY (PQ has no streaming ingest), so a PQ delete
-            # proceeds alongside them. A RETRY (intent on disk) is
-            # exempt: its scope was fixed at intent time, when no
-            # staging existed — batches that arrived after the crash
-            # are new data, not missed erasure targets — and blocking
-            # it would deadlock (compact refuses under a pending
-            # delete, the retry would refuse under the ledger).
-            for staged in ("cells_stream", "applied_batches"):
+        if intent_txt is None:
+            # FIRST attempts refuse while THIS LAYOUT's stream
+            # staging exists: the hit-scan reads base cells only, so
+            # copies of the ids living in the staging would silently
+            # survive and serve — incomplete erasure, the one failure
+            # a GDPR op must never have. Each layout checks only its
+            # OWN staging/ledger (they are disjoint by name, like the
+            # manifests), so e.g. a PQ delete proceeds alongside an
+            # IVF stream. A RETRY (intent on disk) is exempt: its
+            # scope was fixed at intent time, when no staging existed
+            # — batches that arrived after the crash are new data, not
+            # missed erasure targets — and blocking it would deadlock
+            # (compact refuses under a pending delete, the retry would
+            # refuse under the ledger).
+            lcfg = _STREAM_CFG[layout]
+            for staged in (lcfg["staging"], lcfg["ledger"]):
                 if _st_exists(os.path.join(index_dir, staged), spark):
                     raise RuntimeError(
                         f"index {index_dir!r} has live stream staging "
-                        f"({staged}): run ivf_index_compact_stream first "
-                        "— ids whose vectors arrived through the stream "
-                        "live in the staging, which this delete does not "
-                        "scan; deleting now could silently leave them "
-                        "serving (incomplete erasure)."
+                        f"({staged}): run the layout's compact_stream "
+                        "first — ids whose vectors arrived through the "
+                        "stream live in the staging, which this delete "
+                        "does not scan; deleting now could silently "
+                        "leave them serving (incomplete erasure)."
                     )
         prev = _read_manifest(spark, index_dir, layout)
         int(prev["fingerprint"])  # reject pre-fingerprint layouts up front
@@ -2134,7 +2266,7 @@ def ivfpq_index_delete(
 
 
 def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:
-    """The index's full cell set: batch-built cells plus any
+    """The IVF index's full cell set: batch-built cells plus any
     stream-appended cells (the ``cells_stream`` staging layout), with a
     uniform schema. Serve paths that must see streamed vectors read
     through this instead of ``cells/`` directly.
@@ -2144,8 +2276,23 @@ def read_index_cells(spark: SparkSession, index_dir: str) -> DataFrame:
     try/except here would also swallow genuine read failures (corrupt
     parquet, permissions, transient FS errors) and silently serve
     base-only results; a real error must propagate."""
-    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
-    stream_dir = os.path.join(index_dir, "cells_stream")
+    return _read_layout_cells(spark, index_dir, "ivf")
+
+
+def read_index_cells_pq(spark: SparkSession, index_dir: str) -> DataFrame:
+    """The IVF-PQ layout's full code-cell set (``cells_pq`` plus any
+    ``cells_pq_stream`` staging) — the compressed twin of
+    `read_index_cells`; the PQ serve paths read through this so
+    streamed codes are servable before the fold."""
+    return _read_layout_cells(spark, index_dir, "pq")
+
+
+def _read_layout_cells(
+    spark: SparkSession, index_dir: str, layout: str
+) -> DataFrame:
+    cfg = _STREAM_CFG[layout]
+    cells = spark.read.parquet(os.path.join(index_dir, cfg["cells"]))
+    stream_dir = os.path.join(index_dir, cfg["staging"])
     if not _dir_exists(spark, stream_dir):
         return cells
     streamed = (
