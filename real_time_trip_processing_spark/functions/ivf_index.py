@@ -24,6 +24,17 @@ Layout under ``index_dir``::
     manifest_ivf/*.parquet         per-layout freshness manifests
     manifest_pq/*.parquet          (n_rows, fingerprint, n_centroids,
                                    dim, codebook_fp)
+    cells_stream/, applied_batches/, compacted_through
+                                   IVF stream staging + ledger +
+                                   high-water (lifecycle below)
+    cells_pq_stream/, applied_batches_pq/, compacted_through_pq
+                                   the PQ layout's OWN stream lifecycle
+                                   (disjoint by name — the layouts
+                                   never vouch for each other)
+    cells*.delete_intent, cells*.deleting/
+                                   crash-safe delete lifecycle
+                                   (intent marker + staged kept rows;
+                                   see `_index_delete`)
 
 Lifecycle: `*_build` (full), `ivf_index_append` (O(delta) growth —
 assign the delta against stored centroids, append to cells, advance
@@ -32,6 +43,11 @@ the manifest), `*_ensure` (content-addressed skip/rebuild),
 index-side twin of the lake's GDPR purge; serve results afterwards
 are bit-identical to a rebuild over the purged corpus with the same
 codebook, and the manifest reads FRESH against the purged corpus).
+Streaming ingest (`streaming_index_append` / `streaming_pq_index_append`
+→ `*_compact_stream` → `*_reset_stream`) runs on ONE parameterized
+machinery for both layouts (`_STREAM_CFG`) — each layout's staging,
+ledger and high-water are name-disjoint, so the two stream lifecycles
+never vouch for each other (the per-layout manifest rule).
 
 Single-index concurrency: every mutating entry point (builds, appends,
 the streaming sink's per-batch apply) serializes on the single-writer
