@@ -30,6 +30,7 @@ harness, not the plans.
 from __future__ import annotations
 
 import glob
+import hashlib
 import json
 import os
 import re
@@ -150,6 +151,31 @@ def _classify_idle(l1: float, l5: float, cpus: int) -> bool:
     return bool(0 <= l1 < cpus * 0.25 and 0 <= l5 < cpus * 0.15)
 
 
+def _host_canary_sec() -> float:
+    """Wall time of a FIXED deterministic workload — the host-speed
+    canary. Round 8 caught drift no guest-side signal can see: the
+    identical commit benched 13.67 s one afternoon and 18.8 s the same
+    evening with guest loadavg ~0.1 (shared-tenancy host contention —
+    SCALE.md "Measurement discipline"). loadavg measures what the GUEST
+    runs; this measures what the guest GETS. Fixed seed, fixed shapes,
+    single-threaded BLAS-free inner loop (np.dot on this size uses
+    BLAS — fine: serving kernels do too, so the canary tracks the
+    resource the bench actually consumes). Median of 3 to shed
+    scheduler blips; ~0.2 s total cost per run."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(20260815))
+    a = rng.normal(size=(1800, 1800))
+    b = rng.normal(size=(1800, 1800))
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ b).sum()  # ~11.7 GFLOP through BLAS (parallel, like serving)
+        hashlib.sha256(a.tobytes()).hexdigest()  # ~26 MB single-core
+        walls.append(time.perf_counter() - t0)
+    return round(sorted(walls)[1], 4)
+
+
 def machine_state(jvm_fresh: bool) -> dict:
     """Per-run machine fingerprint, recorded with every history line so
     a future reader can tell a code regression from an environment
@@ -158,7 +184,10 @@ def machine_state(jvm_fresh: bool) -> dict:
     is the comparability flag — see `_classify_idle` (the load the
     bench inherits, not the load it makes — a concurrent scale run on
     this box shows up as load ~15/32, which must NOT read as idle, and
-    a scale run that ENDED minutes ago shows up in l5)."""
+    a scale run that ENDED minutes ago shows up in l5). ``canary_sec``
+    is the host-speed probe (`_host_canary_sec`) — two idle-flagged
+    lines whose canaries differ materially were measured on effectively
+    different machines."""
     try:
         l1, l5, l15 = os.getloadavg()
     except OSError:  # platform without loadavg
@@ -169,6 +198,7 @@ def machine_state(jvm_fresh: bool) -> dict:
         "cpus": cpus,
         "idle": _classify_idle(l1, l5, cpus),
         "jvm_fresh": bool(jvm_fresh),
+        "canary_sec": _host_canary_sec(),
     }
 
 
@@ -214,6 +244,20 @@ def comparable_machines(prev: dict | None, cur: dict) -> tuple[bool, str]:
         )
     if bool(pm.get("jvm_fresh", True)) != cur["jvm_fresh"]:
         return False, "jvm freshness differs"
+    prev_canary = pm.get("canary_sec")
+    cur_canary = cur.get("canary_sec")
+    if prev_canary and cur_canary:
+        ratio = max(prev_canary, cur_canary) / min(prev_canary, cur_canary)
+        if ratio > 1.2:
+            # host-speed drift (shared tenancy) — invisible to loadavg,
+            # directly felt by the fixed-work canary; a >20% swing means
+            # the two lines ran on effectively different machines
+            # (round 8: identical commit 13.67 s vs 18.8 s, guest idle
+            # both times)
+            return False, (
+                f"host canary differs {ratio:.2f}x "
+                f"(prev={prev_canary}s, cur={cur_canary}s)"
+            )
     return True, ""
 
 

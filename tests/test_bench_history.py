@@ -15,7 +15,7 @@ import bench  # noqa: E402
 
 def test_machine_state_shape():
     m = bench.machine_state(jvm_fresh=True)
-    assert set(m) == {"loadavg", "cpus", "idle", "jvm_fresh"}
+    assert set(m) == {"loadavg", "cpus", "idle", "jvm_fresh", "canary_sec"}
     assert len(m["loadavg"]) == 3 and m["cpus"] >= 1
     assert isinstance(m["idle"], bool) and m["jvm_fresh"] is True
 
@@ -59,3 +59,35 @@ def test_unknown_prev_machine_is_comparable_but_flagged():
     assert ok and why == "prev_machine_unknown"
     ok, why = bench.comparable_machines(None, cur)
     assert ok and why == "prev_machine_unknown"
+
+
+def test_host_canary_recorded_and_stable_shape():
+    """The fingerprint carries the host-speed canary (round 8: the
+    identical commit benched 13.67 s vs 18.8 s hours apart with guest
+    loadavg ~0.1 — host contention is invisible to loadavg; the
+    fixed-work canary feels it directly)."""
+    m = bench.machine_state(jvm_fresh=True)
+    assert m["canary_sec"] > 0
+    # deterministic fixed work: two immediate probes agree closely on
+    # an unloaded box (generous 2x band — this is a shape test, not a
+    # speed test)
+    again = bench._host_canary_sec()
+    assert max(m["canary_sec"], again) / min(m["canary_sec"], again) < 2.0
+
+
+def test_delta_refused_on_canary_divergence():
+    """Two idle-flagged lines whose canaries differ >20% ran on
+    effectively different machines — deltas refused; within-band and
+    legacy-no-canary lines stay comparable."""
+    cur = {"idle": True, "jvm_fresh": True, "canary_sec": 0.074}
+    drifted = {"machine": {"idle": True, "jvm_fresh": True,
+                           "canary_sec": 0.102}}
+    ok, why = bench.comparable_machines(drifted, cur)
+    assert not ok and "canary" in why
+    near = {"machine": {"idle": True, "jvm_fresh": True,
+                        "canary_sec": 0.080}}
+    ok, _ = bench.comparable_machines(near, cur)
+    assert ok
+    legacy = {"machine": {"idle": True, "jvm_fresh": True}}
+    ok, _ = bench.comparable_machines(legacy, cur)
+    assert ok
