@@ -218,3 +218,74 @@ def test_pq_empty_batch_skipped(spark, built):
     assert not os.path.exists(os.path.join(idx, "cells_pq_stream"))
     assert not os.path.exists(os.path.join(idx, "applied_batches_pq"))
     assert ivfpq_index_compact_stream(spark, idx) is None
+
+
+def test_pq_fold_heals_crashed_rename(spark, built, monkeypatch):
+    """The compact fold's crashed-rename heal through the PQ layout's
+    cfg paths: crash the staging->folding rename mid-'copy' (both dirs
+    present, source holding >= files), rerun, and require exact
+    convergence — pins that the parameterized heal operates on
+    cells_pq_stream[.folding], not the IVF names."""
+    import real_time_trip_processing_spark.functions.ivf_index as M
+
+    emb, base, b0, b1, idx, books = built
+    sink = streaming_pq_index_append(idx)
+    sink(b0, 0)
+    stream_dir = os.path.join(idx, "cells_pq_stream")
+    folding = stream_dir + ".folding"
+    # simulate a crashed copy+delete rename: copy PART of the staging
+    # into the folding dir, keep the source complete (copy phase
+    # mid-flight — source authoritative)
+    import shutil as _sh
+
+    os.makedirs(folding)
+    batches = sorted(os.listdir(stream_dir))
+    _sh.copytree(
+        os.path.join(stream_dir, batches[0]),
+        os.path.join(folding, batches[0]),
+    )
+    m = ivfpq_index_compact_stream(spark, idx)
+    assert m is not None
+    assert read_index_cells_pq(spark, idx).count() == (
+        base.count() + b0.count()
+    )
+    assert not os.path.exists(stream_dir)
+    assert not os.path.exists(folding)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = _serve(spark, idx, queries)
+    # arbiter: rebuild over the union with same codebook+books
+    from real_time_trip_processing_spark.functions.ivf_index import (
+        _load_centroids,
+    )
+
+    idx2 = idx + "2"
+    ivfpq_index_build(
+        base.unionByName(b0), idx2, books, n_centroids=16, dim=64,
+        codebook=_load_centroids(spark, idx, "pq"),
+    )
+    assert got == _serve(spark, idx2, queries)
+
+
+def test_pq_stream_lifecycle_on_mock_uri(spark, tmp_path):
+    """The PQ stream lifecycle addressed by a genuinely-remote scheme:
+    sink -> serve-with-staging -> fold -> serve, all staging ops through
+    the FS API + CAS lease on the PQ layout's cfg paths."""
+    if not getattr(spark, "_mock_fs_ready", False):
+        pytest.skip("mock:// filesystem unavailable")
+    emb = table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    b0 = emb.filter(F.col("vec_id") >= 400)
+    idx = "mock://" + str(tmp_path / "idx")
+    books = pq_train(base, m=8, k=16, dim=64)
+    ivfpq_index_build(base, idx, books, n_centroids=16, dim=64)
+    streaming_pq_index_append(idx)(b0, 0)
+    assert read_index_cells_pq(spark, idx).count() == emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    pre = _serve(spark, idx, queries)
+    m = ivfpq_index_compact_stream(spark, idx)
+    assert m is not None and int(m["n_rows"]) == emb.count()
+    assert _serve(spark, idx, queries) == pre
+    local = str(tmp_path / "idx")
+    assert not os.path.exists(os.path.join(local, "cells_pq_stream"))
+    assert not os.path.exists(os.path.join(local, "applied_batches_pq"))
+    assert _read_high_water(idx, spark, "compacted_through_pq") == 0
