@@ -282,6 +282,17 @@ def delete_keys_from_lake(
     partition overwrite — at 100 TB a single user's erasure touches the
     handful of date partitions they appear in, not the lake.
 
+    ``keys`` may be a plain list (the single-user convenience — the
+    predicate becomes an IN literal, pushed down to the scan) or a
+    DataFrame of keys (the batched-retention 100 TB shape: a
+    million-key purge must not inline a million literals into the
+    plan, so discovery and the survivor filter become semi/anti
+    joins — Catalyst broadcasts or shuffles the key side as it sees
+    fit, and NULL-key rows survive by join semantics exactly as the
+    literal path keeps them explicitly). Same batching advice as the
+    ANN index's delete: one call with all keys = one discovery scan +
+    one rewrite per affected partition.
+
     Holds the lake root's single-writer lock for the whole
     discover-rewrite-drop window (module concurrency contract) —
     discovery re-reads the lake INSIDE the lock, so a purge never
@@ -307,8 +318,22 @@ def _delete_keys_locked(
     spark.conf.set(infer_key, "false")
     try:
         df = spark.read.parquet(path)
-        hit = F.col(key_col).isin(keys)
-        affected = df.filter(hit).select(*partition_cols).distinct().collect()
+        if isinstance(keys, DataFrame):
+            kcol = key_col if key_col in keys.columns else keys.columns[0]
+            kdf = keys.select(F.col(kcol).alias(key_col)).distinct()
+            doomed = df.join(kdf, key_col, "left_semi")
+            # left_anti keeps NULL-key rows by join semantics (NULL
+            # never equals), matching the literal path's explicit rule
+            keep_filter = lambda part: part.join(  # noqa: E731
+                kdf, key_col, "left_anti"
+            )
+        else:
+            hit = F.col(key_col).isin(keys)
+            doomed = df.filter(hit)
+            keep_filter = lambda part: part.filter(  # noqa: E731
+                (~hit) | F.col(key_col).isNull()
+            )
+        affected = doomed.select(*partition_cols).distinct().collect()
         if not affected:
             return 0
         part_pred = None
@@ -323,11 +348,10 @@ def _delete_keys_locked(
         # the affected partitions only, which is the whole point.
         # NULL-key rows are not targets: isin() yields NULL for them and
         # a bare ~hit filter would silently destroy them in the rewrite,
-        # so they are kept explicitly.
-        survivors = (
-            df.filter(part_pred)
-            .filter((~hit) | F.col(key_col).isNull())
-            .localCheckpoint(eager=True)
+        # so the literal path keeps them explicitly (the DataFrame path
+        # keeps them by anti-join semantics).
+        survivors = keep_filter(df.filter(part_pred)).localCheckpoint(
+            eager=True
         )
         (
             survivors.write.mode("overwrite")

@@ -226,3 +226,47 @@ def test_expire_partitions_drops_only_old(spark, tmp_path):
     back = spark.read.parquet(out)
     assert {r["day"] for r in back.select("day").distinct().collect()} == {"d2", "d3"}
     assert back.count() == 8
+
+
+def test_delete_keys_dataframe_flavor_matches_literal(spark, tmp_path):
+    """The DataFrame-keys path (the 100 TB shape: a large purge list
+    must not inline into the plan as IN literals) must behave exactly
+    like the literal path: same survivors, same return count, same
+    fully-deleted-partition drop, NULL-key rows preserved by anti-join
+    semantics."""
+    import os
+
+    from real_time_trip_processing_spark.operators.maintenance import (
+        delete_keys_from_lake,
+    )
+
+    rows = [(u, d, f"r{u}{d}") for u in (1, 2, 9) for d in ("01", "02")]
+    rows.append((None, "01", "null-key"))
+    rows.append((9, "03", "only-9"))  # day=03 fully doomed
+
+    def build(out):
+        spark.createDataFrame(
+            rows, "user_id long, day string, payload string"
+        ).write.partitionBy("day").parquet(out)
+
+    lit_out = str(tmp_path / "lit")
+    df_out = str(tmp_path / "df")
+    build(lit_out)
+    build(df_out)
+    n_lit = delete_keys_from_lake(spark, lit_out, "user_id", [2, 9], ["day"])
+    keys_df = spark.createDataFrame([(2,), (9,), (9,)], "user_id long")
+    n_df = delete_keys_from_lake(spark, df_out, "user_id", keys_df, ["day"])
+    assert n_lit == n_df == 3
+    canon = lambda p: sorted(  # noqa: E731
+        (-1 if r["user_id"] is None else r["user_id"],
+         str(r["day"]), r["payload"])
+        for r in spark.read.parquet(p).collect()
+    )
+    assert canon(lit_out) == canon(df_out)
+    assert not os.path.exists(f"{df_out}/day=03")
+    assert ("null-key") in {t[2] for t in canon(df_out)}
+    # no-op on an absent key frame
+    assert delete_keys_from_lake(
+        spark, df_out, "user_id",
+        spark.createDataFrame([(404,)], "user_id long"), ["day"],
+    ) == 0
