@@ -29,6 +29,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _table_dir_exists(batch_df: DataFrame, path: str) -> bool:
+    jvm = batch_df.sparkSession.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(
+        batch_df.sparkSession.sparkContext._jsc.hadoopConfiguration()
+    )
+    return bool(fs.exists(hpath))
+
+
+def _skip_table_creating_empty_batch(batch_df: DataFrame, path: str) -> bool:
+    """True iff this batch is empty AND the table dir does not exist
+    yet — the one case an empty dynamic-overwrite write does harm
+    (it creates a schema-less dir — _SUCCESS, no partitions — that
+    breaks readers on schema inference until data lands). The
+    emptiness probe (`isEmpty`) runs a limit-1 job whose row read
+    INFLATES the epoch's numInputRows metric, so it is gated behind
+    the FS existence check: steady-state batches (dir present) pay
+    nothing and report exact metrics — an empty write against an
+    existing table is already a harmless no-op (no partitions in the
+    output → nothing replaced)."""
+    return not _table_dir_exists(batch_df, path) and batch_df.isEmpty()
+
+
 def to_keyed_messages(df: DataFrame, key_col: str) -> DataFrame:
     """S8 projection: (key, value) message frame — key = partition key
     (trip_id ≡ the Kinesis PartitionKey, scripts/to_kinesis.py:66),
@@ -75,6 +98,10 @@ def upsert_foreach_batch(path: str):
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _skip_table_creating_empty_batch(batch_df, path):
+            # replay-safe: emptiness is deterministic from the
+            # checkpointed offsets, so a replayed batch skips too
+            return
         (
             batch_df.withColumn("__batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -103,6 +130,8 @@ def keyed_upsert_foreach_batch(path: str, key_cols: list[str]):
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if _skip_table_creating_empty_batch(batch_df, path):
+            return  # see _skip_table_creating_empty_batch
         (
             batch_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

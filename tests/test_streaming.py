@@ -1559,3 +1559,31 @@ def test_keyed_stream_per_key_order_to_state_store(spark, tmp_path):
     # update rows than keys means at least one key was updated across
     # two batches, so ordering held ACROSS batches, not within one
     assert batches_seen >= 3, batches_seen
+
+
+def test_empty_leading_batch_does_not_create_schemaless_table(spark, tmp_path):
+    """A leading EMPTY micro-batch must not create a schema-less table
+    dir (readers would die on schema inference until data lands); once
+    the table exists, empty batches write nothing and — critically —
+    the emptiness probe is skipped, so steady-state numInputRows stays
+    exact (the restart test pins that metric)."""
+    import os
+
+    from real_time_trip_processing_spark.streaming.sinks import (
+        keyed_upsert_foreach_batch,
+        upsert_foreach_batch,
+    )
+
+    out1, out2 = str(tmp_path / "t1"), str(tmp_path / "t2")
+    empty = spark.range(0).selectExpr("id AS k", "CAST(id AS STRING) v")
+    data = spark.range(3).selectExpr("id AS k", "CAST(id AS STRING) v")
+    upsert_foreach_batch(out1)(empty, 0)
+    keyed_upsert_foreach_batch(out2, ["k"])(empty, 0)
+    assert not os.path.exists(out1) and not os.path.exists(out2)
+    upsert_foreach_batch(out1)(data, 1)
+    keyed_upsert_foreach_batch(out2, ["k"])(data, 1)
+    # empty batch against an EXISTING table: harmless no-op write
+    upsert_foreach_batch(out1)(empty, 2)
+    keyed_upsert_foreach_batch(out2, ["k"])(empty, 2)
+    assert spark.read.parquet(out1).count() == 3
+    assert spark.read.parquet(out2).count() == 3
