@@ -5,10 +5,12 @@ All deterministic, all built-in expressions, and shaped for codegen:
 - shingles are exploded to (doc, hash) rows; each shingle is hashed
   ONCE (xxhash64 → top 31 bits so universal-hash arithmetic can't
   overflow under ANSI mode);
-- the signature is ONE HashAggregate: ``min(a_i*h+b_i)`` per
-  permutation — 32 codegen'd min-aggregates in a single shuffle on
-  doc_id (higher-order array lambdas are interpreted in Spark, an
-  order of magnitude slower for the same arithmetic);
+- the signature is ONE HashAggregate: ``min((a_i*h+b_i) mod
+  (2^31−1))`` per permutation — 32 codegen'd min-aggregates in a
+  single shuffle on doc_id (higher-order array lambdas are interpreted
+  in Spark, an order of magnitude slower for the same arithmetic); the
+  mod-Mersenne reduction is what makes the permutations independent
+  (see MERSENNE_31);
 - LSH banding hashes groups of signature columns; docs sharing any
   (band, band_hash) bucket become candidate pairs — the pair space is
   per-bucket, never O(n²);
@@ -25,8 +27,24 @@ from pyspark.sql import Column, DataFrame, functions as F
 from .text import shingle_rows
 
 
+#: Mersenne prime 2^31 − 1: the universal-hash modulus. REQUIRED for
+#: the permutations to be permutations at all — without a modulus,
+#: a·h+b is monotonically INCREASING in h (a > 0), so every
+#: "permutation" shares one argmin (the globally smallest shingle
+#: hash) and all num_perm signature slots collapse to functions of
+#: that single value: banded LSH degenerates to ONE-permutation
+#: MinHash (two docs match on ALL bands or NONE, candidate recall =
+#: plain jaccard instead of the banded S-curve 1−(1−j^r)^b). The
+#: round-8 regression test pins non-degeneracy on a fixed near-dup
+#: fixture. Exact verification of candidates masked this from every
+#: correctness gate — the oracle replays the same formula — which is
+#: why it needed a structural test, not more oracle queries.
+MERSENNE_31 = (1 << 31) - 1
+
+
 #: deterministic 31-bit multipliers/offsets (splitmix64-derived); with
-#: h reduced to 31 bits, a*h+b < 2^62 — safe under ANSI arithmetic.
+#: h reduced to 31 bits, a*h+b < 2^62 — safe under ANSI arithmetic
+#: before the mod-Mersenne reduction.
 def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
     consts = []
     for i in range(num_perm):
@@ -40,9 +58,119 @@ def minhash_signature_agg(num_perm: int, h_col: str = "h31") -> list[Column]:
     """The per-permutation min-aggregate expressions."""
     h = F.col(h_col)
     return [
-        F.min(F.lit(a) * h + F.lit(b)).alias(f"sig_{i}")
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"sig_{i}")
         for i, (a, b) in enumerate(_perm_constants(num_perm))
     ]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    n: int = 3,
+    num_perm: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    det: bool = False,
+) -> DataFrame:
+    """Per-doc MinHash signature frame ``(doc, sig_0..sig_{p-1}, hs)``
+    — the reusable state every LSH flavor (self-join pairs, incremental
+    batch-vs-corpus, streaming index) is derived from. ``hs`` is the
+    distinct hashed-shingle set kept for exact-Jaccard verification of
+    candidates. One shuffle on doc: the 32 min-aggregates and the
+    shingle set share a single HashAggregate.
+
+    ``det=True`` is the md5-60-bit flavor every intermediate of which
+    any engine can replay (the oracle flavor); ``det=False`` is the
+    cheaper xxhash64 production flavor. Signatures are a pure per-doc
+    function of the text, so a signature computed at ingest time equals
+    one computed in a later batch — which is what makes a PERSISTED
+    signature frame a valid corpus index for `minhash_incremental_pairs`
+    (the near-dup twin of `streaming/dedup.corpus_hash_index`)."""
+    if det:
+        # 15 hex chars = 60 bits → always fits BIGINT; h31 by modulus
+        # keeps universal-hash arithmetic under 2^62 (ANSI-safe)
+        h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+        sh_rows = (
+            shingle_rows(docs, n, id_col, text_col)
+            .dropDuplicates(["doc", "sh"])
+            .select("doc", h.alias("h"))
+            .withColumn("h31", F.col("h") % F.lit(2147483648))
+        )
+    else:
+        sh_rows = (
+            shingle_rows(docs, n, id_col, text_col)
+            .dropDuplicates(["doc", "sh"])
+            .select("doc", F.xxhash64("sh").alias("h"))
+            .withColumn("h31", F.shiftrightunsigned("h", 33))
+        )
+    return sh_rows.groupBy("doc").agg(
+        *minhash_signature_agg(num_perm), F.collect_set("h").alias("hs")
+    )
+
+
+def _full_sig_key(num_perm: int, det: bool) -> Column:
+    """Full-signature group key for hot-bucket star/hub construction;
+    in the det flavor it is the plain signature-value string so the
+    DuckDB oracle can replay hub selection (xxhash64 groups the same
+    docs — equal signatures — just not portably)."""
+    if det:
+        return F.concat_ws(
+            "|", *[F.col(f"sig_{i}").cast("string") for i in range(num_perm)]
+        )
+    return F.xxhash64(*[F.col(f"sig_{i}") for i in range(num_perm)]).cast("string")
+
+
+def banded_rows(
+    sig: DataFrame, num_perm: int, bands: int, det: bool, with_fs: bool = False
+) -> DataFrame:
+    """LSH band rows ``(doc[, fs], band, bh)`` from a signature frame —
+    one explode over the per-band key structs."""
+    rows_per_band = num_perm // bands
+
+    def band_key(b: int):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if det:
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols).cast("string")
+
+    band_cols = [
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
+        for b in range(bands)
+    ]
+    head = ["doc"] + (
+        [_full_sig_key(num_perm, det).alias("fs")] if with_fs else []
+    )
+    exploded = sig.select(*head, F.explode(F.array(*band_cols)).alias("bk"))
+    return exploded.select(
+        *(["doc", "fs"] if with_fs else ["doc"]),
+        F.col("bk.band").alias("band"),
+        F.col("bk.bh").alias("bh"),
+    )
+
+
+def _verify_jaccard(
+    candidates: DataFrame, hs_a: DataFrame, hs_b: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the hashed
+    shingle sets: ``candidates(a, b)`` joined to ``hs_a(a, hs_a)`` /
+    ``hs_b(b, hs_b)`` → ``(a, b, inter, jaccard ≥ threshold)``. Shared
+    by the self-join and incremental flavors so the verification rule
+    cannot drift between them."""
+    return (
+        candidates.join(hs_a, "a")
+        .join(hs_b, "b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "a",
+            "b",
+            F.col("inter").cast("long").alias("inter"),
+            F.round("jaccard", 8).alias("jaccard"),
+        )
+    )
 
 
 def minhash_lsh_pairs(
@@ -55,9 +183,16 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     det: bool = False,
     max_bucket: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (a, b, inter, jaccard) via MinHash-LSH candidates
     + exact-Jaccard verification on the hashed shingle sets.
+
+    ``sigs`` — a precomputed `minhash_signatures` frame to pair over
+    instead of building one from ``docs`` (which is then ignored); its
+    cache lifecycle is caller-owned. Used by the streaming sink, which
+    computes each micro-batch's signatures once and reuses them for
+    both the within-batch self-join and the vs-corpus screen.
 
     ``det=False`` (default): xxhash64 shingle hashing + xxhash64 band
     keys — the cheapest flavor for production runs. ``det=True``: the
@@ -97,61 +232,14 @@ def minhash_lsh_pairs(
     full-signature) group), so DuckDB hash-adjudicates the production
     configuration end-to-end, not just the uncapped one."""
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-
-    if det:
-        # 15 hex chars = 60 bits → always fits BIGINT; h31 by modulus
-        # keeps universal-hash arithmetic under 2^62 (ANSI-safe)
-        h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
-        sh_rows = (
-            shingle_rows(docs, n, id_col, text_col)
-            .dropDuplicates(["doc", "sh"])
-            .select("doc", h.alias("h"))
-            .withColumn("h31", F.col("h") % F.lit(2147483648))
-        )
-    else:
-        sh_rows = (
-            shingle_rows(docs, n, id_col, text_col)
-            .dropDuplicates(["doc", "sh"])
-            .select("doc", F.xxhash64("sh").alias("h"))
-            .withColumn("h31", F.shiftrightunsigned("h", 33))
-        )
 
     # one shuffle on doc: 32 min-aggregates (signature) + the hashed
     # shingle set for exact verification of candidates
-    sig = (
-        sh_rows.groupBy("doc")
-        .agg(*minhash_signature_agg(num_perm), F.collect_set("h").alias("hs"))
-        .persist()
-    )
-
-    def band_key(b: int):
-        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if det:
-            return F.concat_ws("|", *[c.cast("string") for c in cols])
-        return F.xxhash64(*cols).cast("string")
-
-    band_cols = [
-        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
-        for b in range(bands)
-    ]
-    # full-signature group key for the hot-bucket star construction;
-    # in the det flavor it is the plain signature-value string so the
-    # DuckDB oracle can replay hub selection (xxhash64 groups the same
-    # docs — equal signatures — just not portably)
-    if det:
-        full_sig = F.concat_ws(
-            "|", *[F.col(f"sig_{i}").cast("string") for i in range(num_perm)]
-        )
+    if sigs is not None:
+        sig = sigs
     else:
-        full_sig = F.xxhash64(*[F.col(f"sig_{i}") for i in range(num_perm)])
-    bucketed = sig.select(
-        "doc",
-        full_sig.alias("fs"),
-        F.explode(F.array(*band_cols)).alias("bk"),
-    ).select(
-        "doc", "fs", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
-    )
+        sig = minhash_signatures(docs, n, num_perm, id_col, text_col, det).persist()
+    bucketed = banded_rows(sig, num_perm, bands, det, with_fs=True)
 
     if max_bucket is None:
         pair_src = bucketed
@@ -210,22 +298,123 @@ def minhash_lsh_pairs(
 
     hs_a = sig.select(F.col("doc").alias("a"), F.col("hs").alias("hs_a"))
     hs_b = sig.select(F.col("doc").alias("b"), F.col("hs").alias("hs_b"))
-    verified = (
-        candidates.join(hs_a, "a")
-        .join(hs_b, "b")
-        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")))
-        .withColumn(
-            "jaccard",
-            F.col("inter") / (F.size("hs_a") + F.size("hs_b") - F.col("inter")),
+    return _verify_jaccard(candidates, hs_a, hs_b, threshold)
+
+
+def minhash_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    det: bool = False,
+    corpus_sigs: DataFrame | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection — the per-ingest-cycle shape of
+    `minhash_lsh_pairs`, completing the near-dup family's batch →
+    incremental progression (exact dedup has `dedup_incremental`, span
+    dedup has `dedup_spans_incremental`): each NEW batch document is
+    screened against the ALREADY-INGESTED corpus. Returns verified
+    pairs ``(a, b, inter, jaccard)`` with ``a`` a corpus doc and ``b``
+    a batch doc — never batch×batch or corpus×corpus pairs (within-
+    batch dedup is `minhash_lsh_pairs` on the batch alone; the
+    streaming sink composes both).
+
+    Scale shape: the candidate join is batch-bands × corpus-bands on
+    ``(band, bh)`` — an equi-join whose left side is the BATCH (small
+    per ingest cycle), never the corpus self-join. The corpus side
+    ships ``(doc, band keys, hashed shingle set)`` only — no document
+    bodies. At 100 TB pass ``corpus_sigs`` — a persisted/parquet-backed
+    frame from `minhash_signatures` (columns ``doc, sig_*, hs``),
+    maintained across ingest cycles like
+    `streaming/dedup.corpus_hash_index` — so the corpus is never
+    re-shingled per cycle; signatures are a pure per-doc function of
+    the text, so stored and recomputed signatures agree bit-for-bit.
+
+    ``max_bucket`` is the hot-bucket dial, adapted from the self-join
+    cap: a corpus bucket wider than K (head-heavy corpora grow their
+    widest buckets with the corpus — the measured quadratic hazard,
+    SCALE.md) contributes only ONE representative per full-signature
+    group (the min corpus doc), matched to batch docs sharing that
+    FULL signature. Identical/heavily-duplicated corpus content thus
+    still flags its batch twins at O(width) cost; cross-signature
+    candidates in an over-wide bucket — overwhelmingly band-collision
+    false positives — are dropped, the same bounded, documented recall
+    trade as `minhash_lsh_pairs(max_bucket=...)`. Narrow buckets are
+    exactly unchanged; ``None`` disables the cap."""
+    assert num_perm % bands == 0
+    if corpus_sigs is None:
+        if corpus is None:
+            raise ValueError("pass corpus or corpus_sigs")
+        # inline-computed sigs are persisted like minhash_lsh_pairs' —
+        # both frames feed two consumers (band rows + verification);
+        # a caller-supplied corpus_sigs' cache lifecycle stays caller-
+        # owned (the corpus_hash_index rule)
+        corpus_sigs = minhash_signatures(
+            corpus, n, num_perm, id_col, text_col, det
+        ).persist()
+    batch_sigs = minhash_signatures(
+        batch, n, num_perm, id_col, text_col, det
+    ).persist()
+    return _incremental_pairs_from_sigs(
+        batch_sigs, corpus_sigs, num_perm, bands, threshold, det, max_bucket
+    )
+
+
+def _incremental_pairs_from_sigs(
+    batch_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    det: bool,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """`minhash_incremental_pairs` from signature frames directly —
+    shared with the streaming sink, where the corpus side is the
+    persisted per-batch signature index and the batch side is computed
+    once per micro-batch."""
+    bb = banded_rows(batch_sigs, num_perm, bands, det, with_fs=True).select(
+        F.col("doc").alias("b"), F.col("fs").alias("fs_b"), "band", "bh"
+    )
+    cb = banded_rows(corpus_sigs, num_perm, bands, det, with_fs=True).select(
+        F.col("doc").alias("a"), F.col("fs").alias("fs_a"), "band", "bh"
+    )
+
+    if max_bucket is None:
+        candidates = bb.join(cb, ["band", "bh"]).select("a", "b")
+    else:
+        from pyspark.sql import Window
+
+        # width tagging + hub selection as windows over ONE (band, bh)
+        # exchange on the corpus side (same plan shape as the capped
+        # self-join; the batch side is untouched)
+        tagged = cb.withColumn(
+            "_k", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
         )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select(
-        "a",
-        "b",
-        F.col("inter").cast("long").alias("inter"),
-        F.round("jaccard", 8).alias("jaccard"),
-    )
+        narrow = bb.join(
+            tagged.filter(F.col("_k") <= max_bucket), ["band", "bh"]
+        ).select("a", "b")
+        hubs = (
+            tagged.filter(F.col("_k") > max_bucket)
+            .withColumn(
+                "_hub",
+                F.min("a").over(Window.partitionBy("band", "bh", "fs_a")),
+            )
+            .filter(F.col("a") == F.col("_hub"))
+            .select("band", "bh", F.col("fs_a").alias("fs_b"), "a")
+        )
+        wide = bb.join(hubs, ["band", "bh", "fs_b"]).select("a", "b")
+        candidates = narrow.unionByName(wide)
+    candidates = candidates.distinct()
+
+    hs_a = corpus_sigs.select(F.col("doc").alias("a"), F.col("hs").alias("hs_a"))
+    hs_b = batch_sigs.select(F.col("doc").alias("b"), F.col("hs").alias("hs_b"))
+    return _verify_jaccard(candidates, hs_a, hs_b, threshold)
 
 
 def minhash_band_stats(

@@ -13,7 +13,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions.minhash import _perm_constants, minhash_lsh_pairs
+from ..functions.minhash import (
+    _perm_constants,
+    minhash_incremental_pairs,
+    minhash_lsh_pairs,
+)
 from ..functions.similarity import (
     SRP_QUANT,
     cosine_topk,
@@ -97,7 +101,8 @@ def _minhash_common_ctes(n: int, num_perm: int, bands: int) -> str:
     rpb = num_perm // bands
     consts = _perm_constants(num_perm)
     sig_aggs = ",\n            ".join(
-        f"MIN({a} * h31 + {b}) AS s{i}" for i, (a, b) in enumerate(consts)
+        f"MIN(({a} * h31 + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(consts)
     )
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc, {b} AS band, {key} AS bh FROM sig".format(
@@ -1008,7 +1013,8 @@ def _minhash_band_oracle(n: int = 3, num_perm: int = 32, bands: int = 8) -> str:
     rpb = num_perm // bands
     consts = _perm_constants(num_perm)
     sig_aggs = ",\n            ".join(
-        f"MIN({a} * h31 + {b}) AS s{i}" for i, (a, b) in enumerate(consts)
+        f"MIN(({a} * h31 + {b}) % 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(consts)
     )
     band_selects = "\n      UNION ALL ".join(
         "SELECT doc, {b} AS band, {key} AS bh FROM sig".format(
@@ -1113,6 +1119,110 @@ def dedup_near_minhash_capped(spark, sf_dir):
     the quadratic uncapped flavor was declared."""
     return minhash_lsh_pairs(
         table(spark, sf_dir, "documents"),
+        n=3,
+        num_perm=32,
+        bands=8,
+        threshold=0.2,
+        det=True,
+        max_bucket=3,
+    )
+
+
+@declare(
+    "dedup_near_incremental",
+    oracle=f"""
+    WITH {_minhash_common_ctes(3, 32, 8)},
+    cand AS (SELECT DISTINCT r.doc AS a, l.doc AS b
+             FROM bnd l JOIN bnd r ON l.band = r.band AND l.bh = r.bh
+             WHERE l.doc % 7 = 0 AND r.doc % 7 <> 0),
+    {_minhash_verify_tail(0.2)}""",
+)
+def dedup_near_incremental_q(spark, sf_dir):
+    """X2 incremental flavor — near-dup screening of a NEW ingest batch
+    (the doc_id % 7 == 0 slice) against the already-ingested corpus
+    (the rest), completing the near-dup family's batch → incremental
+    progression alongside `dedup_incremental` (exact) and
+    `dedup_spans_incremental` (spans). The candidate join is
+    batch-bands × corpus-bands — an equi-join with the small batch on
+    one side, never the corpus self-join — and the corpus ships
+    signatures + hashed shingle sets only (at 100 TB: a persisted
+    `minhash_signatures` index reused across ingest cycles, the
+    `corpus_hash_index` dial). Declared det (md5) so DuckDB replays
+    shingling, signatures, banding, the cross-split candidate join AND
+    exact-Jaccard verification — hash-adjudicated end to end."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+        n=3,
+        num_perm=32,
+        bands=8,
+        threshold=0.2,
+        det=True,
+    )
+
+
+def _minhash_incremental_capped_oracle(
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    max_bucket: int = 3,
+) -> str:
+    """DuckDB replay of the CAPPED incremental pipeline: corpus bucket
+    widths are counted over CORPUS band rows only (the batch never
+    widens a bucket it is screened against), over-wide buckets expose
+    one hub per full-signature group, and batch docs match hubs only on
+    FULL signature equality — `minhash_incremental_pairs(max_bucket=K)`
+    exactly, every step deterministic SQL."""
+    full_sig = " || '|' || ".join(
+        f"CAST(s{i} AS VARCHAR)" for i in range(num_perm)
+    )
+    return f"""
+    WITH {_minhash_common_ctes(n, num_perm, bands)},
+    fsg AS (SELECT doc, {full_sig} AS fs FROM sig),
+    bb AS (SELECT b.doc, b.band, b.bh, f.fs
+           FROM bnd b JOIN fsg f ON f.doc = b.doc WHERE b.doc % 7 = 0),
+    cb AS (SELECT b.doc, b.band, b.bh, f.fs
+           FROM bnd b JOIN fsg f ON f.doc = b.doc WHERE b.doc % 7 <> 0),
+    w AS (SELECT band, bh, COUNT(*) AS k FROM cb GROUP BY band, bh),
+    cbt AS (SELECT c.doc, c.band, c.bh, c.fs, w.k
+            FROM cb c JOIN w ON w.band = c.band AND w.bh = c.bh),
+    narrow AS (SELECT c.doc AS a, b.doc AS b
+               FROM bb b JOIN cbt c ON c.band = b.band AND c.bh = b.bh
+               WHERE c.k <= {max_bucket}),
+    hubs AS (SELECT band, bh, fs, MIN(doc) AS hub
+             FROM cbt WHERE k > {max_bucket} GROUP BY band, bh, fs),
+    wide AS (SELECT h.hub AS a, b.doc AS b
+             FROM bb b JOIN hubs h ON h.band = b.band AND h.bh = b.bh
+                                  AND h.fs = b.fs),
+    cand AS (SELECT DISTINCT a, b FROM (
+               SELECT a, b FROM narrow UNION ALL SELECT a, b FROM wide)),
+    {_minhash_verify_tail(threshold)}"""
+
+
+@declare(
+    "dedup_near_incremental_capped",
+    oracle=_minhash_incremental_capped_oracle(3, 32, 8, 0.2, max_bucket=3),
+)
+def dedup_near_incremental_capped(spark, sf_dir):
+    """X2 — the PRODUCTION configuration of incremental near-dup
+    screening: the hot-bucket cap bounds the corpus side of the
+    batch × corpus band join. On head-heavy corpora the widest CORPUS
+    buckets grow with the ingested corpus, so every ingest cycle's
+    screening cost would grow with Σ(batch hits × corpus width); with
+    the cap an over-wide bucket exposes one representative per
+    full-signature group (min corpus doc), so heavily-duplicated corpus
+    content still flags its batch twins at O(width) while
+    cross-signature band collisions — the measured false-positive mass
+    — are dropped. K=3 fires on this corpus's widest buckets,
+    exercising the exact path K≈500 runs at production widths; the
+    oracle replays widths, hubs, full-signature matching AND
+    verification."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
         n=3,
         num_perm=32,
         bands=8,

@@ -127,6 +127,195 @@ def seed_span_index(
     )
 
 
+def _sig_index_schema(num_perm: int, id_type: str) -> str:
+    """Explicit read schema for the persisted signature index — the
+    read_index_cells rule: no schema inference over a dir that may hold
+    only _SUCCESS (empty seed), no silent drift if a stray file lands."""
+    sig_cols = ", ".join(f"sig_{i} long" for i in range(num_perm))
+    return f"doc {id_type}, {sig_cols}, hs array<long>, __batch_id int"
+
+
+def seed_minhash_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n: int = 3,
+    num_perm: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    det: bool = False,
+) -> None:
+    """Bootstrap a MinHash signature index from an already-ingested
+    corpus so a near-dup stream starts screening against it: per-doc
+    signatures + hashed shingle sets land in the reserved
+    ``__batch_id = -1`` partition (stream batch ids start at 0, so the
+    seed is always visible to `stream_dedup_near_sink`'s
+    own-batch-excluding read). Signatures are a pure per-doc function
+    of the text, so seeded and streamed entries agree bit-for-bit with
+    recomputation — the `minhash_incremental_pairs(corpus_sigs=...)`
+    contract."""
+    from ..functions.minhash import minhash_signatures
+
+    (
+        minhash_signatures(corpus, n, num_perm, id_col, text_col, det)
+        .withColumn("__batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(index_dir)
+    )
+
+
+def stream_dedup_near_sink(
+    index_dir: str,
+    audit_dir: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    det: bool = False,
+    id_type: str = "long",
+    max_bucket: int | None = None,
+):
+    """Streaming NEAR-dup screening — the continuous-ingest twin of
+    `functions/minhash.minhash_incremental_pairs`, as a ``foreachBatch``
+    sink, completing the near-dup family's batch → incremental →
+    streaming progression (exact dedup and span dedup already have all
+    three shapes). Each micro-batch's docs are screened against (a)
+    earlier docs of the SAME batch (lower ``id_col`` wins — the
+    deterministic greedy rule; near-dup similarity is not transitive,
+    so a doc is removed iff it pairs with ANY lower batch id or any
+    index doc, the same min-id-canonical convention as the capped
+    star/hub construction) and (b) every doc RETAINED by prior batches
+    via the persisted signature index at ``index_dir``. The per-doc
+    audit ``(id, n_corpus_matches, n_prior_batch_matches, kept)`` lands
+    under ``audit_dir``.
+
+    Only KEPT (novel) docs join the index — the index is the canonical
+    deduplicated corpus, so near-dups of retained content never
+    accumulate redundant signatures (the standard production ingest
+    screen; documented nuance: a doc near two different retained docs
+    is dropped against either, and gradual drift across a chain of
+    batches can admit pairs a single global pass would remove — the
+    family-wide incremental-vs-global trade, same as
+    dedup_spans_incremental's).
+
+    Exactly-once under replay WITHOUT a ledger — the
+    stream_dedup_spans_sink mechanism verbatim: both writes are
+    partitioned by ``__batch_id`` with dynamic overwrite, and the index
+    read EXCLUDES the running batch's own partition
+    (``__batch_id < batch_id``, partition-pruned), so a replayed batch
+    sees exactly the index state its first attempt saw and overwrites
+    exactly its own output partitions. ``hs`` set ORDER inside a row is
+    collect_set-nondeterministic; every consumer (array_intersect
+    verification) is order-independent, so replays are row-equal with
+    possibly permuted ``hs`` — semantics identical.
+
+    Scale shape per batch: batch signatures are ONE doc-keyed shuffle
+    computed once and shared by the self-join and the corpus screen;
+    the index ships (doc, 32 longs, hashed shingle set) — never
+    document bodies (the ``hs`` arrays are the exact-verification
+    storage cost; at 100 TB bucket the index on a band key for
+    co-located probes, and pass ``max_bucket`` to bound hot corpus
+    buckets — the `minhash_incremental_pairs` dial, plumbed through)."""
+    from ..functions.minhash import (
+        _incremental_pairs_from_sigs,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # emptiness is deterministic from source offsets → replay
+            # skips identically (streaming_index_append's rule)
+            return
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        schema = _sig_index_schema(num_perm, id_type)
+        if fs.exists(hpath):
+            # explicit existence gate + explicit schema (the
+            # read_index_cells rule): a genuine read failure must fail
+            # the micro-batch, not silently screen against an EMPTY
+            # index and admit every near-dup as novel
+            idx = (
+                spark.read.schema(schema)
+                .parquet(index_dir)
+                .filter(F.col("__batch_id") < int(batch_id))
+                .drop("__batch_id")
+            )
+        else:  # first batch, nothing seeded
+            idx = spark.createDataFrame([], schema).drop("__batch_id")
+
+        sigs = minhash_signatures(
+            batch_df, n, num_perm, id_col, text_col, det
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            vs_corpus = _incremental_pairs_from_sigs(
+                sigs, idx, num_perm, bands, threshold, det, max_bucket
+            )
+            within = minhash_lsh_pairs(
+                batch_df, n, num_perm, bands, threshold,
+                det=det, max_bucket=max_bucket, sigs=sigs,
+            )
+            corpus_hits = vs_corpus.groupBy("b").agg(
+                F.count(F.lit(1)).alias("n_corpus_matches")
+            )
+            # self-join pairs come oriented a < b: doc b has a lower-id
+            # partner a, so b is the drop side under the greedy rule
+            batch_hits = within.groupBy("b").agg(
+                F.count(F.lit(1)).alias("n_prior_batch_matches")
+            )
+            audit = (
+                sigs.select(F.col("doc"))
+                .join(corpus_hits, F.col("doc") == corpus_hits["b"], "left")
+                .drop("b")
+                .join(batch_hits, F.col("doc") == batch_hits["b"], "left")
+                .drop("b")
+                .select(
+                    "doc",
+                    F.coalesce("n_corpus_matches", F.lit(0))
+                    .cast("long")
+                    .alias("n_corpus_matches"),
+                    F.coalesce("n_prior_batch_matches", F.lit(0))
+                    .cast("long")
+                    .alias("n_prior_batch_matches"),
+                )
+                .withColumn(
+                    "kept",
+                    (F.col("n_corpus_matches") == 0)
+                    & (F.col("n_prior_batch_matches") == 0),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                (
+                    audit.withColumn("__batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(audit_dir)
+                )
+                (
+                    sigs.join(
+                        audit.filter("kept").select("doc"), "doc", "left_semi"
+                    )
+                    .withColumn("__batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(index_dir)
+                )
+            finally:
+                audit.unpersist()
+        finally:
+            sigs.unpersist()
+
+    return apply
+
+
 def stream_dedup_spans_sink(
     index_dir: str,
     audit_dir: str,

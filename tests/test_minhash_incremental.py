@@ -1,0 +1,207 @@
+"""minhash_incremental_pairs — the per-ingest-cycle near-dup screen
+(batch vs already-ingested corpus), completing the near-dup family's
+batch → incremental progression (exact: dedup_incremental; spans:
+dedup_spans_incremental).
+
+Contracts pinned here:
+- equivalence: the uncapped incremental output IS the full-corpus
+  `minhash_lsh_pairs` restricted to cross-split pairs, for any split —
+  the incremental shape changes the JOIN, never the semantics;
+- a persisted `minhash_signatures` frame (the 100 TB corpus index,
+  parquet round-tripped) yields bit-identical results to inline
+  recomputation — signatures are a pure per-doc function of the text;
+- the cap only DROPS pairs (capped ⊆ uncapped), narrow buckets are
+  unchanged, and a batch doc sharing a FULL signature with docs in an
+  over-wide corpus bucket still pairs with that group's hub.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_trip_processing_spark.functions.minhash import (
+    minhash_incremental_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from real_time_trip_processing_spark.sources import table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pairs(df):
+    return sorted(
+        (r["a"], r["b"], r["inter"], r["jaccard"]) for r in df.collect()
+    )
+
+
+def _cross_split(full_pairs, batch_ids):
+    """Reorient full-corpus pairs (a < b) to the incremental convention
+    (a = corpus doc, b = batch doc), keeping only cross-split pairs."""
+    out = []
+    for a, b, inter, j in full_pairs:
+        a_in, b_in = a in batch_ids, b in batch_ids
+        if a_in == b_in:
+            continue
+        c, n = (b, a) if a_in else (a, b)
+        out.append((c, n, inter, j))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("mod", [3, 7])
+def test_incremental_equals_cross_split_of_full(spark, mod):
+    docs = table(spark, SF_DIR, "documents")
+    batch = docs.filter(F.col("doc_id") % mod == 0)
+    corpus = docs.filter(F.col("doc_id") % mod != 0)
+    inc = minhash_incremental_pairs(
+        batch, corpus, n=3, num_perm=32, bands=8, threshold=0.2, det=True
+    )
+    full = minhash_lsh_pairs(
+        docs, n=3, num_perm=32, bands=8, threshold=0.2, det=True
+    )
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert _pairs(inc) == _cross_split(_pairs(full), batch_ids)
+    spark.catalog.clearCache()
+
+
+def test_corpus_sigs_index_path_bit_identical(spark, tmp_path):
+    """The persisted-signature-index path (the corpus_hash_index dial):
+    minhash_signatures written to parquet and read back must screen the
+    batch bit-identically to inline recomputation from corpus text."""
+    docs = table(spark, SF_DIR, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+
+    idx_dir = str(tmp_path / "sig_index")
+    minhash_signatures(corpus, n=3, num_perm=32, det=True).write.parquet(idx_dir)
+    stored = spark.read.parquet(idx_dir)
+
+    via_index = minhash_incremental_pairs(
+        batch, corpus_sigs=stored, n=3, num_perm=32, bands=8,
+        threshold=0.2, det=True,
+    )
+    inline = minhash_incremental_pairs(
+        batch, corpus, n=3, num_perm=32, bands=8, threshold=0.2, det=True
+    )
+    assert _pairs(via_index) == _pairs(inline)
+    spark.catalog.clearCache()
+
+
+def test_minhash_permutations_are_independent(spark):
+    """Round-8 regression, structural: the signature aggregate must be
+    ``min((a·h+b) mod 2^31−1)`` — WITHOUT the modulus a·h+b is
+    monotone in h (a > 0), every permutation shares one argmin (the
+    globally smallest shingle hash), and all 32 slots collapse to
+    functions of that single value: two docs then match on ALL
+    permutations or NONE (one-permutation MinHash), never in between,
+    and banded LSH loses its 1−(1−j^r)^b candidate recall. Exact
+    verification of candidates kept every oracle green through 7
+    rounds — the oracle replays the same formula — so the pin must be
+    structural: a ~0.89-jaccard pair and a ~0.29-jaccard pair must
+    land strictly BETWEEN the all-or-none poles (exact slot counts are
+    deterministic md5 arithmetic: 31/32 and 10/32)."""
+    from real_time_trip_processing_spark.functions.minhash import (
+        minhash_signatures,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.rsplit(" ", 1)[0] + " omega"
+    half = (
+        " ".join(base.split()[:10])
+        + " uno dos tres cuatro cinco seis siete ocho nueve diez"
+    )
+
+    def slots(txt):
+        a = spark.createDataFrame([(0, base)], "doc_id long, text string")
+        b = spark.createDataFrame([(1, txt)], "doc_id long, text string")
+        ra = minhash_signatures(a, 3, 32, det=True).collect()[0]
+        rb = minhash_signatures(b, 3, 32, det=True).collect()[0]
+        return sum(ra[f"sig_{i}"] == rb[f"sig_{i}"] for i in range(32))
+
+    m_near, m_half = slots(near), slots(half)
+    assert 0 < m_near < 32 and 0 < m_half < 32, (m_near, m_half)
+    # high-jaccard pairs match most slots, mid-jaccard pairs few — the
+    # graded behavior the degenerate form cannot produce
+    assert m_near >= 24 and m_half <= 12, (m_near, m_half)
+
+    # and the banded pipeline actually FINDS the near pair
+    docs = spark.createDataFrame(
+        [(0, base), (1, near)], "doc_id long, text string"
+    )
+    got = _pairs(
+        minhash_lsh_pairs(docs, n=3, num_perm=32, bands=8, threshold=0.5)
+    )
+    assert len(got) == 1 and got[0][:2] == (0, 1)
+    spark.catalog.clearCache()
+
+
+def test_requires_corpus_or_sigs(spark):
+    docs = table(spark, SF_DIR, "documents").limit(5)
+    with pytest.raises(ValueError, match="corpus or corpus_sigs"):
+        minhash_incremental_pairs(docs)
+
+
+def test_cap_above_all_widths_is_noop(spark):
+    docs = table(spark, SF_DIR, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    base = minhash_incremental_pairs(
+        batch, corpus, n=3, num_perm=32, bands=8, threshold=0.2
+    )
+    capped = minhash_incremental_pairs(
+        batch, corpus, n=3, num_perm=32, bands=8, threshold=0.2,
+        max_bucket=10_000_000,
+    )
+    assert _pairs(base) == _pairs(capped)
+    spark.catalog.clearCache()
+
+
+def test_capped_subset_and_hub_detection(spark):
+    """A hot corpus bucket (60 identical docs, width 60 > cap 10) plus
+    a planted narrow near-dup pair: capped output must (a) be a subset
+    of uncapped, (b) keep the narrow pair byte-identically, (c) still
+    flag the batch twin of the duplicated corpus content — via the
+    full-signature hub, with ONE pair instead of 60."""
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near_a = "red orange yellow green blue indigo violet amber teal pink"
+    near_b = "red orange yellow green blue indigo violet amber teal navy"
+    corpus_rows = [(i, dup_text) for i in range(60)]
+    corpus_rows += [(100, near_a)]
+    corpus_rows += [
+        (
+            200 + i,
+            f"unique{i} filler{i} words{i} apart{i} other{i} "
+            f"stuff{i} things{i} tokens{i}",
+        )
+        for i in range(20)
+    ]
+    batch_rows = [(1000, dup_text), (1001, near_b), (1002, "totally novel text here")]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+
+    kw = dict(n=3, num_perm=32, bands=8, threshold=0.5)
+    capped = _pairs(
+        minhash_incremental_pairs(batch, corpus, max_bucket=10, **kw)
+    )
+    full = _pairs(minhash_incremental_pairs(batch, corpus, **kw))
+
+    # (a) subset
+    assert set(capped) <= set(full)
+    # (b) the narrow-bucket near-dup pair survives byte-identically
+    assert [p for p in capped if p[1] == 1001] == [
+        p for p in full if p[1] == 1001
+    ]
+    # (c) the exact-duplicate batch doc is still flagged — against the
+    # hub (min corpus doc of its full-signature group) only
+    dup_hits_capped = [p for p in capped if p[1] == 1000]
+    dup_hits_full = [p for p in full if p[1] == 1000]
+    assert len(dup_hits_full) == 60
+    assert len(dup_hits_capped) == 1 and dup_hits_capped[0][0] == 0
+    assert dup_hits_capped[0][3] == 1.0
+    # the novel doc is flagged by neither
+    assert not any(p[1] == 1002 for p in full)
+    spark.catalog.clearCache()
