@@ -139,6 +139,41 @@ def test_minhash_permutations_are_independent(spark):
     spark.catalog.clearCache()
 
 
+def test_minhash_lsh_recall_floor(spark):
+    """RECALL contract for banded LSH — the gate the oracle cannot be
+    (both engines replay one formula, so a shared quality defect stays
+    green; this is how the degenerate no-modulus form survived seven
+    rounds). 300 planted near-dup pairs, one word mutated out of 40
+    (≤3 of ~38 shingles change → shingle-jaccard ≈ 0.85): with 8
+    bands × 4 rows the S-curve predicts ≈ 99.8% candidate recall; the
+    one-permutation degenerate form would recall ≈ j (~15% of pairs
+    missed), far below the floor. Deterministic corpus (seeded) +
+    deterministic hashing → a fixed measured value (1.000); the floor
+    sits under it with slack (the IVF/PQ recall-floor rule)."""
+    import random
+
+    rng = random.Random(20260816)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    for i in range(300):
+        words = [rng.choice(vocab) for _ in range(40)]
+        rows.append((2 * i, " ".join(words)))
+        mutated = list(words)
+        mutated[rng.randrange(40)] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_pairs(
+            docs, n=3, num_perm=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(300)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.98, f"banded-LSH recall {recall:.3f} < 0.98 floor"
+    spark.catalog.clearCache()
+
+
 def test_requires_corpus_or_sigs(spark):
     docs = table(spark, SF_DIR, "documents").limit(5)
     with pytest.raises(ValueError, match="corpus or corpus_sigs"):
