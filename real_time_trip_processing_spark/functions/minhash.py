@@ -204,12 +204,21 @@ def minhash_lsh_pairs(
 
     ``max_bucket`` — the hot-bucket dial (the LSH twin of
     `similarity.ann_join_ivf(max_bucket=...)`): the banded self-join's
-    cost is Σ K² over bucket widths K, and on head-heavy corpora the
-    widest buckets GROW WITH THE CORPUS (measured on the zipfian
-    2M-doc harness corpus: max width 1,752 → 4,383 and candidate pairs
-    67.6M → 426M from 800k → 2M docs — a quadratic term that turned a
-    15 s run into 324 s; SCALE.md). With ``max_bucket=K`` set, buckets
-    wider than K contribute:
+    cost is Σ K² over bucket widths K. A band bucket is a group of
+    docs agreeing on ``rows_per_band`` signature slots — on corpora
+    with large exact/near-duplicate clusters (boilerplate-heavy
+    crawls) the widest buckets ARE those clusters and grow with the
+    corpus, an unbounded quadratic term. (History, SCALE.md round 8:
+    the quadratic blow-up originally measured on the zipfian harness —
+    426M candidates / 347 s at 2M docs — was dominated by the
+    pre-round-8 DEGENERATE signatures, which bucketed docs by their
+    single smallest shingle hash so common-shingle groups grew with N;
+    with genuine permutations the same corpus runs 65 s uncapped and
+    the cap's verified output is identical. The cap remains the
+    insurance for genuinely duplicate-heavy corpora, where mega
+    clusters band identically either way — the planted-fixture tests
+    pin exactly that shape.) With ``max_bucket=K`` set, buckets wider
+    than K contribute:
 
     - LINEAR star edges between docs sharing the FULL num_perm
       signature (sorted-min hub per signature group) — identical and
