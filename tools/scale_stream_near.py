@@ -1,0 +1,144 @@
+"""Streaming NEAR-dup throughput at corpus scale — the envelope for
+``streaming/dedup.stream_dedup_near_sink`` (round 8), giving the
+near-dup family's streaming shape the same measured footing as the
+span sink's: the batch op has a 2M/8M curve (SCALE.md), the
+incremental op shares its join shape, and this measures the
+continuous-ingest twin per micro-batch.
+
+Shape: seed the signature index from an already-ingested corpus half
+(`seed_minhash_index`), then drive the other half through the sink in
+4 micro-batches (production config: xxhash64 flavor + hot-bucket cap).
+Per batch the work is ONE doc-keyed signature shuffle of the batch
+plus a banded equi-join against the growing index — never a corpus
+self-join — so batch wall should track batch size, not corpus size.
+
+Invariants asserted (structural; bit-level equivalence with the batch
+twin is pinned by tests/test_stream_near_dedup.py at small scale):
+- audit rows == streamed docs (every doc audited once);
+- index rows == seeded corpus docs + kept streamed docs (only KEPT
+  docs join the index — the canonical-corpus claim);
+- replaying the last batch changes neither audit nor index counts nor
+  the audit's kept/match aggregate (ledger-free exactly-once).
+
+Reuses tools/scale_text.py's deterministic corpus (~5% planted exact
+dups + ~5% near-dups). Usage:
+    python tools/scale_stream_near.py [--docs 1000000] [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scale_text import OUT, generate  # noqa: E402
+
+N_BATCHES = 4
+KW = dict(n=3, num_perm=32, bands=8, threshold=0.5, max_bucket=500)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_gen and not os.path.isdir(OUT):
+        t0 = time.monotonic()
+        generate(args.docs, OUT)
+        print(f"generated {args.docs:,} docs in {time.monotonic()-t0:.1f}s",
+              flush=True)
+
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.session import get_spark
+    from real_time_trip_processing_spark.streaming.dedup import (
+        seed_minhash_index,
+        stream_dedup_near_sink,
+    )
+
+    spark = get_spark("stream-near-scale")
+    docs = spark.read.parquet(OUT).filter(
+        F.col("doc_id") < args.docs
+    ).select("doc_id", "text")
+    half = args.docs // 2
+    corpus = docs.filter(F.col("doc_id") < half)
+    stream_docs = docs.filter(F.col("doc_id") >= half)
+
+    work = os.path.join(os.path.dirname(OUT), "stream_near")
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+    idx_dir = os.path.join(work, "sig_index")
+    audit_dir = os.path.join(work, "audit")
+    feed = os.path.join(work, "feed")
+
+    res: dict = {"docs": args.docs, "n_batches": N_BATCHES, **KW}
+
+    t0 = time.monotonic()
+    seed_minhash_index(corpus, idx_dir, n=KW["n"], num_perm=KW["num_perm"])
+    res["seed_sec"] = round(time.monotonic() - t0, 2)
+    res["seed_rows"] = spark.read.parquet(idx_dir).count()
+    print(f"seed {half:,} docs: {res['seed_sec']}s "
+          f"({res['seed_rows']:,} index rows)", flush=True)
+
+    stream_docs.repartition(N_BATCHES).write.parquet(feed)
+    sink = stream_dedup_near_sink(idx_dir, audit_dir, **KW)
+
+    # drive batches directly (sink(df, batch_id)) for per-batch walls —
+    # same method as scale_stream_spans; the sink sees exactly the
+    # frames an availableNow file source would hand it
+    files = sorted(glob.glob(os.path.join(feed, "*.parquet")))
+    assert len(files) == N_BATCHES, files
+    batch_walls = []
+    for bid, path in enumerate(files):
+        b = spark.read.parquet(path)
+        t0 = time.monotonic()
+        sink(b, bid)
+        batch_walls.append(round(time.monotonic() - t0, 2))
+        idx_n = spark.read.parquet(idx_dir).count()
+        print(f"batch {bid}: {batch_walls[-1]}s (index now {idx_n:,})",
+              flush=True)
+    res["batch_walls_sec"] = batch_walls
+    res["stream_sec"] = round(sum(batch_walls), 2)
+    res["docs_per_sec"] = round((args.docs - half) / sum(batch_walls), 1)
+
+    def audit_fingerprint():
+        # fresh read per call: the replay's dynamic overwrite swaps the
+        # batch partition's files, so a cached listing goes stale
+        r = spark.read.parquet(audit_dir).agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.col("kept").cast("long")).alias("kept"),
+            F.sum("n_corpus_matches").alias("c_matches"),
+            F.sum("n_prior_batch_matches").alias("b_matches"),
+        ).collect()[0]
+        return tuple(int(x) for x in r)
+
+    fp = audit_fingerprint()
+    res["audit_rows"], res["kept_docs"] = fp[0], fp[1]
+    res["corpus_matches"], res["batch_matches"] = fp[2], fp[3]
+    idx_rows = spark.read.parquet(idx_dir).count()
+    res["index_rows"] = idx_rows
+
+    assert fp[0] == args.docs - half, (fp[0], args.docs - half)
+    assert idx_rows == res["seed_rows"] + fp[1], (idx_rows, fp)
+
+    # exactly-once: replay the final batch, nothing changes
+    b = spark.read.parquet(files[-1])
+    t0 = time.monotonic()
+    sink(b, N_BATCHES - 1)
+    res["replay_sec"] = round(time.monotonic() - t0, 2)
+    assert audit_fingerprint() == fp, (audit_fingerprint(), fp)
+    assert spark.read.parquet(idx_dir).count() == idx_rows
+    res["replay_invariant"] = True
+
+    print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
