@@ -935,6 +935,82 @@ def srp_buckets(
     )
 
 
+def srp_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    num_bits: int = 16,
+    bands: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bucket_cap: int | None = None,
+    impl: str = "arrow",
+) -> DataFrame:
+    """Incremental embedding near-dup — the per-ingest-cycle shape of
+    `srp_near_dup`, the embedding twin of
+    `minhash.minhash_incremental_pairs`: each NEW batch vector is
+    screened against the ALREADY-INGESTED corpus. Returns verified
+    pairs ``(a, b, score)`` with ``a`` a corpus id and ``b`` a batch id
+    — never batch×batch or corpus×corpus.
+
+    Scale shape: SRP bucket rows on both sides (row-local integer
+    signatures — `srp_buckets`), then ONE (band, bh) equi-join with the
+    BATCH on the probe side. The candidate stream is bounded by
+    |batch| × (width of the corpus buckets the batch actually lands
+    in) — an ingest-cycle cost, never the corpus self-join's Σ K².
+    Verification is the exact quantized cosine (Arrow pair kernel by
+    default; ``impl="builtin"`` keeps the bit-identical JVM fold as the
+    Python-free cross-check). ``bucket_cap`` is the corpus-side
+    degenerate-bucket guard, same LOUDLY-deterministic drop semantics
+    as `srp_near_dup(bucket_cap=...)` — a corpus bucket wider than the
+    cap contributes no candidates (both engines replay the drop); at
+    100 TB set it to bound the per-batch-vector worst case. If per-pair
+    transfer ever dominates an ingest cycle, the fused side-tagged
+    cogroup kernel (score cross-side blocks per bucket, no pair rows —
+    `srp_near_dup`'s kernel with a side split) is the upgrade path;
+    at ingest-cycle batch sizes the join flavor's candidate mass is
+    small, which is why it is the declared shape."""
+    batch = batch.filter(has_quant_direction(F.col(vec_col)))
+    corpus = corpus.filter(has_quant_direction(F.col(vec_col)))
+    bb = srp_buckets(batch, num_bits, bands, dim, id_col, vec_col, impl).select(
+        F.col("vid").alias("b"), "band", "bh"
+    )
+    cb = srp_buckets(corpus, num_bits, bands, dim, id_col, vec_col, impl).select(
+        F.col("vid").alias("a"), "band", "bh"
+    )
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        cb = (
+            cb.withColumn(
+                "_k", F.count(F.lit(1)).over(Window.partitionBy("band", "bh"))
+            )
+            .filter(F.col("_k") <= bucket_cap)
+            .drop("_k")
+        )
+    cand = bb.join(cb, ["band", "bh"]).select("a", "b").distinct()
+    va = corpus.select(
+        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    vb = batch.select(
+        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    paired = cand.join(va, "a").join(vb, "b")
+    if impl == "arrow":
+        scored = paired.select(
+            "a", "b", qcos_pair_kernel()(F.col("va"), F.col("vb")).alias("score")
+        )
+    else:
+        scored = paired.select(
+            "a", "b", qcos(F.col("va"), F.col("vb")).alias("score")
+        )
+    return (
+        scored.filter(F.col("score") >= threshold)
+        .select("a", "b", F.round("score", 8).alias("score"))
+    )
+
+
 def srp_near_dup(
     emb: DataFrame,
     num_bits: int = 16,

@@ -25,6 +25,7 @@ from ..functions.similarity import (
     random_projection,
     semantic_decontaminate,
     srp_buckets,
+    srp_incremental_pairs,
     srp_near_dup,
     srp_signs,
 )
@@ -255,6 +256,41 @@ def dedup_near_embedding(spark, sf_dir):
     thresholds run 16-20 bits/band → 65k-1M buckets)."""
     return srp_near_dup(
         table(spark, sf_dir, "embeddings"),
+        num_bits=96, bands=16, threshold=0.4, dim=64,
+    )
+
+
+@declare(
+    "dedup_near_embedding_incremental",
+    oracle=f"""
+    WITH {_srp_sql_ctes(96, 16, 64, guard_zero=True)},
+    cand AS (SELECT DISTINCT r.vec_id AS a, l.vec_id AS b
+             FROM bks l JOIN bks r ON l.band = r.band AND l.bh = r.bh
+             WHERE l.vec_id % 7 = 0 AND r.vec_id % 7 <> 0),
+    s AS (SELECT a, b,
+                 list_dot_product(x.qv, y.qv) /
+                 (sqrt(list_dot_product(x.qv, x.qv)) *
+                  sqrt(list_dot_product(y.qv, y.qv))) AS score
+          FROM cand JOIN q x ON x.vec_id = a JOIN q y ON y.vec_id = b)
+    SELECT a, b, ROUND(score, 8) AS score FROM s WHERE score >= 0.4
+    """,
+)
+def dedup_near_embedding_incremental(spark, sf_dir):
+    """Embedding near-dup, incremental flavor — the per-ingest-cycle
+    screen (the vec_id % 7 == 0 slice is the new batch, the rest the
+    ingested corpus), the embedding twin of `dedup_near_incremental`:
+    SRP bucket rows on both sides, ONE (band, bh) equi-join with the
+    small batch probing the corpus — never the corpus self-join — and
+    exact quantized-cosine verification (Arrow pair kernel,
+    bit-identical to the JVM fold). Candidate mass is bounded by
+    |batch| × matched-bucket width, an ingest-cycle cost; the
+    `bucket_cap` dial bounds the corpus-side width at 100 TB.
+    Signatures, banding, the cross-split join AND verification are
+    integer-exact, so the oracle replays the whole pipeline."""
+    emb = table(spark, sf_dir, "embeddings")
+    return srp_incremental_pairs(
+        emb.filter(F.col("vec_id") % 7 == 0),
+        emb.filter(F.col("vec_id") % 7 != 0),
         num_bits=96, bands=16, threshold=0.4, dim=64,
     )
 

@@ -195,6 +195,64 @@ def test_cap_above_all_widths_is_noop(spark):
     spark.catalog.clearCache()
 
 
+def test_srp_incremental_equals_cross_split_of_full(spark):
+    """The embedding twin's equivalence contract: uncapped
+    `srp_incremental_pairs` == the full-corpus `srp_near_dup`
+    restricted to cross-split pairs (reoriented a=corpus, b=batch) —
+    same rule as the minhash incremental, pinned on the real
+    embeddings table."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        srp_incremental_pairs,
+        srp_near_dup,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    kw = dict(num_bits=96, bands=16, threshold=0.4, dim=64)
+    inc = sorted(
+        (r["a"], r["b"], r["score"])
+        for r in srp_incremental_pairs(batch, corpus, **kw).collect()
+    )
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    full = []
+    for r in srp_near_dup(emb, **kw).collect():
+        a_in, b_in = r["a"] in batch_ids, r["b"] in batch_ids
+        if a_in == b_in:
+            continue
+        c, n = (r["b"], r["a"]) if a_in else (r["a"], r["b"])
+        full.append((c, n, r["score"]))
+    assert inc == sorted(full)
+    assert len(inc) > 0  # the contract bites on real data
+    spark.catalog.clearCache()
+
+
+def test_srp_incremental_bucket_cap_drops_only(spark):
+    """bucket_cap semantics (corpus-side, LOUDLY deterministic drop —
+    srp_near_dup's rule): capped ⊆ uncapped; a cap above every corpus
+    bucket width is a no-op."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        srp_incremental_pairs,
+    )
+
+    emb = table(spark, SF_DIR, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    corpus = emb.filter(F.col("vec_id") % 7 != 0)
+    kw = dict(num_bits=96, bands=16, threshold=0.4, dim=64)
+
+    def pairs(**extra):
+        return sorted(
+            (r["a"], r["b"], r["score"])
+            for r in srp_incremental_pairs(batch, corpus, **kw, **extra).collect()
+        )
+
+    base = pairs()
+    assert pairs(bucket_cap=10_000_000) == base
+    capped = pairs(bucket_cap=1)
+    assert set(capped) <= set(base)
+    spark.catalog.clearCache()
+
+
 def test_capped_subset_and_hub_detection(spark):
     """A hot corpus bucket (60 identical docs, width 60 > cap 10) plus
     a planted narrow near-dup pair: capped output must (a) be a subset

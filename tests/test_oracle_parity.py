@@ -59,6 +59,7 @@ ZERO_VEC_QUERIES = [
     "ann_join_ivf",
     "ann_join_persisted",
     "ann_join_ivfpq_persisted",  # round 8: compressed-cells join flavor
+    "dedup_near_embedding_incremental",  # round 8: both sides guarded
     "knn_label_vote",
     # and ones whose Spark side does NOT exclude them (srp_buckets sign
     # bits are well-defined at zero; int8 quantization is row-local) —
