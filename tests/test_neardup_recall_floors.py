@@ -1,0 +1,89 @@
+"""Measured RECALL floors for the remaining near-dup algorithms —
+completing the discipline the MinHash degeneracy forced (round 8):
+oracle parity cannot catch a quality defect both engines share (each
+oracle replays the engine's own formula), so every similarity
+construction gets a planted-pair recall contract beside its
+correctness oracle. MinHash's floor lives in
+tests/test_minhash_incremental.py (0.98 banded); IVF/PQ recall floors
+live in plans/vector_queries.py as declared-query assertions.
+
+Everything here is deterministic (seeded corpora, deterministic
+hashing), so the measured values are fixed points and the floors sit
+under them with slack — a construction regression (a collapsed
+permutation, a biased plane, a broken band split) lands far below.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+
+def _planted_docs(spark, n_pairs=300, n_words=40, seed=20260816):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    for i in range(n_pairs):
+        words = [rng.choice(vocab) for _ in range(n_words)]
+        rows.append((2 * i, " ".join(words)))
+        mutated = list(words)
+        mutated[rng.randrange(n_words)] = rng.choice(vocab)
+        rows.append((2 * i + 1, " ".join(mutated)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_recall_floor(spark):
+    """300 planted one-word-of-40 mutations at max_hamming=3: measured
+    recall 0.887 (a 31-bit whole-doc fingerprint is the COARSE tier —
+    a single word flips the bits whose token-sums sit near zero, and
+    occasionally that is > 3 bits; this is the documented granularity
+    trade, not a defect). Floor 0.85; a broken bit construction (e.g.
+    correlated bit hashes) collapses recall far below. Also pins zero
+    false positives on this corpus — every emitted pair is planted."""
+    from real_time_trip_processing_spark.functions.simhash import (
+        simhash_pairs,
+    )
+
+    docs = _planted_docs(spark)
+    got = {
+        (r["a"], r["b"]) for r in simhash_pairs(docs, max_hamming=3).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(300)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.85, f"simhash recall {recall:.3f} < 0.85 floor"
+    assert got <= planted  # random 40-word docs share no 3-hamming pairs
+    spark.catalog.clearCache()
+
+
+def test_srp_near_dup_recall_floor(spark):
+    """300 planted embedding pairs at cosine 0.92–0.97 (unit vectors +
+    seeded gaussian noise), declared config (96 bits × 16 bands,
+    threshold 0.9): per-bit collision prob 1−θ/π ≈ 0.93, miss-all-16-
+    bands ≈ 1e-8 — measured recall 1.000, floor 0.99. A biased plane
+    matrix or a band-split defect (the MinHash failure mode) misses
+    pairs in bulk."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        srp_near_dup,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(20260816))
+    base = rng.normal(size=(300, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    pert = base + rng.normal(size=(300, 64)) * 0.04
+    pert /= np.linalg.norm(pert, axis=1, keepdims=True)
+    rows = []
+    for i in range(300):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1, [float(x) for x in pert[i]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["a"], r["b"])
+        for r in srp_near_dup(
+            emb, num_bits=96, bands=16, threshold=0.9, dim=64
+        ).collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(300)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.99, f"srp recall {recall:.3f} < 0.99 floor"
+    spark.catalog.clearCache()
