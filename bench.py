@@ -66,7 +66,12 @@ HEADLINE = [
     # round-6: the hot-bucket-capped production configuration, now a
     # declared oracled query — benched beside the uncapped flavor
     "dedup_near_minhash_capped",
+    # round-8: the per-ingest-cycle shape — batch bands x corpus bands,
+    # never the corpus self-join
+    "dedup_near_incremental",
     "dedup_near_embedding",
+    # round-8: the embedding-side incremental screen
+    "dedup_near_embedding_incremental",
     "sim_topk",
     "text_stats",
     "window_showcase",
@@ -176,6 +181,26 @@ def _host_canary_sec() -> float:
     return round(sorted(walls)[1], 4)
 
 
+def _testdata_fingerprint(sf_dir: str) -> str:
+    """Content identity of the bench input: (name, size) of every
+    parquet in the sf dir, hashed. The driver REGENERATES
+    /root/testdata between rounds (observed round 8: documents halved,
+    embeddings re-drawn — several queries legitimately changed cost),
+    so two bench lines are comparable only if they read the same data;
+    this is the third axis of the fingerprint beside load and host
+    speed. Sizes (not mtimes) so a byte-identical regeneration still
+    compares."""
+    try:
+        parts = sorted(
+            (os.path.basename(p), os.path.getsize(p))
+            for p in glob.glob(os.path.join(sf_dir, "*.parquet"))
+        )
+        blob = ";".join(f"{n}:{s}" for n, s in parts).encode()
+        return hashlib.sha256(blob).hexdigest()[:12]
+    except OSError:
+        return "unknown"
+
+
 def machine_state(jvm_fresh: bool) -> dict:
     """Per-run machine fingerprint, recorded with every history line so
     a future reader can tell a code regression from an environment
@@ -244,6 +269,16 @@ def comparable_machines(prev: dict | None, cur: dict) -> tuple[bool, str]:
         )
     if bool(pm.get("jvm_fresh", True)) != cur["jvm_fresh"]:
         return False, "jvm freshness differs"
+    prev_data = pm.get("testdata")
+    cur_data = cur.get("testdata")
+    if prev_data and cur_data and prev_data != cur_data:
+        # the driver regenerates /root/testdata between rounds; a new
+        # dataset changes per-query work (round 8: documents halved,
+        # embeddings re-drawn → several queries legitimately slower) —
+        # a delta across that boundary measures the data, not the code
+        return False, (
+            f"testdata differs (prev={prev_data}, cur={cur_data})"
+        )
     prev_canary = pm.get("canary_sec")
     cur_canary = cur.get("canary_sec")
     if prev_canary and cur_canary:
@@ -553,6 +588,7 @@ def main() -> None:
 
     jvm_fresh = SparkSession.getActiveSession() is None
     machine = machine_state(jvm_fresh)  # loadavg BEFORE we make any
+    machine["testdata"] = _testdata_fingerprint(sf_dir)
     spark = get_spark("rtp-bench")
 
     # warm-up: run the flagship once so JVM/codegen/parquet-footer costs

@@ -61,6 +61,32 @@ def test_unknown_prev_machine_is_comparable_but_flagged():
     assert ok and why == "prev_machine_unknown"
 
 
+def test_delta_refused_on_testdata_regeneration():
+    """Round-8 case: the driver regenerated /root/testdata mid-round
+    (documents halved, embeddings re-drawn) and several queries
+    legitimately changed cost — a delta across that boundary measures
+    the data, not the code. Lines carry a testdata fingerprint; deltas
+    are refused when it differs, and legacy lines without one stay
+    comparable."""
+    cur = {"idle": True, "jvm_fresh": True, "testdata": "aaa111"}
+    prev = {"machine": {"idle": True, "jvm_fresh": True,
+                        "testdata": "bbb222"}}
+    ok, why = bench.comparable_machines(prev, cur)
+    assert not ok and "testdata" in why
+    same = {"machine": {"idle": True, "jvm_fresh": True,
+                        "testdata": "aaa111"}}
+    ok, _ = bench.comparable_machines(same, cur)
+    assert ok
+    legacy = {"machine": {"idle": True, "jvm_fresh": True}}
+    ok, _ = bench.comparable_machines(legacy, cur)
+    assert ok
+    # and the fingerprint itself is deterministic for a fixed dir
+    fp1 = bench._testdata_fingerprint("/root/testdata/sf0.001")
+    fp2 = bench._testdata_fingerprint("/root/testdata/sf0.001")
+    assert fp1 == fp2 and fp1 != "unknown"
+    assert fp1 != bench._testdata_fingerprint("/root/testdata/sf0.01")
+
+
 def test_host_canary_recorded_and_stable_shape():
     """The fingerprint carries the host-speed canary (round 8: the
     identical commit benched 13.67 s vs 18.8 s hours apart with guest
