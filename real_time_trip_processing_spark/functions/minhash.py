@@ -5,12 +5,13 @@ All deterministic, all built-in expressions, and shaped for codegen:
 - shingles are exploded to (doc, hash) rows; each shingle is hashed
   ONCE (xxhash64 → top 31 bits so universal-hash arithmetic can't
   overflow under ANSI mode);
-- the signature is ONE HashAggregate: ``min((a_i*h+b_i) mod
+- the signature is ONE HashAggregate: ``min((a_i*(h+1)+b_i) mod
   (2^31−1))`` per permutation — 32 codegen'd min-aggregates in a
   single shuffle on doc_id (higher-order array lambdas are interpreted
   in Spark, an order of magnitude slower for the same arithmetic); the
-  mod-Mersenne reduction is what makes the permutations independent
-  (see MERSENNE_31);
+  mod-Mersenne reduction is what makes the permutations independent,
+  and the +1 / mod-(M−1) class domain keeps every class distinct and
+  nonzero mod the prime (see MERSENNE_31);
 - LSH banding hashes groups of signature columns; docs sharing any
   (band, band_hash) bucket become candidate pairs — the pair space is
   per-bucket, never O(n²);
@@ -39,7 +40,21 @@ from .text import shingle_rows
 #: fixture. Exact verification of candidates masked this from every
 #: correctness gate — the oracle replays the same formula — which is
 #: why it needed a structural test, not more oracle queries.
+#:
+#: Shingle classes live in [1, M−1] (round 9): h is reduced mod M−1
+#: and the aggregate maps h31+1 ∈ [1, M−1], so a·x+b with a ∈ [1,
+#: M−1] is a genuine bijection on nonzero residues mod the prime. A
+#: plain 31-bit reduction left classes 0 and 2^31−1 congruent mod M
+#: (both exist mod M ≡ 0 resp. ≡ 0 + 1 class wrap): two distinct
+#: shingle hashes collided under EVERY permutation, and a zero-class
+#: shingle pinned a·0+b = b as a universal fixed point (ADVICE round
+#: 8 — ~2^-30 per shingle, negligible in practice but structurally
+#: wrong; MLlib's MinHashLSH uses the same (1+elem)·coeff guard).
 MERSENNE_31 = (1 << 31) - 1
+
+#: class-domain modulus: h31 ∈ [0, M−2], so h31+1 ∈ [1, M−1] — every
+#: class distinct and nonzero mod MERSENNE_31.
+_H31_MOD = MERSENNE_31 - 1
 
 
 #: deterministic 31-bit multipliers/offsets (splitmix64-derived); with
@@ -50,15 +65,68 @@ def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
     for i in range(num_perm):
         x = (i + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
         y = (x * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
-        consts.append(((x & 0x7FFFFFFF) | 1, y & 0x7FFFFFFF))
+        # a must be in [1, M−1] to be invertible mod the Mersenne prime;
+        # the |1 form alone could emit a == M (≡ 0 — a constant
+        # "permutation"). The % ... or 1 clamp is a no-op for every
+        # constant the first 64 slots actually generate (verified), so
+        # existing signatures are unchanged by the guard.
+        a = ((x & 0x7FFFFFFF) | 1) % MERSENNE_31 or 1
+        consts.append((a, y & 0x7FFFFFFF))
     return consts
+
+
+def release_owned_caches(df: DataFrame) -> int:
+    """Unpersist the cached intermediates a pair builder attached to
+    ``df`` (signature frames it computed AND persisted inline because
+    the caller didn't supply them). Returns the number released.
+
+    Contract (round-9 ADVICE): `minhash_lsh_pairs` /
+    `minhash_incremental_pairs` must keep inline signature frames
+    cached until the RESULT is consumed (two consumers: band rows +
+    verification), so they cannot unpersist eagerly — but the functions
+    are per-ingest-cycle entry points, and without a handle repeated
+    calls in a long-lived session accumulate cached frames the caller
+    can only clear with a blanket ``spark.catalog.clearCache()``.
+    Callers that run per cycle should::
+
+        pairs = minhash_incremental_pairs(batch, corpus_sigs=idx)
+        ...consume pairs...
+        release_owned_caches(pairs)
+
+    Caller-supplied frames (``sigs=`` / ``corpus_sigs=``) are never
+    attached — their lifecycle stays caller-owned (the
+    corpus_hash_index rule). The streaming sink manages its own
+    persist/unpersist and doesn't need this."""
+    owned = getattr(df, "_sparkgraft_owned_caches", None) or []
+    for frame in owned:
+        frame.unpersist()
+    if owned:
+        df._sparkgraft_owned_caches = []
+    return len(owned)
+
+
+def _attach_owned(df: DataFrame, owned: list[DataFrame]) -> DataFrame:
+    """Record inline-persisted frames on the result for
+    `release_owned_caches` (a plain Python attribute — survives as long
+    as the caller holds the result object, which is exactly the window
+    the caches must survive)."""
+    if owned:
+        df._sparkgraft_owned_caches = owned
+    return df
 
 
 def minhash_signature_agg(num_perm: int, h_col: str = "h31") -> list[Column]:
     """The per-permutation min-aggregate expressions."""
     h = F.col(h_col)
+    # h31 ∈ [0, M−2] (the _H31_MOD reduction upstream) → h31+1 ∈
+    # [1, M−1]: a·(h+1)+b is a bijection on nonzero residues mod the
+    # prime — no pair of distinct classes is congruent under every
+    # permutation and no class is a universal fixed point. Overflow-
+    # safe under ANSI: a·(h+1) ≤ (2^31−1)·(2^31−1) < 2^62.
     return [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"sig_{i}")
+        F.min((F.lit(a) * (h + F.lit(1)) + F.lit(b)) % F.lit(MERSENNE_31)).alias(
+            f"sig_{i}"
+        )
         for i, (a, b) in enumerate(_perm_constants(num_perm))
     ]
 
@@ -93,14 +161,16 @@ def minhash_signatures(
             shingle_rows(docs, n, id_col, text_col)
             .dropDuplicates(["doc", "sh"])
             .select("doc", h.alias("h"))
-            .withColumn("h31", F.col("h") % F.lit(2147483648))
+            .withColumn("h31", F.col("h") % F.lit(_H31_MOD))
         )
     else:
         sh_rows = (
             shingle_rows(docs, n, id_col, text_col)
             .dropDuplicates(["doc", "sh"])
             .select("doc", F.xxhash64("sh").alias("h"))
-            .withColumn("h31", F.shiftrightunsigned("h", 33))
+            .withColumn(
+                "h31", F.shiftrightunsigned("h", 33) % F.lit(_H31_MOD)
+            )
         )
     return sh_rows.groupBy("doc").agg(
         *minhash_signature_agg(num_perm), F.collect_set("h").alias("hs")
@@ -192,7 +262,10 @@ def minhash_lsh_pairs(
     instead of building one from ``docs`` (which is then ignored); its
     cache lifecycle is caller-owned. Used by the streaming sink, which
     computes each micro-batch's signatures once and reuses them for
-    both the within-batch self-join and the vs-corpus screen.
+    both the within-batch self-join and the vs-corpus screen. Without
+    it, the inline signature frame is persisted and attached to the
+    result — release it with `release_owned_caches(pairs)` after
+    consumption (see its docstring for the per-cycle contract).
 
     ``det=False`` (default): xxhash64 shingle hashing + xxhash64 band
     keys — the cheapest flavor for production runs. ``det=True``: the
@@ -244,10 +317,12 @@ def minhash_lsh_pairs(
 
     # one shuffle on doc: 32 min-aggregates (signature) + the hashed
     # shingle set for exact verification of candidates
+    owned: list[DataFrame] = []
     if sigs is not None:
         sig = sigs
     else:
         sig = minhash_signatures(docs, n, num_perm, id_col, text_col, det).persist()
+        owned.append(sig)
     bucketed = banded_rows(sig, num_perm, bands, det, with_fs=True)
 
     if max_bucket is None:
@@ -307,7 +382,9 @@ def minhash_lsh_pairs(
 
     hs_a = sig.select(F.col("doc").alias("a"), F.col("hs").alias("hs_a"))
     hs_b = sig.select(F.col("doc").alias("b"), F.col("hs").alias("hs_b"))
-    return _verify_jaccard(candidates, hs_a, hs_b, threshold)
+    return _attach_owned(
+        _verify_jaccard(candidates, hs_a, hs_b, threshold), owned
+    )
 
 
 def minhash_incremental_pairs(
@@ -343,6 +420,9 @@ def minhash_incremental_pairs(
     `streaming/dedup.corpus_hash_index` — so the corpus is never
     re-shingled per cycle; signatures are a pure per-doc function of
     the text, so stored and recomputed signatures agree bit-for-bit.
+    Inline-computed signature frames are persisted and attached to the
+    result; per-cycle callers release them with
+    `release_owned_caches(pairs)` after consuming the cycle's pairs.
 
     ``max_bucket`` is the hot-bucket dial, adapted from the self-join
     cap: a corpus bucket wider than K (head-heavy corpora grow their
@@ -356,21 +436,30 @@ def minhash_incremental_pairs(
     trade as `minhash_lsh_pairs(max_bucket=...)`. Narrow buckets are
     exactly unchanged; ``None`` disables the cap."""
     assert num_perm % bands == 0
+    # inline-computed sigs are persisted (both frames feed two
+    # consumers: band rows + verification) and ATTACHED to the result —
+    # this is a per-ingest-cycle entry point, so the caller releases
+    # them with `release_owned_caches(pairs)` once the cycle's pairs
+    # are consumed (round-9 ADVICE: they previously leaked one cached
+    # frame per cycle with no handle). A caller-supplied corpus_sigs'
+    # cache lifecycle stays caller-owned (the corpus_hash_index rule).
+    owned: list[DataFrame] = []
     if corpus_sigs is None:
         if corpus is None:
             raise ValueError("pass corpus or corpus_sigs")
-        # inline-computed sigs are persisted like minhash_lsh_pairs' —
-        # both frames feed two consumers (band rows + verification);
-        # a caller-supplied corpus_sigs' cache lifecycle stays caller-
-        # owned (the corpus_hash_index rule)
         corpus_sigs = minhash_signatures(
             corpus, n, num_perm, id_col, text_col, det
         ).persist()
+        owned.append(corpus_sigs)
     batch_sigs = minhash_signatures(
         batch, n, num_perm, id_col, text_col, det
     ).persist()
-    return _incremental_pairs_from_sigs(
-        batch_sigs, corpus_sigs, num_perm, bands, threshold, det, max_bucket
+    owned.append(batch_sigs)
+    return _attach_owned(
+        _incremental_pairs_from_sigs(
+            batch_sigs, corpus_sigs, num_perm, bands, threshold, det, max_bucket
+        ),
+        owned,
     )
 
 
@@ -454,7 +543,7 @@ def minhash_band_stats(
         shingle_rows(docs, n, id_col, text_col)
         .dropDuplicates(["doc", "sh"])
         .select("doc", h.alias("h"))
-        .withColumn("h31", F.col("h") % F.lit(2147483648))
+        .withColumn("h31", F.col("h") % F.lit(_H31_MOD))
     )
     sig = sh_rows.groupBy("doc").agg(*minhash_signature_agg(num_perm))
     band_cols = [

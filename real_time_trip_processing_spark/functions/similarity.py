@@ -906,23 +906,48 @@ def srp_buckets(
     in — constructing the plan triggers no Spark job.
     """
     assert num_bits % bands == 0
-    rows_per_band = num_bits // bands
+    return _srp_band_rows(
+        srp_signatures(emb, num_bits, dim, id_col, vec_col, impl),
+        num_bits,
+        bands,
+    )
 
+
+def srp_signatures(
+    emb: DataFrame,
+    num_bits: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Per-vector SRP bit-string frame ``(vid, sig)`` — the reusable
+    state every SRP flavor derives band rows from (the embedding twin
+    of `minhash.minhash_signatures`). Signatures are a pure per-row
+    function of the vector (deterministic ±1 planes, integer sums), so
+    a stored signature equals a recomputed one — which is what makes a
+    persisted `srp_corpus_index` a valid cross-cycle index."""
     if impl == "arrow":
-        s = emb.select(
+        return emb.select(
             F.col(id_col).alias("vid"),
             _srp_sig_arrow(num_bits, dim)(
                 F.col(vec_col).cast("array<double>")
             ).alias("sig"),
         )
-    else:
-        qv = F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: F.round(x * SRP_QUANT).cast("long"),
-        )
-        v = emb.select(F.col(id_col).alias("vid"), qv.alias("qv"))
-        s = v.select("vid", _srp_sig_expr(num_bits, dim).alias("sig"))
+    qv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * SRP_QUANT).cast("long"),
+    )
+    v = emb.select(F.col(id_col).alias("vid"), qv.alias("qv"))
+    return v.select("vid", _srp_sig_expr(num_bits, dim).alias("sig"))
 
+
+def _srp_band_rows(sigs: DataFrame, num_bits: int, bands: int) -> DataFrame:
+    """Explode a ``(vid, sig)`` frame to LSH band rows ``(vid, band,
+    bh)`` — band keys are substrings of the bit string, so banding a
+    stored signature is row-local and free of any vector arithmetic."""
+    assert num_bits % bands == 0
+    rows_per_band = num_bits // bands
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -930,14 +955,54 @@ def srp_buckets(
         )
         for b in range(bands)
     ]
-    return s.select("vid", F.explode(F.array(*band_cols)).alias("bk")).select(
+    return sigs.select("vid", F.explode(F.array(*band_cols)).alias("bk")).select(
         "vid", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+
+def srp_corpus_index(
+    corpus: DataFrame,
+    num_bits: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+) -> DataFrame:
+    """Persistable SRP corpus index ``(vid, sig, vec)`` for
+    `srp_incremental_pairs(corpus_index=...)` — the SRP analog of
+    `minhash_signatures` as a corpus index (round-9 ADVICE: without
+    it, every ingest cycle re-read and re-signed the FULL corpus).
+
+    One row per corpus vector: the ``num_bits``-char SRP bit string
+    (band keys of ANY bands count dividing num_bits are substrings of
+    it — banding a stored sig is row-local) and the float64 vector for
+    exact verification. Write it to parquet once per corpus refresh and
+    read it back across ingest cycles, like
+    `streaming/dedup.corpus_hash_index` / `seed_minhash_index`; rows
+    with no quantized direction are excluded at build time (the same
+    `has_quant_direction` screen the inline path applies). The build is
+    a pure scan→project — the signature is row-local, ZERO exchanges."""
+    base = corpus.filter(has_quant_direction(F.col(vec_col))).select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if impl == "arrow":
+        return base.select(
+            "vid",
+            _srp_sig_arrow(num_bits, dim)(F.col("vec")).alias("sig"),
+            "vec",
+        )
+    qv = F.transform(
+        F.col("vec"), lambda x: F.round(x * SRP_QUANT).cast("long")
+    )
+    return base.withColumn("qv", qv).select(
+        "vid", _srp_sig_expr(num_bits, dim).alias("sig"), "vec"
     )
 
 
 def srp_incremental_pairs(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     num_bits: int = 16,
     bands: int = 8,
     threshold: float = 0.4,
@@ -946,6 +1011,7 @@ def srp_incremental_pairs(
     dim: int = 64,
     bucket_cap: int | None = None,
     impl: str = "arrow",
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup — the per-ingest-cycle shape of
     `srp_near_dup`, the embedding twin of
@@ -970,15 +1036,39 @@ def srp_incremental_pairs(
     cogroup kernel (score cross-side blocks per bucket, no pair rows —
     `srp_near_dup`'s kernel with a side split) is the upgrade path;
     at ingest-cycle batch sizes the join flavor's candidate mass is
-    small, which is why it is the declared shape."""
+    small, which is why it is the declared shape.
+
+    ``corpus_index`` — a precomputed `srp_corpus_index` frame
+    ``(vid, sig, vec)`` (round-9 ADVICE; the srp analog of the minhash
+    twin's ``corpus_sigs``): band rows come from substrings of the
+    STORED bit string and verification reads the STORED vector, so the
+    corpus is never re-read or re-signed per ingest cycle — persist it
+    to parquet once per corpus refresh and reuse it across cycles.
+    When given, ``corpus`` is ignored (pass ``None``); signatures are
+    a pure per-row function of the vector, so the stored path is
+    bit-identical to inline recomputation (test-pinned)."""
     batch = batch.filter(has_quant_direction(F.col(vec_col)))
-    corpus = corpus.filter(has_quant_direction(F.col(vec_col)))
     bb = srp_buckets(batch, num_bits, bands, dim, id_col, vec_col, impl).select(
         F.col("vid").alias("b"), "band", "bh"
     )
-    cb = srp_buckets(corpus, num_bits, bands, dim, id_col, vec_col, impl).select(
-        F.col("vid").alias("a"), "band", "bh"
-    )
+    if corpus_index is not None:
+        cb = _srp_band_rows(
+            corpus_index.select("vid", "sig"), num_bits, bands
+        ).select(F.col("vid").alias("a"), "band", "bh")
+        va = corpus_index.select(
+            F.col("vid").alias("a"), F.col("vec").alias("va")
+        )
+    elif corpus is not None:
+        corpus = corpus.filter(has_quant_direction(F.col(vec_col)))
+        cb = srp_buckets(
+            corpus, num_bits, bands, dim, id_col, vec_col, impl
+        ).select(F.col("vid").alias("a"), "band", "bh")
+        va = corpus.select(
+            F.col(id_col).alias("a"),
+            F.col(vec_col).cast("array<double>").alias("va"),
+        )
+    else:
+        raise ValueError("pass corpus or corpus_index")
     if bucket_cap is not None:
         from pyspark.sql import Window
 
@@ -990,9 +1080,6 @@ def srp_incremental_pairs(
             .drop("_k")
         )
     cand = bb.join(cb, ["band", "bh"]).select("a", "b").distinct()
-    va = corpus.select(
-        F.col(id_col).alias("a"), F.col(vec_col).cast("array<double>").alias("va")
-    )
     vb = batch.select(
         F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
     )

@@ -102,7 +102,7 @@ def _minhash_common_ctes(n: int, num_perm: int, bands: int) -> str:
     rpb = num_perm // bands
     consts = _perm_constants(num_perm)
     sig_aggs = ",\n            ".join(
-        f"MIN(({a} * h31 + {b}) % 2147483647) AS s{i}"
+        f"MIN(({a} * (h31 + 1) + {b}) % 2147483647) AS s{i}"
         for i, (a, b) in enumerate(consts)
     )
     band_selects = "\n      UNION ALL ".join(
@@ -126,7 +126,7 @@ def _minhash_common_ctes(n: int, num_perm: int, bands: int) -> str:
                   CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
            FROM sh0),
     sig AS (SELECT doc, {sig_aggs}
-            FROM (SELECT doc, h % 2147483648 AS h31 FROM hd) GROUP BY doc),
+            FROM (SELECT doc, h % 2147483646 AS h31 FROM hd) GROUP BY doc),
     bnd AS ({band_selects})"""
 
 
@@ -1049,7 +1049,7 @@ def _minhash_band_oracle(n: int = 3, num_perm: int = 32, bands: int = 8) -> str:
     rpb = num_perm // bands
     consts = _perm_constants(num_perm)
     sig_aggs = ",\n            ".join(
-        f"MIN(({a} * h31 + {b}) % 2147483647) AS s{i}"
+        f"MIN(({a} * (h31 + 1) + {b}) % 2147483647) AS s{i}"
         for i, (a, b) in enumerate(consts)
     )
     band_selects = "\n      UNION ALL ".join(
@@ -1074,7 +1074,7 @@ def _minhash_band_oracle(n: int = 3, num_perm: int = 32, bands: int = 8) -> str:
                   CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
            FROM sh0),
     sig AS (SELECT doc, {sig_aggs}
-            FROM (SELECT doc, h % 2147483648 AS h31 FROM hd) GROUP BY doc),
+            FROM (SELECT doc, h % 2147483646 AS h31 FROM hd) GROUP BY doc),
     bnd AS ({band_selects}),
     per_band AS (SELECT band, COUNT(*) AS n_docs, COUNT(DISTINCT bh) AS n_buckets
                  FROM bnd GROUP BY band),
