@@ -13,9 +13,16 @@ Adjudicable by construction:
   so the comparison never falls back to a stale or truncated record;
 - a "streaming" section replays the reference's own event stream
   (scripts/to_kinesis.py semantics) through the watermarked matcher and
-  the windowed daily KPI with availableNow triggers, reporting rows/s —
+  the windowed daily KPI with availableNow triggers, reporting the
+  MEDIAN rows/s of 3 full steady-state replays (cold recorded beside) —
   the reference producer feeds 10 events/s, so events_per_sec / 10 is
   the speedup over the reference's ingest ceiling;
+- a "vectors_fixed" section benches the similarity kernels on a
+  deterministic generated corpus of fixed size (the sf0.1 embeddings
+  table is 2,000 rows — prologue-dominated; see bench_vectors_fixed);
+- the machine fingerprint carries BOTH a single-thread and a 32-way
+  parallel host canary — deltas are refused when either diverges (or
+  when the testdata sizes OR content token changed);
 - a "maintenance" section builds a fragmented day-partitioned lake and
   times compaction, Z-order rewrite, a record-level GDPR purge and a
   retention drop (files touched, bytes rewritten, wall) — asserting in
@@ -181,6 +188,38 @@ def _host_canary_sec() -> float:
     return round(sorted(walls)[1], 4)
 
 
+def _host_canary_par_sec() -> float:
+    """Wall time of a FIXED deterministic workload fanned across every
+    core — the PARALLEL host-speed canary. Round 8 proved the
+    single-thread canary blind to the degradation mode that actually
+    occurred: between two history lines the single-thread probe got
+    FASTER (0.073 → 0.052 s) while every 32-way-parallel query — and
+    the streaming replay, which never touches testdata — got ~1.7×
+    slower. Co-tenant CPU oversubscription shows up only under
+    many-way load: the guest still gets ONE full core on demand (the
+    single probe, loadavg both look healthy) but not 32 at once, which
+    is the resource the bench actually consumes. Fixed work: each of
+    min(32, cpus) threads sha256-hashes a shared 8 MiB buffer 4× (the
+    GIL is released for large-buffer hashing, so this genuinely
+    occupies the cores). Median of 3; ~0.2 s total on a healthy box."""
+    import concurrent.futures
+
+    n = min(32, os.cpu_count() or 1)
+    buf = b"\x5a" * (8 << 20)
+
+    def job(_i: int) -> None:
+        for _ in range(4):
+            hashlib.sha256(buf).digest()
+
+    walls = []
+    with concurrent.futures.ThreadPoolExecutor(max_workers=n) as ex:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(ex.map(job, range(n)))
+            walls.append(time.perf_counter() - t0)
+    return round(sorted(walls)[1], 4)
+
+
 def _testdata_fingerprint(sf_dir: str) -> str:
     """Content identity of the bench input: (name, size) of every
     parquet in the sf dir, hashed. The driver REGENERATES
@@ -189,7 +228,9 @@ def _testdata_fingerprint(sf_dir: str) -> str:
     so two bench lines are comparable only if they read the same data;
     this is the third axis of the fingerprint beside load and host
     speed. Sizes (not mtimes) so a byte-identical regeneration still
-    compares."""
+    compares. Kept sizes-only so pre-round-9 history lines stay
+    comparable; the CONTENT guard is the separate
+    `_testdata_content_token` field beside it."""
     try:
         parts = sorted(
             (os.path.basename(p), os.path.getsize(p))
@@ -197,6 +238,29 @@ def _testdata_fingerprint(sf_dir: str) -> str:
         )
         blob = ";".join(f"{n}:{s}" for n, s in parts).encode()
         return hashlib.sha256(blob).hexdigest()[:12]
+    except OSError:
+        return "unknown"
+
+
+def _testdata_content_token(sf_dir: str) -> str:
+    """Cheap per-file CONTENT token beside the sizes-only fingerprint
+    (round-9 ADVICE): first + last 4 KiB of every parquet, hashed with
+    its name. A regeneration that happens to preserve every byte size
+    would slip past the sizes-only guard; the parquet footer (schema,
+    row-group stats, data-page offsets) lives in the last bytes, so
+    size-identical non-identical regens diverge here while
+    byte-identical regens still token equal. O(#files) reads of 8 KiB
+    — no full-file scan."""
+    try:
+        hasher = hashlib.sha256()
+        for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+            hasher.update(os.path.basename(p).encode() + b"\x00")
+            with open(p, "rb") as f:
+                hasher.update(f.read(4096))
+                f.seek(max(0, os.path.getsize(p) - 4096))
+                hasher.update(f.read(4096))
+            hasher.update(b"\x01")
+        return hasher.hexdigest()[:12]
     except OSError:
         return "unknown"
 
@@ -224,6 +288,10 @@ def machine_state(jvm_fresh: bool) -> dict:
         "idle": _classify_idle(l1, l5, cpus),
         "jvm_fresh": bool(jvm_fresh),
         "canary_sec": _host_canary_sec(),
+        # the round-9 parallel probe — the single-thread canary missed
+        # round 8's 1.7x parallel-throughput loss entirely (it got
+        # FASTER while the 32-way suite slowed); see _host_canary_par_sec
+        "canary_par_sec": _host_canary_par_sec(),
     }
 
 
@@ -279,6 +347,16 @@ def comparable_machines(prev: dict | None, cur: dict) -> tuple[bool, str]:
         return False, (
             f"testdata differs (prev={prev_data}, cur={cur_data})"
         )
+    prev_content = pm.get("testdata_content")
+    cur_content = cur.get("testdata_content")
+    if prev_content and cur_content and prev_content != cur_content:
+        # sizes matched but bytes didn't — a size-preserving
+        # regeneration (round-9 ADVICE: invisible to the sizes-only
+        # fingerprint above)
+        return False, (
+            f"testdata content differs (prev={prev_content}, "
+            f"cur={cur_content})"
+        )
     prev_canary = pm.get("canary_sec")
     cur_canary = cur.get("canary_sec")
     if prev_canary and cur_canary:
@@ -292,6 +370,21 @@ def comparable_machines(prev: dict | None, cur: dict) -> tuple[bool, str]:
             return False, (
                 f"host canary differs {ratio:.2f}x "
                 f"(prev={prev_canary}s, cur={cur_canary}s)"
+            )
+    prev_par = pm.get("canary_par_sec")
+    cur_par = cur.get("canary_par_sec")
+    if prev_par and cur_par:
+        ratio = max(prev_par, cur_par) / min(prev_par, cur_par)
+        if ratio > 1.3:
+            # parallel-throughput drift — the round-8 blind spot: the
+            # single-thread canary got FASTER while every 32-way query
+            # ran 1.7x slower (co-tenant oversubscription grants one
+            # core on demand but not 32 at once). Slightly looser band
+            # than the single probe (1.3 vs 1.2): thread-pool fan-out
+            # has more scheduler noise than one pinned loop.
+            return False, (
+                f"parallel canary differs {ratio:.2f}x "
+                f"(prev={prev_par}s, cur={cur_par}s)"
             )
     return True, ""
 
@@ -308,6 +401,7 @@ def record_history(payload: dict) -> None:
         "machine": payload["machine"],
         "streaming": payload.get("streaming"),
         "maintenance": payload.get("maintenance"),
+        "vectors_fixed": payload.get("vectors_fixed"),
     }
     with open(HISTORY_PATH, "a") as f:
         f.write(json.dumps(entry) + "\n")
@@ -429,11 +523,20 @@ def bench_streaming(spark) -> dict | None:
 
         # same adjudicability rule as the batch section: pass 0 is the
         # cold run (stream-engine codegen, state-store init); the
-        # SECOND full replay is the steady number reported as the
-        # headline rate.
-        passes = [one_pass(i) for i in range(2)]
-        match_sec, kpi_sec, n_completed, n_kpi = passes[-1]
-        total = match_sec + kpi_sec
+        # headline rate is the MEDIAN of three further full replays
+        # (round-8 verdict: one cold replay swung 317 vs 668 ev/s
+        # between idle-box runs — a 2x phantom regression waiting to be
+        # mis-read; the query table already reports n_runs=5 medians
+        # for exactly this reason).
+        passes = [one_pass(i) for i in range(4)]
+        # every pass replays the identical stream: result rows must
+        # agree or the rate is meaningless (and zero-loss is violated)
+        assert len({(p[2], p[3]) for p in passes}) == 1, passes
+        n_completed, n_kpi = passes[0][2], passes[0][3]
+        steady = sorted(passes[1:], key=lambda p: p[0] + p[1])
+        match_sec, kpi_sec = steady[1][0], steady[1][1]  # median pass
+        totals = [p[0] + p[1] for p in steady]
+        rates = sorted(round(n_events / t, 1) for t in totals)
         cold = passes[0][0] + passes[0][1]
         return {
             "n_events": int(n_events),
@@ -442,7 +545,13 @@ def bench_streaming(spark) -> dict | None:
             "match_sec": round(match_sec, 4),
             "kpi_sec": round(kpi_sec, 4),
             "cold_sec": round(cold, 4),
-            "events_per_sec": round(n_events / total, 1),
+            "n_replays": 3,
+            # median-of-3 steady-state replays; the spread shows the
+            # run-to-run band so a future delta can be acquitted
+            "events_per_sec": rates[1],
+            "events_per_sec_median": rates[1],
+            "events_per_sec_spread": [rates[0], rates[-1]],
+            "cold_events_per_sec": round(n_events / cold, 1),
             # the reference producer replays at 10 events/s
             # (scripts/to_kinesis.py) — its hard end-to-end floor
             "ref_producer_events_per_sec": 10.0,
@@ -581,6 +690,104 @@ def bench_maintenance(spark, sf_dir: str) -> dict | None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+#: fixed-size vector-bench corpus rows — big enough that kernel work
+#: dominates the cogroup/Arrow prologue (the sf0.1 embeddings table is
+#: 2,000 rows after the round-8 regeneration: every similarity query
+#: there measures fixed overhead, spread > signal).
+VECTOR_BENCH_ROWS = 100_000
+
+
+def bench_vectors_fixed(spark) -> dict | None:
+    """Similarity-stack bench on a DETERMINISTIC generated corpus of
+    fixed size (round-8 verdict #3): the driver-regenerated sf0.1
+    ``embeddings`` is 2,000 rows, so the declared vector queries in the
+    headline table are prologue-dominated and their spread widened —
+    real regressions in the kernels would hide inside it. This section
+    generates the SAME seeded corpus as tools/scale_vectors.py
+    (PCG64(20260814), unit vectors, ~1% planted near-dups) at
+    VECTOR_BENCH_ROWS and times four representative vector ops with the
+    query table's own discipline (1 cold + 3 steady medians + spread).
+    The headline per-query table keeps the sf-scale entries — those
+    adjudicate the DECLARED queries against the oracle data; this
+    section adjudicates the KERNELS at a size where work dominates."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_vectors", os.path.join(REPO, "tools", "scale_vectors.py")
+    )
+    sv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sv)
+
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.functions import pq as PQ
+    from real_time_trip_processing_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk,
+        srp_near_dup,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_vec_")
+    res: dict = {}
+    try:
+        corpus_dir = os.path.join(work, "corpus")
+        t0 = time.perf_counter()
+        sv.generate(VECTOR_BENCH_ROWS, corpus_dir)
+        res["corpus"] = {
+            "rows": VECTOR_BENCH_ROWS,
+            "dim": sv.DIM,
+            "seed": sv.SEED,
+            "gen_sec": round(time.perf_counter() - t0, 2),
+        }
+        corpus = spark.read.parquet(corpus_dir)
+        queries = corpus.filter(F.col("vec_id") < 16).cache()
+        queries.count()
+        books = PQ.pq_train(corpus.limit(4096), m=8, k=16, iters=2, dim=sv.DIM)
+
+        cases = {
+            "sim_topk": lambda: cosine_topk(corpus, queries, k=10),
+            "dedup_near_embedding": lambda: srp_near_dup(
+                corpus, num_bits=80, bands=4, threshold=0.9, dim=sv.DIM
+            ),
+            "sim_ivf_topk": lambda: ivf_topk(
+                corpus, queries, k=10, n_centroids=256, nprobe=8
+            ),
+            "sim_ivfpq_topk": lambda: PQ.ivfpq_topk(
+                corpus, queries, books, k=10, n_centroids=256, nprobe=8,
+                dim=sv.DIM,
+            ),
+        }
+        timings: dict[str, dict] = {}
+        for name, build in cases.items():
+            runs = []
+            for i in range(4):
+                df = build()
+                if i > 0:
+                    spark.sparkContext._jvm.System.gc()
+                t1 = time.perf_counter()
+                df.write.mode("overwrite").format("noop").save()
+                runs.append(round(time.perf_counter() - t1, 4))
+            steady = sorted(runs[1:])
+            med = steady[len(steady) // 2]
+            timings[name] = {
+                "sec": med,
+                "cold_sec": runs[0],
+                "spread": [steady[0], steady[-1]],
+                # the verdict's done-bar: run-to-run spread < 20% of the
+                # median, or the number is still overhead/noise-bound
+                "spread_pct": round(100 * (steady[-1] - steady[0]) / med, 1),
+            }
+            spark.catalog.clearCache()
+            queries.cache().count()  # keep the probe frame warm across cases
+        res["queries"] = timings
+        return res
+    except Exception as ex:  # noqa: BLE001 — bench section must not kill the run
+        res["error"] = str(ex)[:300]
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -589,6 +796,7 @@ def main() -> None:
     jvm_fresh = SparkSession.getActiveSession() is None
     machine = machine_state(jvm_fresh)  # loadavg BEFORE we make any
     machine["testdata"] = _testdata_fingerprint(sf_dir)
+    machine["testdata_content"] = _testdata_content_token(sf_dir)
     spark = get_spark("rtp-bench")
 
     # warm-up: run the flagship once so JVM/codegen/parquet-footer costs
@@ -640,6 +848,7 @@ def main() -> None:
 
     streaming = bench_streaming(spark)
     maintenance = bench_maintenance(spark, sf_dir)
+    vectors_fixed = bench_vectors_fixed(spark)
 
     total = round(sum(timings.values()), 4)
     payload = {
@@ -658,6 +867,7 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 4),
         "streaming": streaming,
         "maintenance": maintenance,
+        "vectors_fixed": vectors_fixed,
         "sf": sf,
     }
     record_history(payload)
