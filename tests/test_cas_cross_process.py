@@ -4,7 +4,14 @@ Python process with its own SparkSession (own JVM) contending on the
 same lease directory, and asserts real inter-process exclusion, holder
 identity fidelity in the timeout diagnostic (the child's pid), crash
 residue (kill -9 leaves the marker — no staleness auto-break), and
-explicit fs_force_unlock recovery."""
+explicit fs_force_unlock recovery.
+
+Parametrized over ``file://`` AND ``mock://`` (round-8 verdict #5): on
+the mock scheme both JVMs take the genuinely-remote dispatch (qualified
+paths, no local_form short-circuit), so inter-process CAS exclusion is
+proven on the HDFS/S3A-semantics path, not just the local one — the
+child process compiles the same shim onto its own driver classpath.
+"""
 
 from __future__ import annotations
 
@@ -29,10 +36,17 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 from real_time_trip_processing_spark.fsio import fs_cas_write_lock
 
-spark = (SparkSession.builder.master("local[1]")
-         .appName("cas-child")
-         .config("spark.ui.enabled", "false")
-         .getOrCreate())
+builder = (SparkSession.builder.master("local[1]")
+           .appName("cas-child")
+           .config("spark.ui.enabled", "false"))
+cp = {cp!r}
+if cp:
+    builder = builder.config("spark.driver.extraClassPath", cp)
+spark = builder.getOrCreate()
+if cp:
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "fs.mock.impl", "sparkgraft.MockRemoteFileSystem"
+    )
 lease_dir, release_file = sys.argv[1], sys.argv[2]
 with fs_cas_write_lock(spark, lease_dir, timeout_sec=60):
     print("ACQUIRED pid=%d" % os.getpid(), flush=True)
@@ -43,13 +57,26 @@ print("RELEASED", flush=True)
 """
 
 
-def test_cas_lease_excludes_across_processes(spark, tmp_path):
+@pytest.fixture(params=["file", "mock"])
+def xproc_uri(request, spark, tmp_path):
+    """(lease-URI factory, child-classpath) for the scheme under test —
+    mock skips when the shim couldn't compile (javac/jar missing)."""
+    if request.param == "mock":
+        if not getattr(spark, "_mock_fs_ready", False):
+            pytest.skip("mock:// filesystem unavailable")
+        mock_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "mock_fs",
+        )
+        return (lambda p: "mock://" + str(p)), mock_dir
+    return (lambda p: "file://" + str(p)), None
+
+
+def _spawn_child(tmp_path, lease_dir, cp):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    lease_dir = "file://" + str(tmp_path / "xproc")
     release = str(tmp_path / "release")
     script = tmp_path / "child.py"
-    script.write_text(_CHILD.format(repo=repo))
-
+    script.write_text(_CHILD.format(repo=repo, cp=cp))
     env = dict(os.environ)
     env.pop("PYTEST_CURRENT_TEST", None)
     child = subprocess.Popen(
@@ -57,6 +84,13 @@ def test_cas_lease_excludes_across_processes(spark, tmp_path):
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
         text=True, env=env,
     )
+    return child, release
+
+
+def test_cas_lease_excludes_across_processes(spark, tmp_path, xproc_uri):
+    mk, cp = xproc_uri
+    lease_dir = mk(tmp_path / "xproc")
+    child, _release = _spawn_child(tmp_path, lease_dir, cp)
     try:
         line = child.stdout.readline()
         assert line.startswith("ACQUIRED"), f"child failed to acquire: {line!r}"
@@ -93,19 +127,12 @@ def test_cas_lease_excludes_across_processes(spark, tmp_path):
             child.wait(30)
 
 
-def test_cas_lease_graceful_cross_process_handoff(spark, tmp_path):
+def test_cas_lease_graceful_cross_process_handoff(spark, tmp_path, xproc_uri):
     """Graceful path: the child releases (context exit deletes the
     marker) and the parent's next acquisition succeeds immediately."""
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    lease_dir = "file://" + str(tmp_path / "handoff")
-    release = str(tmp_path / "release")
-    script = tmp_path / "child.py"
-    script.write_text(_CHILD.format(repo=repo))
-
-    child = subprocess.Popen(
-        [sys.executable, str(script), lease_dir, release],
-        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
-    )
+    mk, cp = xproc_uri
+    lease_dir = mk(tmp_path / "handoff")
+    child, release = _spawn_child(tmp_path, lease_dir, cp)
     try:
         assert child.stdout.readline().startswith("ACQUIRED")
         with open(release, "w") as f:
