@@ -520,13 +520,16 @@ def sim_ivf_recall(spark, sf_dir):
 #: 0.805–0.895), which is the expected ADC trade. Training is
 #: DETERMINISTIC (lowest-id init, fixed iters — no seed variance), so
 #: the observed band is exact per corpus; the floor sits just under
-#: its low end (round 7: 0.45 → 0.50 per the round-6 recommendation,
-#: margin 0.07 under the sf0.1 point) and far above failure modes:
-#: broken cell pruning degrades toward nprobe/n_centroids ≈ 0.25, a
-#: collapsed quantizer toward ~0. reproduce_claims.py independently
-#: re-measures the raw number against the same floor and the
-#: 0.5–0.75 envelope.
-_PQ_RECALL_BAND = 0.50
+#: its low end (round 9: 0.50 → 0.55 per the just-under-the-band rule
+#: now that the measurements reproduced EXACTLY across the round-8
+#: testdata regeneration — 0.645/0.630/0.570 re-measured this round on
+#: the re-drawn embeddings; margin 0.02 under the sf0.1 point, which
+#: is safe because the number is a deterministic fixed point per
+#: corpus, not a draw) and far above failure modes: broken cell
+#: pruning degrades toward nprobe/n_centroids ≈ 0.25, a collapsed
+#: quantizer toward ~0. reproduce_claims.py independently re-measures
+#: the raw number against the same floor and the 0.5–0.75 envelope.
+_PQ_RECALL_BAND = 0.55
 
 _PQ_RECALL_ORACLE = f"""
     WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings

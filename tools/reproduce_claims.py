@@ -25,6 +25,10 @@ Claims checked:
 - ivf_index: persisted-index serve is bit-identical to the in-query
              path, and append == rebuild (the O(delta) maintenance
              claim) on the testdata corpus.
+- serve_split: the ann_join_ivfpq_persisted serve-state memo survives
+             repeated serves (payload identity) and the warm prologue
+             is a small fraction of the cold one (round-9; the
+             100k/1M fixed-vs-linear split is scale_serve_decomp.py).
 - lsh_cap:   minhash_lsh_pairs(max_bucket) keeps duplicate clusters
              connected and is a no-op when no bucket exceeds the cap
              (the 2M-doc quadratic-term fix, SCALE.md round 5); the
@@ -243,6 +247,75 @@ def claim_ivf_index(spark) -> dict:
             "serve_equals_in_query": got == want,
             "append_sec": append_sec,
             "claim": "persisted serve bit-identical; append == rebuild",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def claim_serve_split(spark) -> dict:
+    """Round-9 claim (verdict #6): the `ann_join_ivfpq_persisted` serve
+    wall decomposes into a FIXED driver prologue (codebook + books
+    collect + float64 convert) that the file-signature memo pays ONCE
+    per session-and-content, and the distributed probe/shuffle/kernel
+    part that every serve pays. Asserted here: (a) the memo genuinely
+    survives repeated serves — the second state load returns the
+    IDENTICAL payload object, no reload/reconvert; (b) the warm
+    state-load cost is a small fraction of the cold one; (c) repeated
+    serves are not slower than the first (directional — the memo must
+    never make serving worse). The fixed-vs-linear split at 100k/1M is
+    measured by tools/scale_serve_decomp.py and recorded in SCALE.md."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.functions import ivf_index as IX
+    from real_time_trip_processing_spark.functions import pq as PQ
+    from real_time_trip_processing_spark.sources import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    work = tempfile.mkdtemp(prefix="repro_serve_split_")
+    try:
+        idx = os.path.join(work, "idx")
+        books = PQ.pq_train(emb.limit(1024), m=8, k=16, iters=2, dim=64)
+        IX.ivfpq_index_build(emb, idx, books, n_centroids=16, dim=64)
+
+        IX._SERVE_STATE_CACHE.clear()
+        t0 = time.monotonic()
+        IX._load_centroids(spark, idx, "pq")
+        b1 = IX._load_books_np(spark, idx)
+        prologue_cold = round(time.monotonic() - t0, 4)
+        t0 = time.monotonic()
+        IX._load_centroids(spark, idx, "pq")
+        b2 = IX._load_books_np(spark, idx)
+        prologue_warm = round(time.monotonic() - t0, 4)
+        memo_survives = b1 is b2
+
+        def serve() -> float:
+            t0 = time.monotonic()
+            IX.ann_join_ivfpq_persisted(
+                spark, idx, queries, k=3, nprobe=4
+            ).write.mode("overwrite").format("noop").save()
+            return round(time.monotonic() - t0, 3)
+
+        IX._SERVE_STATE_CACHE.clear()
+        cold = serve()
+        warms = sorted(serve() for _ in range(3))
+        warm_med = warms[1]
+        ok = (
+            memo_survives
+            and prologue_warm < max(0.1, 0.5 * prologue_cold)
+            # directional: the memo must never make repeat serves worse
+            # (generous 1.25 band — walls this small carry GC noise)
+            and warm_med <= cold * 1.25
+        )
+        return {
+            "ok": bool(ok),
+            "memo_survives": bool(memo_survives),
+            "prologue_cold_sec": prologue_cold,
+            "prologue_warm_sec": prologue_warm,
+            "serve_cold_sec": cold,
+            "serve_warm_median_sec": warm_med,
+            "claim": "serve-state memo survives repeated serves; warm "
+                     "prologue is a small fraction of cold",
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -490,6 +563,7 @@ def main() -> None:
         ("streaming", lambda: claim_streaming(spark, stream_n)),
         ("recall", lambda: claim_recall(spark)),
         ("ivf_index", lambda: claim_ivf_index(spark)),
+        ("serve_split", lambda: claim_serve_split(spark)),
         ("compact", lambda: claim_compact(spark)),
         ("delete", lambda: claim_delete(spark)),
         ("lsh_cap", lambda: claim_lsh_cap(spark)),
