@@ -300,6 +300,24 @@ def delete_keys_from_lake(
     On a remote (hdfs://, s3a://) lake the single-writer guarantee
     comes from the create-exclusive CAS lease (round 7) — see
     `_lake_write_lock`.
+
+    Crash atomicity is PER-SCHEME (round 9 — stated here the way
+    fsio.py states its rename semantics): the dynamic partition
+    overwrite commits through Spark's file committer, so a crash
+    mid-purge inherits the committer's rename story. On rename-atomic
+    filesystems (``file:``, HDFS, the test ``mock://`` scheme) a crash
+    leaves the OLD partition content plus ``_temporary`` staging
+    debris that readers ignore (the ``_``-prefix listing rule) and the
+    next successful overwrite clears — re-running the same purge is
+    the recovery, and a re-run whose keys are already gone returns 0
+    touching nothing (both test-pinned, incl. on ``mock://``). On
+    copy+delete object stores (raw S3A with the classic
+    FileOutputCommitter) the commit window is not atomic: a crash
+    inside it can leave a partition holding old AND new files
+    together, which a naive re-run would double-count — there, pair
+    the purge with an atomic-commit committer (e.g. the S3A committers
+    on Hadoop ≥ 3.1) or a transactional table format; this op does not
+    paper over a non-atomic commit.
     """
     with _lake_write_lock(path, spark):
         return _delete_keys_locked(spark, path, key_col, keys, partition_cols)

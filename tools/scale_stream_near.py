@@ -128,6 +128,33 @@ def main() -> None:
     assert fp[0] == args.docs - half, (fp[0], args.docs - half)
     assert idx_rows == res["seed_rows"] + fp[1], (idx_rows, fp)
 
+    # planted-duplicate recall END-TO-END through the sink (round 9 —
+    # the harness previously measured wall + zero-loss but never
+    # whether the generator's planted dups actually die through the
+    # seed → index read → own-batch-exclusion → append path). The
+    # corpus plants pairs (g-1, g) with g % 19 == 7 (exact dup) or 8
+    # (near dup, ~4% words mutated). Batches arrive round-robin, so
+    # either member may be seen first and survive as the canonical
+    # doc; the pair-level contract is that the two members are never
+    # BOTH kept. Pytest pins the same contract with a brute-force
+    # model at small scale (tests/test_neardup_recall_floors.py).
+    audit_df = spark.read.parquet(audit_dir).select("doc", "kept")
+    planted = audit_df.filter(
+        (F.col("doc") % 19).isin(7, 8) & (F.col("doc") > half)
+    )
+    prev = audit_df.select(
+        (F.col("doc") + 1).alias("doc"), F.col("kept").alias("kept_prev")
+    )
+    pairs = planted.join(prev, "doc")
+    n_planted = pairs.count()
+    n_flagged = pairs.filter(
+        ~(F.col("kept") & F.col("kept_prev"))
+    ).count()
+    res["planted_pairs"] = int(n_planted)
+    res["planted_flagged"] = int(n_flagged)
+    res["planted_recall"] = round(n_flagged / max(1, n_planted), 4)
+    assert res["planted_recall"] >= 0.95, res["planted_recall"]
+
     # exactly-once: replay the final batch, nothing changes
     b = spark.read.parquet(files[-1])
     t0 = time.monotonic()

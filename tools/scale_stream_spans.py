@@ -131,6 +131,35 @@ def main() -> None:
     res["index_rows"] = idx_rows
     res["index_is_exact_hash_set"] = idx_rows == want_hashes
 
+    # planted-duplicate recall END-TO-END through the sink (round 9):
+    # the generator plants exact-dup pairs (g-1, g) at g % 19 == 7 —
+    # span dedup is exact, so for every planted pair whose members
+    # both streamed, the LATER-processed member must lose ALL its
+    # spans to the earlier one (or to the index). Pair-level contract
+    # (round-robin batches, either member may be canonical): the
+    # pair's combined removals cover at least one member's full span
+    # count. Pytest pins the same rule against a brute-force model at
+    # small scale (tests/test_neardup_recall_floors.py).
+    a = audit.select("doc_id", "n_spans", "n_spans_removed")
+    planted = a.filter(
+        (F.col("doc_id") % 19 == 7) & (F.col("doc_id") > half)
+    )
+    prev = a.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("n_spans").alias("n_spans_prev"),
+        F.col("n_spans_removed").alias("removed_prev"),
+    )
+    pairs = planted.join(prev, "doc_id")
+    n_planted = pairs.count()
+    n_flagged = pairs.filter(
+        F.col("n_spans_removed") + F.col("removed_prev")
+        >= F.least("n_spans", "n_spans_prev")
+    ).count()
+    res["planted_pairs"] = int(n_planted)
+    res["planted_flagged"] = int(n_flagged)
+    res["planted_recall"] = round(n_flagged / max(1, n_planted), 4)
+    assert res["planted_recall"] >= 0.999, res["planted_recall"]
+
     # replay the LAST batch: ledger-free exactly-once at scale
     pre_audit, pre_idx = res["audit_rows"], idx_rows
     t0 = time.monotonic()
