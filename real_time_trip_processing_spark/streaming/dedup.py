@@ -413,3 +413,187 @@ def stream_dedup_spans_sink(
             kept.unpersist()
 
     return apply
+
+
+def seed_srp_index(
+    corpus: DataFrame,
+    index_dir: str,
+    num_bits: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+) -> None:
+    """Bootstrap an SRP signature index from an already-ingested vector
+    corpus so an embedding near-dup stream starts screening against it:
+    `similarity.srp_corpus_index` rows ``(vid, sig, vec)`` land in the
+    reserved ``__batch_id = -1`` partition (stream batch ids start at
+    0, so the seed is always visible to `stream_embed_near_sink`'s
+    own-batch-excluding read). SRP signatures are a pure per-row
+    function of the vector (deterministic ±1 planes, integer sums), so
+    seeded and streamed entries agree bit-for-bit with recomputation —
+    the `srp_incremental_pairs(corpus_index=...)` contract."""
+    from ..functions.similarity import srp_corpus_index
+
+    (
+        srp_corpus_index(corpus, num_bits, dim, id_col, vec_col, impl)
+        .withColumn("__batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(index_dir)
+    )
+
+
+def stream_embed_near_sink(
+    index_dir: str,
+    audit_dir: str,
+    num_bits: int = 16,
+    bands: int = 8,
+    threshold: float = 0.4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = None,
+    impl: str = "arrow",
+    id_type: str = "long",
+):
+    """Streaming EMBEDDING near-dup screening — the continuous-ingest
+    twin of `similarity.srp_incremental_pairs`, as a ``foreachBatch``
+    sink, completing the embedding near-dup family's batch →
+    incremental → streaming progression (the text family has all three
+    via `stream_dedup_near_sink`; round 9 closes the embedding side).
+    Each micro-batch's vectors are screened against (a) earlier
+    vectors of the SAME batch (lower ``id_col`` wins — the greedy
+    min-id-canonical rule shared family-wide) and (b) every vector
+    RETAINED by prior batches via the persisted SRP index at
+    ``index_dir`` (`srp_corpus_index` rows — band keys are substrings
+    of the stored bit string, verification reads the stored vector, so
+    the corpus is never re-read or re-signed per batch). The per-doc
+    audit ``(vid, n_corpus_matches, n_prior_batch_matches, kept)``
+    lands under ``audit_dir``; only KEPT vectors join the index (the
+    canonical-corpus semantics, with the same documented chain-drift
+    nuance as the text sink).
+
+    Vectors with no quantized direction are EXCLUDED from screening
+    and from the index at the entry point (every cosine entry point's
+    rule) — they appear in the audit as kept with zero matches, so no
+    streamed row silently vanishes from the accounting.
+
+    Exactly-once under replay WITHOUT a ledger — the
+    `stream_dedup_spans_sink` mechanism verbatim: both writes are
+    partitioned by ``__batch_id`` with dynamic overwrite, and the
+    index read EXCLUDES the running batch's own partition
+    (``__batch_id < batch_id``, partition-pruned), so a replayed batch
+    sees exactly the index state its first attempt saw and overwrites
+    exactly its own output partitions.
+
+    Scale shape per batch: the batch signature pass is row-local (one
+    Arrow matmul per batch by default); candidates are batch-bands ×
+    index-bands equi-joins — never an index self-join; the index ships
+    (vid, num_bits-char sig, float64 vec). ``bucket_cap`` bounds hot
+    index buckets (the `srp_incremental_pairs` dial, plumbed through);
+    at 100 TB bucket the index parquet on a band key for co-located
+    probes."""
+    from ..functions.similarity import (
+        has_quant_direction,
+        srp_corpus_index,
+        srp_incremental_pairs,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # emptiness is deterministic from source offsets → replay
+            # skips identically (streaming_index_append's rule)
+            return
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        schema = f"vid {id_type}, sig string, vec array<double>, __batch_id int"
+        if fs.exists(hpath):
+            # explicit existence gate + explicit schema (the
+            # read_index_cells rule): a genuine read failure must fail
+            # the micro-batch, not silently admit every near-dup
+            idx = (
+                spark.read.schema(schema)
+                .parquet(index_dir)
+                .filter(F.col("__batch_id") < int(batch_id))
+                .drop("__batch_id")
+            )
+        else:  # first batch, nothing seeded
+            idx = spark.createDataFrame([], schema).drop("__batch_id")
+
+        # one row-local signature pass per batch, shared by the
+        # self-screen, the corpus screen and the index append
+        bidx = srp_corpus_index(
+            batch_df, num_bits, dim, id_col, vec_col, impl
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        kw = dict(
+            num_bits=num_bits, bands=bands, threshold=threshold,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+            bucket_cap=bucket_cap, impl=impl,
+        )
+        try:
+            vs_corpus = srp_incremental_pairs(
+                batch_df, corpus_index=idx, **kw
+            )
+            # within-batch: the batch screened against its OWN index
+            # rows, oriented a < b so b is the drop side (the greedy
+            # lower-id-wins rule); a == b self-pairs fall out of the
+            # strict inequality
+            within = srp_incremental_pairs(
+                batch_df, corpus_index=bidx, **kw
+            ).filter(F.col("a") < F.col("b"))
+            corpus_hits = vs_corpus.groupBy("b").agg(
+                F.count(F.lit(1)).alias("n_corpus_matches")
+            )
+            batch_hits = within.groupBy("b").agg(
+                F.count(F.lit(1)).alias("n_prior_batch_matches")
+            )
+            audit = (
+                batch_df.select(F.col(id_col).alias("vid"))
+                .join(corpus_hits, F.col("vid") == corpus_hits["b"], "left")
+                .drop("b")
+                .join(batch_hits, F.col("vid") == batch_hits["b"], "left")
+                .drop("b")
+                .select(
+                    "vid",
+                    F.coalesce("n_corpus_matches", F.lit(0))
+                    .cast("long")
+                    .alias("n_corpus_matches"),
+                    F.coalesce("n_prior_batch_matches", F.lit(0))
+                    .cast("long")
+                    .alias("n_prior_batch_matches"),
+                )
+                .withColumn(
+                    "kept",
+                    (F.col("n_corpus_matches") == 0)
+                    & (F.col("n_prior_batch_matches") == 0),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                (
+                    audit.withColumn("__batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(audit_dir)
+                )
+                (
+                    bidx.join(
+                        audit.filter("kept").select("vid"), "vid", "left_semi"
+                    )
+                    .withColumn("__batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(index_dir)
+                )
+            finally:
+                audit.unpersist()
+        finally:
+            bidx.unpersist()
+
+    return apply
