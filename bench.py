@@ -483,7 +483,13 @@ def bench_streaming(spark) -> dict | None:
 
         def one_pass(i: int) -> tuple[float, float, int, int]:
             """Fresh checkpoints/sinks per pass so every run replays the
-            full stream from scratch (exactly-once state included)."""
+            full stream from scratch (exactly-once state included). The
+            heap is drained first — this section runs after the 43-query
+            table, and a G1 mixed collection landing inside pass 0
+            turned the recorded cold replay into a measurement of the
+            PREDECESSORS' garbage (96 s observed vs ~24 s steady), the
+            same isolation rule as run_one(gc_first=True)."""
+            spark.sparkContext._jvm.System.gc()
             completed_dir = os.path.join(work, f"completed_{i}")
             t0 = time.perf_counter()
             ev = stream_trip_events(spark, replay)
@@ -759,8 +765,12 @@ def bench_vectors_fixed(spark) -> dict | None:
         }
         timings: dict[str, dict] = {}
         for name, build in cases.items():
+            # 1 cold + 5 steady (the headline table's N_RUNS): with only
+            # 3 steady runs a single GC/host blip inflated spread_pct
+            # past 100% on the first recorded line — a 5-run median is
+            # robust to one outlier and the spread stays honest
             runs = []
-            for i in range(4):
+            for i in range(1 + N_RUNS):
                 df = build()
                 if i > 0:
                     spark.sparkContext._jvm.System.gc()
