@@ -597,3 +597,49 @@ def stream_embed_near_sink(
             bidx.unpersist()
 
     return apply
+
+
+def delete_docs_from_dedup_index(
+    spark,
+    index_dir: str,
+    ids,
+    id_col: str = "doc",
+) -> int:
+    """GDPR-targeted erasure from a PER-DOC dedup signature index — the
+    round-9 completion of the erasure story (the lake has
+    `delete_keys_from_lake`, the ANN indexes have
+    `ivf_index_delete`/`ivfpq_index_delete`; the dedup corpus indexes
+    were the remaining surface). Applies to any ``__batch_id``-
+    partitioned index whose rows are keyed by a document id: the
+    MinHash signature index (`seed_minhash_index` /
+    `stream_dedup_near_sink`, ``doc``) and the SRP index
+    (`seed_srp_index` / `stream_embed_near_sink`, ``vid`` — pass
+    ``id_col="vid"``). Audit directories are the same shape (``doc`` /
+    ``vid`` keyed, ``__batch_id``-partitioned), so a full erasure
+    calls this once per directory.
+
+    Semantics: signature rows are a pure per-doc function of the
+    content, so deleting a doc's row IS the rebuild-over-purged-corpus
+    index (bit-identical rows — test-pinned), and content near-duping
+    the erased doc is subsequently ADMITTED as novel unless it also
+    matches other retained docs — erasure really forgets. Partition-
+    scoped rewrite, single-writer locked, idempotent re-run: all
+    inherited from `delete_keys_from_lake` (including its per-scheme
+    crash-atomicity caveat — read it for object-store lakes).
+
+    The SPAN-hash index (`seed_span_index` / `stream_dedup_spans_sink`)
+    is deliberately NOT covered: its rows are bare one-way content
+    hashes of 16-word spans, not keyed to any document (a hash is
+    shared by every doc that ever contained the span, and nothing maps
+    it back), so per-doc erasure is ill-posed there — the honest
+    operation for a span-index purge is a rebuild over the purged
+    corpus (`seed_span_index` on the post-erasure lake), and the
+    index's one-way-hash construction is itself the minimization
+    argument. Stated here rather than papered over.
+
+    Returns the number of affected ``__batch_id`` partitions."""
+    from ..operators.maintenance import delete_keys_from_lake
+
+    return delete_keys_from_lake(
+        spark, index_dir, id_col, ids, ["__batch_id"]
+    )

@@ -332,3 +332,110 @@ def test_stream_embed_near_planted_recall(spark, tmp_path):
     novel = list(range(1060, 1080)) + list(range(2040, 2060))
     assert all(audit[d] for d in novel), "false positive on novel vector"
     spark.catalog.clearCache()
+
+
+# ---- GDPR erasure from the dedup signature indexes (round 9) ---------
+
+def test_delete_docs_from_minhash_index_forgets(spark, tmp_path):
+    """Erasing a doc from the MinHash signature index == the index
+    rebuilt over the purged corpus (signatures are per-doc rows), and
+    content near-duping the erased doc is subsequently admitted as
+    novel — erasure really forgets. The audit dir purges with the same
+    call. Idempotent re-run returns 0."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        delete_docs_from_dedup_index,
+        seed_minhash_index,
+        stream_dedup_near_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    )
+    idx_dir = str(tmp_path / "gdpr_near_idx")
+    audit_dir = str(tmp_path / "gdpr_near_audit")
+    seed_minhash_index(corpus, idx_dir, n=3, num_perm=32)
+    sink = stream_dedup_near_sink(idx_dir, audit_dir, **KW)
+    b0 = spark.createDataFrame(
+        [(10, NOVEL)], "doc_id long, text string"
+    )
+    sink(b0, 0)  # 10 kept → index now {0, 1, 10}
+
+    # near-dup of doc 0 is screened out while 0 is indexed
+    probe = spark.createDataFrame(
+        [(20, NEAR_BASE)], "doc_id long, text string"
+    )
+    sink(probe, 1)
+    assert _audit(spark, audit_dir)[20][2] is False
+
+    # erase doc 0 (and its screened-out probe's audit rows)
+    n = delete_docs_from_dedup_index(spark, idx_dir, [0, 20])
+    assert n >= 1
+    assert delete_docs_from_dedup_index(spark, idx_dir, [0]) == 0
+    delete_docs_from_dedup_index(spark, audit_dir, [0, 20])
+    audit_ids = set(_audit(spark, audit_dir))
+    assert 20 not in audit_ids and 0 not in audit_ids
+
+    # the erased-row index IS the rebuild over the purged corpus
+    got = _index_rows(spark, idx_dir)
+    rebuilt_dir = str(tmp_path / "rebuilt_idx")
+    seed_minhash_index(
+        corpus.filter(F.col("doc_id") != 0), rebuilt_dir, n=3, num_perm=32
+    )
+    sink2 = stream_dedup_near_sink(rebuilt_dir, str(tmp_path / "ra"), **KW)
+    sink2(b0, 0)
+    # compare content columns (batch-id provenance differs by design:
+    # erasure preserves surviving rows' partitions)
+    strip = lambda rows: sorted(r[:-1] for r in rows)  # noqa: E731
+    assert strip(got) == strip(_index_rows(spark, rebuilt_dir))
+
+    # a fresh near-dup of the erased doc is now ADMITTED
+    probe2 = spark.createDataFrame(
+        [(30, NEAR_BASE)], "doc_id long, text string"
+    )
+    sink(probe2, 2)
+    a30 = _audit(spark, audit_dir)[30]
+    assert a30 == (0, 0, True), a30
+    spark.catalog.clearCache()
+
+
+def test_delete_docs_from_srp_index_forgets(spark, tmp_path):
+    """The SRP flavor of the same contract (id_col='vid'): erase a
+    corpus vector, its jittered twin is subsequently admitted."""
+    import numpy as np
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        delete_docs_from_dedup_index,
+        seed_srp_index,
+        stream_embed_near_sink,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(20260822))
+    v0, v1 = _unit(rng), _unit(rng)
+    corpus = spark.createDataFrame(
+        _vecs([(0, v0), (1, v1)]), "vec_id long, embedding array<double>"
+    )
+    idx_dir = str(tmp_path / "gdpr_embed_idx")
+    audit_dir = str(tmp_path / "gdpr_embed_audit")
+    seed_srp_index(corpus, idx_dir, num_bits=96, dim=16)
+    sink = stream_embed_near_sink(idx_dir, audit_dir, **EKW)
+
+    probe = spark.createDataFrame(
+        _vecs([(10, _near(rng, v0))]), "vec_id long, embedding array<double>"
+    )
+    sink(probe, 0)
+    assert _eaudit(spark, audit_dir)[10][2] is False
+
+    assert delete_docs_from_dedup_index(
+        spark, idx_dir, [0], id_col="vid"
+    ) >= 1
+    idx_vids = {r["vid"] for r in spark.read.parquet(idx_dir).collect()}
+    assert idx_vids == {1}
+
+    probe2 = spark.createDataFrame(
+        _vecs([(20, _near(rng, v0))]), "vec_id long, embedding array<double>"
+    )
+    sink(probe2, 1)
+    assert _eaudit(spark, audit_dir)[20] == (0, 0, True)
+    spark.catalog.clearCache()
