@@ -181,9 +181,12 @@ def pack_sequences(
     already required for the packing order itself to be well-defined.
 
     The ledger cache is evictable (MEMORY_AND_DISK, deterministic to
-    recompute) but not auto-unpersisted — each call pins one narrow
-    cached frame for the session; long-lived sessions packing many
-    corpora should ``spark.catalog.clearCache()`` between jobs.
+    recompute) and ATTACHED to the returned frame (round 9 — the
+    owned-cache contract of `functions/caching.py`, same as the
+    minhash pair builders): long-lived sessions packing many corpora
+    release each call's ledger with
+    ``caching.release_owned_caches(packed)`` once the packed output is
+    consumed, instead of a blanket ``spark.catalog.clearCache()``.
 
     ``n_buckets="auto"`` (default) picks the path itself: one narrow
     count job (``part_col`` only — column-pruned, partial-aggregated)
@@ -342,14 +345,17 @@ def pack_sequences(
     base_cols = [
         c for c in docs.columns if c not in ("n_tokens", "tok_offset", "seq_id")
     ]
-    return (
+    from .caching import attach_owned
+
+    return attach_owned(
         d.join(o, cond, "inner")
         .select(
             *[F.col(f"_d.{c}") for c in base_cols],
             F.col("_o.n_tokens").alias("n_tokens"),
             F.col("_o.tok_offset").alias("tok_offset"),
         )
-        .withColumn("seq_id", F.floor(F.col("tok_offset") / budget))
+        .withColumn("seq_id", F.floor(F.col("tok_offset") / budget)),
+        [narrow],
     )
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .caching import attach_owned as _attach_owned
+from .caching import release_owned_caches  # noqa: F401  (re-export)
 from .text import shingle_rows
 
 
@@ -75,44 +77,26 @@ def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
     return consts
 
 
-def release_owned_caches(df: DataFrame) -> int:
-    """Unpersist the cached intermediates a pair builder attached to
-    ``df`` (signature frames it computed AND persisted inline because
-    the caller didn't supply them). Returns the number released.
-
-    Contract (round-9 ADVICE): `minhash_lsh_pairs` /
-    `minhash_incremental_pairs` must keep inline signature frames
-    cached until the RESULT is consumed (two consumers: band rows +
-    verification), so they cannot unpersist eagerly — but the functions
-    are per-ingest-cycle entry points, and without a handle repeated
-    calls in a long-lived session accumulate cached frames the caller
-    can only clear with a blanket ``spark.catalog.clearCache()``.
-    Callers that run per cycle should::
-
-        pairs = minhash_incremental_pairs(batch, corpus_sigs=idx)
-        ...consume pairs...
-        release_owned_caches(pairs)
-
-    Caller-supplied frames (``sigs=`` / ``corpus_sigs=``) are never
-    attached — their lifecycle stays caller-owned (the
-    corpus_hash_index rule). The streaming sink manages its own
-    persist/unpersist and doesn't need this."""
-    owned = getattr(df, "_sparkgraft_owned_caches", None) or []
-    for frame in owned:
-        frame.unpersist()
-    if owned:
-        df._sparkgraft_owned_caches = []
-    return len(owned)
-
-
-def _attach_owned(df: DataFrame, owned: list[DataFrame]) -> DataFrame:
-    """Record inline-persisted frames on the result for
-    `release_owned_caches` (a plain Python attribute — survives as long
-    as the caller holds the result object, which is exactly the window
-    the caches must survive)."""
-    if owned:
-        df._sparkgraft_owned_caches = owned
-    return df
+#: owned-cache contract (round-9 ADVICE): `minhash_lsh_pairs` /
+#: `minhash_incremental_pairs` must keep inline signature frames
+#: cached until the RESULT is consumed (two consumers: band rows +
+#: verification), so they cannot unpersist eagerly — but the functions
+#: are per-ingest-cycle entry points, and without a handle repeated
+#: calls in a long-lived session accumulate cached frames the caller
+#: can only clear with a blanket ``spark.catalog.clearCache()``.
+#: Callers that run per cycle should::
+#:
+#:     pairs = minhash_incremental_pairs(batch, corpus_sigs=idx)
+#:     ...consume pairs...
+#:     release_owned_caches(pairs)
+#:
+#: Caller-supplied frames (``sigs=`` / ``corpus_sigs=``) are never
+#: attached — their lifecycle stays caller-owned (the
+#: corpus_hash_index rule). The streaming sink manages its own
+#: persist/unpersist and doesn't need this. Shared machinery lives in
+#: `functions/caching.py` (the pack ledger uses the same contract);
+#: `release_owned_caches` is re-exported from this module's top
+#: imports because this module introduced the contract.
 
 
 def minhash_signature_agg(num_perm: int, h_col: str = "h31") -> list[Column]:

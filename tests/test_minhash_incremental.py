@@ -399,3 +399,41 @@ def test_srp_corpus_index_path_bit_identical(spark, tmp_path):
     with pytest.raises(ValueError, match="corpus or corpus_index"):
         srp_incremental_pairs(batch, **kw)
     spark.catalog.clearCache()
+
+
+def test_pack_ledger_release_owned_caches(spark):
+    """The pack ledger rides the same owned-cache contract (round 9):
+    the bucketed path's narrow token ledger is attached to the packed
+    result and released by `caching.release_owned_caches`; the
+    single-window path persists nothing."""
+    from real_time_trip_processing_spark.functions.caching import (
+        release_owned_caches,
+    )
+    from real_time_trip_processing_spark.functions.curation import (
+        pack_sequences,
+    )
+
+    def n_cached():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    spark.catalog.clearCache()
+    base = n_cached()
+    docs = table(spark, SF_DIR, "documents").limit(200).withColumn(
+        "part", F.lit("s")
+    )
+    packed = pack_sequences(
+        docs, budget=512, part_col="part", id_col="doc_id",
+        text_col="text", n_buckets=8,
+    )
+    packed.collect()
+    assert n_cached() > base
+    assert release_owned_caches(packed) == 1
+    assert n_cached() == base
+
+    single = pack_sequences(
+        docs, budget=512, part_col="part", id_col="doc_id",
+        text_col="text", n_buckets=1,
+    )
+    single.collect()
+    assert release_owned_caches(single) == 0
+    assert n_cached() == base
