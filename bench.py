@@ -712,7 +712,8 @@ def bench_vectors_fixed(spark) -> dict | None:
     generates the SAME seeded corpus as tools/scale_vectors.py
     (PCG64(20260814), unit vectors, ~1% planted near-dups) at
     VECTOR_BENCH_ROWS and times four representative vector ops with the
-    query table's own discipline (1 cold + 3 steady medians + spread).
+    query table's own discipline (1 cold + N_RUNS steady medians +
+    spread).
     The headline per-query table keeps the sf-scale entries — those
     adjudicate the DECLARED queries against the oracle data; this
     section adjudicates the KERNELS at a size where work dominates."""

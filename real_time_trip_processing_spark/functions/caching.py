@@ -38,7 +38,22 @@ def release_owned_caches(df: DataFrame) -> int:
     """Unpersist every cached frame a builder attached to ``df``;
     returns the number released. Idempotent; a frame the caller
     supplied to the builder is never attached, so it is never touched
-    here."""
+    here.
+
+    CALL THIS ON THE OBJECT THE BUILDER RETURNED, not on a frame
+    derived from it: every DataFrame transformation
+    (``.filter``/``.select``/``.cache``/...) returns a NEW Python
+    object without the attachment attribute, so
+    ``release_owned_caches(pairs.filter(...))`` finds nothing,
+    returns 0, and the builder's caches stay pinned — 0 is also the
+    legitimate "nothing was attached" result, so the miss is silent.
+    The per-cycle pattern is::
+
+        pairs = minhash_incremental_pairs(...)   # hold THIS object
+        strong = pairs.filter(F.col("jaccard") > 0.8)
+        ...consume strong...
+        release_owned_caches(pairs)              # release via it
+    """
     owned = getattr(df, _ATTR, None) or []
     for frame in owned:
         frame.unpersist()

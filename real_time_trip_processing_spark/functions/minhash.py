@@ -52,6 +52,15 @@ from .text import shingle_rows
 #: shingle pinned a·0+b = b as a universal fixed point (ADVICE round
 #: 8 — ~2^-30 per shingle, negligible in practice but structurally
 #: wrong; MLlib's MinHashLSH uses the same (1+elem)·coeff guard).
+#:
+#: SIGNATURE-FORMAT COMPATIBILITY: the class-domain change shifts
+#: EVERY signature value — a `minhash_signatures` frame or
+#: `seed_minhash_index` directory persisted by the pre-round-9
+#: formula is NOT comparable with signatures computed by this code
+#: (band keys would almost never collide: the vs-corpus screen
+#: silently collapses to zero candidates, admitting every near-dup as
+#: novel). Rebuild persisted signature indexes when crossing this
+#: boundary; signatures never mix formula versions.
 MERSENNE_31 = (1 << 31) - 1
 
 #: class-domain modulus: h31 ∈ [0, M−2], so h31+1 ∈ [1, M−1] — every
@@ -70,8 +79,10 @@ def _perm_constants(num_perm: int) -> list[tuple[int, int]]:
         # a must be in [1, M−1] to be invertible mod the Mersenne prime;
         # the |1 form alone could emit a == M (≡ 0 — a constant
         # "permutation"). The % ... or 1 clamp is a no-op for every
-        # constant the first 64 slots actually generate (verified), so
-        # existing signatures are unchanged by the guard.
+        # constant the first 64 slots actually generate (verified) —
+        # note this says only that the CLAMP changes nothing; the
+        # round-9 class-domain change (see MERSENNE_31) DID shift every
+        # signature, and persisted pre-round-9 indexes must be rebuilt.
         a = ((x & 0x7FFFFFFF) | 1) % MERSENNE_31 or 1
         consts.append((a, y & 0x7FFFFFFF))
     return consts

@@ -1012,6 +1012,7 @@ def srp_incremental_pairs(
     bucket_cap: int | None = None,
     impl: str = "arrow",
     corpus_index: DataFrame | None = None,
+    batch_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental embedding near-dup — the per-ingest-cycle shape of
     `srp_near_dup`, the embedding twin of
@@ -1046,11 +1047,32 @@ def srp_incremental_pairs(
     to parquet once per corpus refresh and reuse it across cycles.
     When given, ``corpus`` is ignored (pass ``None``); signatures are
     a pure per-row function of the vector, so the stored path is
-    bit-identical to inline recomputation (test-pinned)."""
-    batch = batch.filter(has_quant_direction(F.col(vec_col)))
-    bb = srp_buckets(batch, num_bits, bands, dim, id_col, vec_col, impl).select(
-        F.col("vid").alias("b"), "band", "bh"
-    )
+    bit-identical to inline recomputation (test-pinned).
+
+    ``batch_index`` — the same `srp_corpus_index`-shaped frame for the
+    BATCH side (round 9): band rows and verification vectors come from
+    it instead of re-signing/re-scanning ``batch``, so a caller that
+    already built the batch's index rows (the streaming sink computes
+    them once per micro-batch for the self-screen, the corpus screen
+    AND the index append) pays the row-local signature pass exactly
+    once. ``batch`` is then ignored. Bit-identical to the inline path
+    by the same purity argument, test-pinned alongside corpus_index."""
+    if batch_index is not None:
+        bb = _srp_band_rows(
+            batch_index.select("vid", "sig"), num_bits, bands
+        ).select(F.col("vid").alias("b"), "band", "bh")
+        vb = batch_index.select(
+            F.col("vid").alias("b"), F.col("vec").alias("vb")
+        )
+    else:
+        batch = batch.filter(has_quant_direction(F.col(vec_col)))
+        bb = srp_buckets(
+            batch, num_bits, bands, dim, id_col, vec_col, impl
+        ).select(F.col("vid").alias("b"), "band", "bh")
+        vb = batch.select(
+            F.col(id_col).alias("b"),
+            F.col(vec_col).cast("array<double>").alias("vb"),
+        )
     if corpus_index is not None:
         cb = _srp_band_rows(
             corpus_index.select("vid", "sig"), num_bits, bands
@@ -1080,9 +1102,6 @@ def srp_incremental_pairs(
             .drop("_k")
         )
     cand = bb.join(cb, ["band", "bh"]).select("a", "b").distinct()
-    vb = batch.select(
-        F.col(id_col).alias("b"), F.col(vec_col).cast("array<double>").alias("vb")
-    )
     paired = cand.join(va, "a").join(vb, "b")
     if impl == "arrow":
         scored = paired.select(

@@ -535,15 +535,22 @@ def stream_embed_near_sink(
             bucket_cap=bucket_cap, impl=impl,
         )
         try:
+            # both screens ride the ONE persisted batch index frame
+            # (batch_index=bidx): band rows are substrings of its stored
+            # sigs and verification reads its stored vectors, so the
+            # row-local signature pass really is paid once per batch —
+            # passing batch_df here instead would re-sign and re-scan it
+            # per screen (3x the dominant per-batch cost, the round-9
+            # review finding)
             vs_corpus = srp_incremental_pairs(
-                batch_df, corpus_index=idx, **kw
+                None, corpus_index=idx, batch_index=bidx, **kw
             )
             # within-batch: the batch screened against its OWN index
             # rows, oriented a < b so b is the drop side (the greedy
             # lower-id-wins rule); a == b self-pairs fall out of the
             # strict inequality
             within = srp_incremental_pairs(
-                batch_df, corpus_index=bidx, **kw
+                None, corpus_index=bidx, batch_index=bidx, **kw
             ).filter(F.col("a") < F.col("b"))
             corpus_hits = vs_corpus.groupBy("b").agg(
                 F.count(F.lit(1)).alias("n_corpus_matches")
@@ -626,6 +633,22 @@ def delete_docs_from_dedup_index(
     scoped rewrite, single-writer locked, idempotent re-run: all
     inherited from `delete_keys_from_lake` (including its per-scheme
     crash-atomicity caveat — read it for object-store lakes).
+
+    ORDERING vs the sinks' replay semantics (round-9 review): the
+    sinks are exactly-once BY REPLAY — a re-delivered batch rewrites
+    its own ``__batch_id`` partition from SOURCE data. An index
+    erasure alone can therefore be silently undone: if batch 7 kept
+    doc X, the stream crashes pre-checkpoint, X is erased here, and
+    batch 7 replays from an unpurged source, the dynamic overwrite
+    rewrites partition 7 WITH X's signature resurrected. The erasure
+    contract is PURGE THE SOURCE FIRST (the feed/lake the stream
+    reads — `operators.maintenance.delete_keys_from_lake`), then this
+    index (and the audit dir): a replay then recomputes from the
+    purged source and cannot resurrect the row — test-pinned in both
+    directions (purged-source replay stays erased; unpurged-source
+    replay demonstrates the resurrection this paragraph exists to
+    warn about). After any replay that may have raced an erasure,
+    re-run the erasure — it is idempotent.
 
     The SPAN-hash index (`seed_span_index` / `stream_dedup_spans_sink`)
     is deliberately NOT covered: its rows are bare one-way content

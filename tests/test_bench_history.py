@@ -155,12 +155,32 @@ def test_delta_refused_on_parallel_canary_divergence():
 def test_parallel_canary_fixed_work_shape():
     """Deterministic fixed work: two immediate probes agree closely on
     an unloaded box (generous 2x band — a shape test, not a speed
-    test), and the probe really fans out (wall far below cpus × the
-    serial cost of the same work would imply)."""
+    test), and the probe really fans out: its wall must be far below
+    what SERIAL execution of the same total work would take (if a
+    future change shrank the buffer under the GIL-release threshold,
+    the canary would silently lose exactly the 32-way sensitivity the
+    round-8 fix exists to provide — this assertion convicts that)."""
+    import hashlib
+    import os
+    import time
+
     a = bench._host_canary_par_sec()
     b = bench._host_canary_par_sec()
     assert a > 0 and b > 0
     assert max(a, b) / min(a, b) < 2.0
+    # serial cost of ONE thread's job (same buffer size and rounds as
+    # _host_canary_par_sec), scaled to the full thread count; the
+    # parallel wall must beat half of it — a ≥2x speedup floor that
+    # any multi-core box clears by a wide margin while a
+    # GIL-serialized probe cannot
+    n = min(32, os.cpu_count() or 1)
+    buf = b"\x5a" * (8 << 20)
+    t0 = time.perf_counter()
+    for _ in range(4):
+        hashlib.sha256(buf).digest()
+    one_job = time.perf_counter() - t0
+    if n >= 4:  # the floor is meaningless on a near-serial box
+        assert min(a, b) < n * one_job * 0.5, (a, b, one_job, n)
 
 
 def test_delta_refused_on_testdata_content_change(tmp_path):

@@ -396,6 +396,22 @@ def test_srp_corpus_index_path_bit_identical(spark, tmp_path):
         )
         assert via_index == inline and len(inline) > 0, impl
 
+        # batch_index flavor (round 9): the batch side served from the
+        # same stored-index shape must be bit-identical too — the
+        # streaming sink pays its signature pass once on this contract
+        bidx_dir = str(tmp_path / f"srp_bindex_{impl}")
+        srp_corpus_index(batch, num_bits=96, dim=64, impl=impl).write.parquet(
+            bidx_dir
+        )
+        via_both = sorted(
+            (r["a"], r["b"], r["score"])
+            for r in srp_incremental_pairs(
+                None, corpus_index=stored,
+                batch_index=spark.read.parquet(bidx_dir), impl=impl, **kw
+            ).collect()
+        )
+        assert via_both == inline, impl
+
     with pytest.raises(ValueError, match="corpus or corpus_index"):
         srp_incremental_pairs(batch, **kw)
     spark.catalog.clearCache()

@@ -439,3 +439,47 @@ def test_delete_docs_from_srp_index_forgets(spark, tmp_path):
     sink(probe2, 1)
     assert _eaudit(spark, audit_dir)[20] == (0, 0, True)
     spark.catalog.clearCache()
+
+
+def test_erasure_vs_replay_ordering(spark, tmp_path):
+    """Round-9 review: the sinks' exactly-once mechanism REPLAYS a
+    batch by rewriting its partition from source — so an index erasure
+    races replays. Pinned in both directions: a replay from a PURGED
+    source cannot resurrect the erased row (the documented
+    purge-source-first contract), and a replay from an UNPURGED source
+    DOES resurrect it (the hazard the docstring warns about)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        delete_docs_from_dedup_index,
+        stream_dedup_near_sink,
+    )
+
+    b0 = spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    )
+    idx_dir = str(tmp_path / "replay_race_idx")
+    audit_dir = str(tmp_path / "replay_race_audit")
+    sink = stream_dedup_near_sink(idx_dir, audit_dir, **KW)
+    sink(b0, 0)  # both kept → index {0, 1}
+
+    # GDPR: erase doc 0 from the index
+    assert delete_docs_from_dedup_index(spark, idx_dir, [0]) == 1
+
+    def idx_ids():
+        return sorted(
+            r["doc"] for r in spark.read.parquet(idx_dir).collect()
+        )
+
+    assert idx_ids() == [1]
+
+    # replay batch 0 from the PURGED source (doc 0 erased upstream
+    # first — the documented ordering): the row stays gone
+    sink(b0.filter(F.col("doc_id") != 0), 0)
+    assert idx_ids() == [1]
+
+    # replay from an UNPURGED source: the erased row is RESURRECTED —
+    # exactly the hazard the docstring orders the purge around
+    sink(b0, 0)
+    assert idx_ids() == [0, 1]
+    spark.catalog.clearCache()

@@ -132,28 +132,85 @@ def main() -> None:
     # the harness previously measured wall + zero-loss but never
     # whether the generator's planted dups actually die through the
     # seed → index read → own-batch-exclusion → append path). The
-    # corpus plants pairs (g-1, g) with g % 19 == 7 (exact dup) or 8
-    # (near dup, ~4% words mutated). Batches arrive round-robin, so
-    # either member may be seen first and survive as the canonical
-    # doc; the pair-level contract is that the two members are never
-    # BOTH kept. Pytest pins the same contract with a brute-force
-    # model at small scale (tests/test_neardup_recall_floors.py).
+    # corpus plants CHAINS: doc c is fresh, c+1 (c+1 % 19 == 7) is its
+    # EXACT copy, c+2 (% 19 == 8) is a NEAR dup (~4% words mutated) of
+    # the same content. Two metrics, kept separate so neither can mask
+    # the other (the round-9 review caught a pair-level formulation
+    # whose near half was vacuous — the near doc's predecessor is an
+    # exact dup that is nearly always dropped, flagging the pair no
+    # matter what fuzzy matching did):
+    # - EXACT: pair-level on (g-1, g), g % 19 == 7 — round-robin
+    #   batches mean either member may be canonical, so the contract
+    #   is that the two members are never BOTH kept;
+    # - NEAR: CHAIN-level. A doc-level "near doc must be dropped" is
+    #   ALSO wrong (first measured: 0.69 at 100k): round-robin batches
+    #   mean the near doc arrives FIRST in ~1/3 of chains and is
+    #   correctly kept as its chain's canonical. The order-invariant
+    #   contract: of a chain's members present in the stream (the
+    #   fresh doc c ≡ 6 mod 19, its exact copy, its near copy — all
+    #   mutually near-dups), AT MOST ONE may survive. A broken fuzzy
+    #   screen keeps TWO (the canonical and the near doc — exact
+    #   matching alone still removes the identical copy), convicting
+    #   every mid-stream chain; a working screen fails only on genuine
+    #   S-curve misses.
     audit_df = spark.read.parquet(audit_dir).select("doc", "kept")
-    planted = audit_df.filter(
-        (F.col("doc") % 19).isin(7, 8) & (F.col("doc") > half)
+    exact = audit_df.filter(
+        (F.col("doc") % 19 == 7) & (F.col("doc") > half)
     )
     prev = audit_df.select(
         (F.col("doc") + 1).alias("doc"), F.col("kept").alias("kept_prev")
     )
-    pairs = planted.join(prev, "doc")
-    n_planted = pairs.count()
-    n_flagged = pairs.filter(
-        ~(F.col("kept") & F.col("kept_prev"))
-    ).count()
-    res["planted_pairs"] = int(n_planted)
-    res["planted_flagged"] = int(n_flagged)
-    res["planted_recall"] = round(n_flagged / max(1, n_planted), 4)
-    assert res["planted_recall"] >= 0.95, res["planted_recall"]
+    ep = exact.join(prev, "doc")
+    n_exact = ep.count()
+    n_exact_flagged = ep.filter(~(F.col("kept") & F.col("kept_prev"))).count()
+    res["planted_exact_pairs"] = int(n_exact)
+    res["planted_exact_flagged"] = int(n_exact_flagged)
+    res["planted_exact_recall"] = round(
+        n_exact_flagged / max(1, n_exact), 4
+    )
+    m = F.col("doc") % 19
+    chains = (
+        audit_df.filter(m.isin(6, 7, 8))
+        .withColumn("chain", F.col("doc") - (m - 6))
+        .groupBy("chain")
+        .agg(
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.max((m == 8).cast("int")).alias("has_near"),
+        )
+        .filter("has_near = 1")
+    )
+    # split by the NEAR member's length: an 8-word doc's single planted
+    # mutation kills 3 of its 6 trigram shingles — jaccard ~0.33, below
+    # the 0.5 verify threshold, so it is NOT a near-dup under the op's
+    # own definition and missing it is correct semantics, not a screen
+    # defect (adjudicated at 20k: overall 0.893 vs 0.992 restricted to
+    # ≥25-word docs, median miss length exactly 8). The ≥25-word floor
+    # is the fuzzy-screen contract; the overall number is recorded with
+    # a looser tripwire so the short-doc share can't silently grow.
+    near_len = docs.select(
+        F.col("doc_id").alias("chain_near"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+    )
+    chains = chains.join(
+        near_len, chains["chain"] + 2 == near_len["chain_near"]
+    )
+    n_chains = chains.count()
+    n_ok = chains.filter("n_kept <= 1").count()
+    longc = chains.filter("n_words >= 25")
+    n_long = longc.count()
+    n_long_ok = longc.filter("n_kept <= 1").count()
+    res["planted_chains"] = int(n_chains)
+    res["planted_chains_ok"] = int(n_ok)
+    res["planted_chain_recall"] = round(n_ok / max(1, n_chains), 4)
+    res["planted_long_chains"] = int(n_long)
+    res["planted_long_chain_recall"] = round(
+        n_long_ok / max(1, n_long), 4
+    )
+    assert res["planted_exact_recall"] >= 0.99, res["planted_exact_recall"]
+    assert res["planted_long_chain_recall"] >= 0.95, (
+        res["planted_long_chain_recall"]
+    )
+    assert res["planted_chain_recall"] >= 0.85, res["planted_chain_recall"]
 
     # exactly-once: replay the final batch, nothing changes
     b = spark.read.parquet(files[-1])
