@@ -204,17 +204,24 @@ def pack_sequences(
         n_buckets = 1 if (mx or 0) < PACK_BUCKETED_CROSSOVER else 32
     n_toks = token_count(F.col(text_col))
     if n_buckets <= 1:
+        from .caching import attach_owned
+
         w = (
             W.partitionBy(part_col)
             .orderBy(id_col)
             .rowsBetween(W.unboundedPreceding, W.currentRow)
         )
-        return (
+        # attach_owned with nothing owned: the single-window path
+        # persists no ledger, but the result still carries the handle
+        # stamp so release_owned_caches can tell "builder result,
+        # nothing to release" (0) from a derived-frame misuse (None)
+        return attach_owned(
             docs.withColumn("n_tokens", n_toks)
             .withColumn(
                 "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
             )
-            .withColumn("seq_id", F.floor(F.col("tok_offset") / budget))
+            .withColumn("seq_id", F.floor(F.col("tok_offset") / budget)),
+            [],
         )
 
     from pyspark.sql import types as T

@@ -63,6 +63,17 @@ from .text import shingle_rows
 #: boundary; signatures never mix formula versions.
 MERSENNE_31 = (1 << 31) - 1
 
+#: Signature-FORMULA version, stamped into every persisted signature
+#: index (`streaming/dedup.seed_minhash_index` /
+#: `stream_dedup_near_sink` write it to a ``_SIG_FORMAT`` marker and
+#: assert it at index read — round-10 ADVICE: the silent-collapse mode
+#: the paragraph above documents was otherwise LIVE, undetectable at
+#: runtime). v2 = the round-9 class-domain formula (h31 ∈ [1, M−1],
+#: invertible ``a``); bump this whenever a change shifts persisted
+#: signature values, and rebuilding stale indexes becomes a loud
+#: failed batch instead of a silent admit-everything.
+MINHASH_SIG_VERSION = 2
+
 #: class-domain modulus: h31 ∈ [0, M−2], so h31+1 ∈ [1, M−1] — every
 #: class distinct and nonzero mod MERSENNE_31.
 _H31_MOD = MERSENNE_31 - 1

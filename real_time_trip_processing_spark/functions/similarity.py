@@ -811,6 +811,16 @@ def ann_join_ivf(
 #: still fits a BIGINT with > 2^20 headroom.
 SRP_QUANT = 1_000_000
 
+#: Signature-FORMULA version for persisted SRP indexes
+#: (`streaming/dedup.seed_srp_index` / `stream_embed_near_sink` stamp
+#: it into the ``_SIG_FORMAT`` marker and assert it at index read —
+#: the MinHash class-domain episode's lesson applied family-wide: a
+#: formula change shifts every persisted bit string, and a stale index
+#: silently screens nothing). v1 = md5-parity ±1 planes over
+#: SRP_QUANT-quantized vectors. Bump on any change that shifts
+#: persisted ``sig`` values.
+SRP_SIG_VERSION = 1
+
 
 def srp_signs(num_bits: int, dim: int) -> list[list[int]]:
     """±1 projection planes derived from md5(\"srp:bit:coord\") parity —
@@ -1001,7 +1011,7 @@ def srp_corpus_index(
 
 
 def srp_incremental_pairs(
-    batch: DataFrame,
+    batch: DataFrame | None,
     corpus: DataFrame | None = None,
     num_bits: int = 16,
     bands: int = 8,
@@ -1057,6 +1067,11 @@ def srp_incremental_pairs(
     AND the index append) pays the row-local signature pass exactly
     once. ``batch`` is then ignored. Bit-identical to the inline path
     by the same purity argument, test-pinned alongside corpus_index."""
+    if batch is None and batch_index is None:
+        # symmetric with the corpus-side guard below (round-9 ADVICE:
+        # this used to surface as AttributeError('NoneType') from
+        # batch.filter, far from the misconfiguration)
+        raise ValueError("pass batch or batch_index")
     if batch_index is not None:
         bb = _srp_band_rows(
             batch_index.select("vid", "sig"), num_bits, bands

@@ -196,6 +196,16 @@ def dedup_spans(
     return _span_audit(per_doc, kept, id_col)
 
 
+#: Span-HASH formula version for persisted span indexes
+#: (`streaming/dedup.seed_span_index` / `stream_dedup_spans_sink`
+#: stamp it into the ``_SIG_FORMAT`` marker with the ``span_words``
+#: parameter and assert it at index read — a seed at span_words=16
+#: screened by a sink at span_words=32 would silently admit every
+#: duplicate span). v1 = sha256 over whitespace-normalized
+#: non-overlapping word spans (`_span_rows`).
+SPAN_SIG_VERSION = 1
+
+
 def _span_rows(
     docs: DataFrame, sw: int, id_col: str, text_col: str
 ) -> DataFrame:

@@ -520,16 +520,23 @@ def sim_ivf_recall(spark, sf_dir):
 #: 0.805–0.895), which is the expected ADC trade. Training is
 #: DETERMINISTIC (lowest-id init, fixed iters — no seed variance), so
 #: the observed band is exact per corpus; the floor sits just under
-#: its low end (round 9: 0.50 → 0.55 per the just-under-the-band rule
-#: now that the measurements reproduced EXACTLY across the round-8
-#: testdata regeneration — 0.645/0.630/0.570 re-measured this round on
-#: the re-drawn embeddings; margin 0.02 under the sf0.1 point, which
-#: is safe because the number is a deterministic fixed point per
-#: corpus, not a draw) and far above failure modes: broken cell
-#: pruning degrades toward nprobe/n_centroids ≈ 0.25, a collapsed
-#: quantizer toward ~0. reproduce_claims.py independently re-measures
-#: the raw number against the same floor and the 0.5–0.75 envelope.
-_PQ_RECALL_BAND = 0.55
+#: its low end and far above failure modes: broken cell pruning
+#: degrades toward nprobe/n_centroids ≈ 0.25, a collapsed quantizer
+#: toward ~0. reproduce_claims.py independently re-measures the raw
+#: number against the same floor and the 0.5–0.75 envelope.
+#:
+#: Margin history: round 9 raised 0.50 → 0.55 after the measurements
+#: reproduced exactly across the round-8 testdata regeneration; the
+#: round-9 ADVICE pointed out that left only 0.02 under the sf0.1
+#: point (0.57), and determinism is per CORPUS — a future testdata
+#: REDRAW re-rolls the measured band and could flap this correctness
+#: gate with no code regression (exactly what round 8's regeneration
+#: did to other queries). Round 10 settles at 0.52: still >2× above
+#: the 0.25 pruning-failure mode, but with redraw headroom — the
+#: just-under-the-band rule applies to bands measured on ONE corpus
+#: draw only when the gate can be re-baselined on a redraw, which the
+#: driver's regeneration cadence doesn't allow mid-round.
+_PQ_RECALL_BAND = 0.52
 
 _PQ_RECALL_ORACLE = f"""
     WITH qn AS (SELECT vec_id, {_QV} AS qv FROM embeddings

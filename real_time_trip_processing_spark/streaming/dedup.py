@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
+from ..fsio import fs_read_text, fs_write_text
+
 
 def _content_hash(text_col: str):
     # coalesce NULL text to '' — same null-as-empty-content rule as the
@@ -100,6 +102,142 @@ def stream_dedup_incremental(
     return hashed.join(corpus_hashes, "text_hash", "left_anti")
 
 
+#: Marker file every persisted dedup signature index carries at its
+#: root (round-10, closing the round-9 medium ADVICE): the MinHash
+#: class-domain change shifted every persisted signature, and the
+#: documented failure mode — a stale-formula index makes the vs-corpus
+#: screen silently collapse to zero candidates, admitting every
+#: near-dup as novel — had NO runtime guard. The marker records the
+#: formula version plus every parameter that shifts persisted values
+#: (shingle width, permutation count, det flavor, SRP bits/dim, span
+#: width, id column type); seeds and sinks assert it at index read and
+#: FAIL THE BATCH on mismatch or absence. The ``_`` prefix keeps it
+#: invisible to parquet listing (the same hidden-file rule _SUCCESS
+#: rides), and dynamic partition overwrite never touches root files,
+#: so the marker survives every per-batch append, erasure rewrite and
+#: re-seed.
+SIG_MARKER_NAME = "_SIG_FORMAT"
+
+
+def _canonical_id_type(id_type: str) -> str:
+    """DDL type string → canonical simpleString (``long`` and
+    ``bigint`` must compare equal)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(id_type).simpleString()
+
+
+def _minhash_sig_token(n: int, num_perm: int, det: bool, id_type: str) -> str:
+    from ..functions.minhash import MINHASH_SIG_VERSION
+
+    return (
+        f"minhash/v{MINHASH_SIG_VERSION};n={int(n)};num_perm={int(num_perm)};"
+        f"det={'true' if det else 'false'};id={_canonical_id_type(id_type)}"
+    )
+
+
+def _srp_sig_token(num_bits: int, dim: int, id_type: str) -> str:
+    from ..functions.similarity import SRP_SIG_VERSION
+
+    return (
+        f"srp/v{SRP_SIG_VERSION};num_bits={int(num_bits)};dim={int(dim)};"
+        f"id={_canonical_id_type(id_type)}"
+    )
+
+
+def _span_sig_token(span_words: int) -> str:
+    from ..operators.dedup import SPAN_SIG_VERSION
+
+    return f"spans/v{SPAN_SIG_VERSION};span_words={int(span_words)}"
+
+
+def _sig_marker_path(index_dir: str) -> str:
+    return index_dir.rstrip("/") + "/" + SIG_MARKER_NAME
+
+
+def write_sig_format(spark, index_dir: str, token: str) -> None:
+    fs_write_text(spark, _sig_marker_path(index_dir), token + "\n")
+
+
+def check_sig_format(
+    spark, index_dir: str, token: str, rebuild_with: str,
+    claim_fresh: bool = True,
+) -> None:
+    """Assert a persisted signature index is usable by the CURRENT
+    formula/parameters, or (sinks) claim it if it's verifiably fresh:
+
+    - marker present and equal → pass;
+    - marker present and DIFFERENT → raise (failing the seed or
+      micro-batch — loud, at the read site — instead of letting a
+      stale or misparameterized index silently screen nothing);
+    - marker absent but the dir holds parquet data → raise: the index
+      predates the format-versioned writers (or was written by other
+      code) and its formula cannot be verified — exactly the
+      pre-round-10 silent-admit hazard. This includes a seed that
+      crashed between its data write and its marker write: recovery
+      is delete-and-reseed, stated in the error;
+    - marker absent and NO data files (nonexistent dir, or one holding
+      only locks/_SUCCESS — e.g. mid `rebuild_span_index_after_purge`)
+      → with ``claim_fresh`` (the SINK flavor) stamp the marker and
+      proceed: a first batch's index is legitimately empty, and
+      stamping BEFORE its first write keeps a crash-then-replay
+      readable. The SEEDS pass ``claim_fresh=False`` and stamp AFTER
+      their data write instead — a seed that crashes mid-write must
+      read as loudly-unverifiable, never as a validly-empty index that
+      silently screens nothing.
+
+    Both seeds and sinks route through this, so re-seeding over a
+    format-mismatched index also refuses (dynamic overwrite would
+    replace only the ``-1`` partition, leaving stale streamed
+    partitions mixed with fresh seed rows)."""
+    found = fs_read_text(spark, _sig_marker_path(index_dir))
+    if found is not None:
+        if found.strip() != token:
+            raise ValueError(
+                f"{index_dir}: signature-format mismatch — index was "
+                f"written as {found.strip()!r} but this reader computes "
+                f"{token!r}. Signatures never mix formula versions or "
+                f"parameters; delete the index dir and rebuild it with "
+                f"{rebuild_with}."
+            )
+        return
+    from ..fsio import fs_count_files
+
+    if fs_count_files(spark, index_dir, suffix=".parquet") > 0:
+        raise ValueError(
+            f"{index_dir}: persisted signature index has no "
+            f"{SIG_MARKER_NAME} marker — it predates the format-versioned "
+            f"writers (or was written by other code), so its signature "
+            f"formula cannot be verified, and screening against a "
+            f"stale-formula index silently admits every near-dup as novel. "
+            f"Delete the index dir and rebuild it with {rebuild_with} "
+            f"(current format: {token!r})."
+        )
+    if claim_fresh:
+        write_sig_format(spark, index_dir, token)
+
+
+def _check_batch_id_type(
+    batch_df: DataFrame, id_col: str, id_type: str, sink: str
+) -> None:
+    """Fail at the FIRST batch, at the misconfiguration site, when the
+    stream's id column doesn't match the sink's ``id_type`` (round-9
+    ADVICE: the explicit-schema index read otherwise fails — or
+    miscasts — only at the SECOND batch, far from the cause)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    actual = batch_df.schema[id_col].dataType
+    expected = _parse_datatype_string(id_type)
+    if actual != expected:
+        raise ValueError(
+            f"{sink}: stream column {id_col!r} is "
+            f"{actual.simpleString()}, but id_type={id_type!r} "
+            f"({expected.simpleString()}) — the persisted-index read "
+            f"schema would miscast or fail on a later batch; pass "
+            f"id_type matching the stream schema."
+        )
+
+
 def seed_span_index(
     corpus: DataFrame,
     index_dir: str,
@@ -114,6 +252,10 @@ def seed_span_index(
     visible to `stream_dedup_spans_sink`'s own-batch-excluding read)."""
     from ..operators.dedup import _span_rows
 
+    token = _span_sig_token(span_words)
+    check_sig_format(
+        corpus.sparkSession, index_dir, token, "seed_span_index", claim_fresh=False
+    )
     (
         _span_rows(corpus, int(span_words), id_col, text_col)
         .filter(F.col("span") != "")
@@ -125,6 +267,7 @@ def seed_span_index(
         .partitionBy("__batch_id")
         .parquet(index_dir)
     )
+    write_sig_format(corpus.sparkSession, index_dir, token)
 
 
 def _sig_index_schema(num_perm: int, id_type: str) -> str:
@@ -155,6 +298,12 @@ def seed_minhash_index(
     contract."""
     from ..functions.minhash import minhash_signatures
 
+    token = _minhash_sig_token(
+        n, num_perm, det, corpus.schema[id_col].dataType.simpleString()
+    )
+    check_sig_format(
+        corpus.sparkSession, index_dir, token, "seed_minhash_index", claim_fresh=False
+    )
     (
         minhash_signatures(corpus, n, num_perm, id_col, text_col, det)
         .withColumn("__batch_id", F.lit(-1))
@@ -163,6 +312,7 @@ def seed_minhash_index(
         .partitionBy("__batch_id")
         .parquet(index_dir)
     )
+    write_sig_format(corpus.sparkSession, index_dir, token)
 
 
 def stream_dedup_near_sink(
@@ -227,6 +377,7 @@ def stream_dedup_near_sink(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_batch_id_type(batch_df, id_col, id_type, "stream_dedup_near_sink")
         if batch_df.isEmpty():
             # emptiness is deterministic from source offsets → replay
             # skips identically (streaming_index_append's rule)
@@ -235,18 +386,24 @@ def stream_dedup_near_sink(
         hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
         fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         schema = _sig_index_schema(num_perm, id_type)
+        token = _minhash_sig_token(n, num_perm, det, id_type)
         if fs.exists(hpath):
             # explicit existence gate + explicit schema (the
             # read_index_cells rule): a genuine read failure must fail
             # the micro-batch, not silently screen against an EMPTY
-            # index and admit every near-dup as novel
+            # index and admit every near-dup as novel — and the format
+            # marker must match, or the screen is vs stale signatures
+            check_sig_format(spark, index_dir, token, "seed_minhash_index")
             idx = (
                 spark.read.schema(schema)
                 .parquet(index_dir)
                 .filter(F.col("__batch_id") < int(batch_id))
                 .drop("__batch_id")
             )
-        else:  # first batch, nothing seeded
+        else:  # first batch, nothing seeded — stamp the format marker
+            # BEFORE the first index write so a crash between them
+            # leaves a marked (empty) dir the replay reads cleanly
+            write_sig_format(spark, index_dir, token)
             idx = spark.createDataFrame([], schema).drop("__batch_id")
 
         sigs = minhash_signatures(
@@ -374,18 +531,24 @@ def stream_dedup_spans_sink(
         fs = hpath.getFileSystem(
             spark.sparkContext._jsc.hadoopConfiguration()
         )
+        token = _span_sig_token(span_words)
         if fs.exists(hpath):
             # the own-batch exclusion ALSO makes cache-eviction
             # recomputes safe: if `kept` is recomputed after this
             # batch's index partition landed, the re-read still
             # excludes it — the lineage sees the same index state as
-            # the first evaluation
+            # the first evaluation. Format marker asserted first: a
+            # span_words-mismatched index admits every duplicate span.
+            check_sig_format(spark, index_dir, token, "seed_span_index")
             idx = spark.read.schema(
                 "span_hash string, __batch_id int"
             ).parquet(index_dir).filter(
                 F.col("__batch_id") < int(batch_id)
             )
-        else:  # first batch, nothing seeded — empty index
+        else:  # first batch, nothing seeded — stamp the format marker
+            # BEFORE the first index write (crash-safe: replay reads a
+            # marked, empty dir), screen vs an empty index
+            write_sig_format(spark, index_dir, token)
             idx = spark.createDataFrame([], "span_hash string")
         per_doc, kept = _kept_spans_incremental(
             batch_df, idx, span_words, id_col, text_col,
@@ -415,6 +578,56 @@ def stream_dedup_spans_sink(
     return apply
 
 
+def rebuild_span_index_after_purge(
+    spark,
+    lake_dir: str,
+    index_dir: str,
+    span_words: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """The executable form of the span-index erasure story (round-9
+    verdict #5): `delete_docs_from_dedup_index` deliberately excludes
+    the span-hash index — its rows are bare one-way content hashes not
+    keyed to any document, so per-doc erasure is ill-posed there and
+    the documented recovery is a REBUILD over the purged corpus. This
+    is that recovery as one call: after
+    `operators.maintenance.delete_keys_from_lake` has purged the lake,
+    rebuild the span index from what survives. Spans unique to purged
+    docs vanish; spans shared with surviving docs remain (their
+    hashes are still derivable from retained content — nothing about
+    the erased docs is recoverable from them).
+
+    Lock discipline matches the erasure path: the index dir's
+    single-writer lock is held across the delete-and-reseed window
+    (`_lake_write_lock` — the same lease `delete_keys_from_lake` takes
+    on the lake root), so no concurrent seeder/eraser interleaves. A
+    plain re-seed is NOT enough: `seed_span_index`'s dynamic overwrite
+    replaces only the ``-1`` partition, leaving streamed partitions
+    (``__batch_id >= 0``) still holding the purged docs' hashes — the
+    whole dir is deleted first, collapsing the rebuilt index into the
+    seed partition. STOP any running span-dedup stream first (the
+    foreachBatch sink does not take this lock; its next batch then
+    resumes against the rebuilt index, which the own-batch-excluding
+    read handles — ``-1`` precedes every batch id)."""
+    from ..fsio import _fs_path
+    from ..operators.maintenance import _lake_write_lock
+
+    with _lake_write_lock(index_dir, spark):
+        corpus = spark.read.parquet(lake_dir)
+        # delete the index CONTENTS, not the dir: both lock flavors
+        # (.write_lock flock / .write_lock.cas lease) live INSIDE the
+        # locked dir — a recursive dir delete would destroy the very
+        # lock this window holds, letting a contender acquire mid-rebuild
+        fs, p, _jvm = _fs_path(spark, index_dir)
+        if fs.exists(p):
+            for st in fs.listStatus(p):
+                if str(st.getPath().getName()).startswith(".write_lock"):
+                    continue
+                fs.delete(st.getPath(), True)
+        seed_span_index(corpus, index_dir, span_words, id_col, text_col)
+
+
 def seed_srp_index(
     corpus: DataFrame,
     index_dir: str,
@@ -435,6 +648,12 @@ def seed_srp_index(
     the `srp_incremental_pairs(corpus_index=...)` contract."""
     from ..functions.similarity import srp_corpus_index
 
+    token = _srp_sig_token(
+        num_bits, dim, corpus.schema[id_col].dataType.simpleString()
+    )
+    check_sig_format(
+        corpus.sparkSession, index_dir, token, "seed_srp_index", claim_fresh=False
+    )
     (
         srp_corpus_index(corpus, num_bits, dim, id_col, vec_col, impl)
         .withColumn("__batch_id", F.lit(-1))
@@ -443,6 +662,7 @@ def seed_srp_index(
         .partitionBy("__batch_id")
         .parquet(index_dir)
     )
+    write_sig_format(corpus.sparkSession, index_dir, token)
 
 
 def stream_embed_near_sink(
@@ -503,6 +723,7 @@ def stream_embed_near_sink(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_batch_id_type(batch_df, id_col, id_type, "stream_embed_near_sink")
         if batch_df.isEmpty():
             # emptiness is deterministic from source offsets → replay
             # skips identically (streaming_index_append's rule)
@@ -511,17 +732,24 @@ def stream_embed_near_sink(
         hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
         fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
         schema = f"vid {id_type}, sig string, vec array<double>, __batch_id int"
+        token = _srp_sig_token(num_bits, dim, id_type)
         if fs.exists(hpath):
             # explicit existence gate + explicit schema (the
             # read_index_cells rule): a genuine read failure must fail
-            # the micro-batch, not silently admit every near-dup
+            # the micro-batch, not silently admit every near-dup —
+            # and the format marker must match (stale SRP planes/bits
+            # screen nothing)
+            check_sig_format(spark, index_dir, token, "seed_srp_index")
             idx = (
                 spark.read.schema(schema)
                 .parquet(index_dir)
                 .filter(F.col("__batch_id") < int(batch_id))
                 .drop("__batch_id")
             )
-        else:  # first batch, nothing seeded
+        else:  # first batch, nothing seeded — stamp the format marker
+            # BEFORE the first index write (crash-safe: replay reads a
+            # marked, empty dir)
+            write_sig_format(spark, index_dir, token)
             idx = spark.createDataFrame([], schema).drop("__batch_id")
 
         # one row-local signature pass per batch, shared by the

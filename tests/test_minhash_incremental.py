@@ -414,6 +414,11 @@ def test_srp_corpus_index_path_bit_identical(spark, tmp_path):
 
     with pytest.raises(ValueError, match="corpus or corpus_index"):
         srp_incremental_pairs(batch, **kw)
+    # and the batch side gets the symmetric explicit guard (round-9
+    # ADVICE: this used to be AttributeError('NoneType') from
+    # batch.filter)
+    with pytest.raises(ValueError, match="batch or batch_index"):
+        srp_incremental_pairs(None, corpus_index=stored, **kw)
     spark.catalog.clearCache()
 
 
@@ -453,3 +458,59 @@ def test_pack_ledger_release_owned_caches(spark):
     single.collect()
     assert release_owned_caches(single) == 0
     assert n_cached() == base
+
+
+def test_release_owned_caches_distinguishes_derived_frame(spark):
+    """Round-10 (round-9 low ADVICE): releasing via a DERIVED frame
+    (.filter/.select lose the handle attribute) used to return the
+    same 0 as "nothing was attached", so the leak the contract exists
+    to fix recurred silently on the most natural misuse. Now builder
+    results are ALWAYS stamped (even when nothing is owned — the
+    single-window pack path), a derived-frame release returns None
+    with a warning, and `has_owned_caches` exposes the live handle."""
+    import warnings
+
+    from real_time_trip_processing_spark.functions.caching import (
+        has_owned_caches,
+        release_owned_caches,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} alpha beta gamma delta epsilon zeta eta theta")
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(
+        docs, n=3, num_perm=32, bands=8, threshold=0.2, det=True
+    )
+    pairs.collect()
+    assert has_owned_caches(pairs)
+
+    # the misuse: a derived frame has no handle — None + warning, and
+    # the builder's cache is untouched (still releasable via `pairs`)
+    derived = pairs.filter(F.col("jaccard") >= 0.0)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert release_owned_caches(derived) is None
+    assert any("owned-cache handle" in str(x.message) for x in w)
+    assert has_owned_caches(pairs)  # nothing was released by the miss
+
+    assert release_owned_caches(pairs) == 1
+    assert not has_owned_caches(pairs)
+    assert release_owned_caches(pairs) == 0  # idempotent, no warning
+
+    # builder path that owns nothing still carries the stamp: 0, not
+    # None — "builder result, nothing to release" stays a clean call
+    from real_time_trip_processing_spark.functions.curation import (
+        pack_sequences,
+    )
+
+    single = pack_sequences(
+        docs.withColumn("part", F.lit("s")), budget=64,
+        part_col="part", id_col="doc_id", text_col="text", n_buckets=1,
+    )
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert release_owned_caches(single) == 0
+    assert not w
+    spark.catalog.clearCache()

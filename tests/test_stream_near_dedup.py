@@ -433,6 +433,23 @@ def test_delete_docs_from_srp_index_forgets(spark, tmp_path):
     idx_vids = {r["vid"] for r in spark.read.parquet(idx_dir).collect()}
     assert idx_vids == {1}
 
+    # the documented two-call contract (docstring: "a full erasure
+    # calls this once per directory"): the AUDIT dir purges with the
+    # same call — erased ids absent from both dirs afterwards
+    assert delete_docs_from_dedup_index(
+        spark, audit_dir, [10], id_col="vid"
+    ) >= 1
+    # explicit schema: vid 10 was the only audited row, so the purged
+    # dir may hold no data files at all (inference would die on it)
+    remaining_audit = spark.read.schema(
+        "vid long, n_corpus_matches long, n_prior_batch_matches long, "
+        "kept boolean, __batch_id int"
+    ).parquet(audit_dir)
+    assert 10 not in {r["vid"] for r in remaining_audit.collect()}
+    assert 10 not in {
+        r["vid"] for r in spark.read.parquet(idx_dir).collect()
+    }
+
     probe2 = spark.createDataFrame(
         _vecs([(20, _near(rng, v0))]), "vec_id long, embedding array<double>"
     )
@@ -482,4 +499,249 @@ def test_erasure_vs_replay_ordering(spark, tmp_path):
     # exactly the hazard the docstring orders the purge around
     sink(b0, 0)
     assert idx_ids() == [0, 1]
+    spark.catalog.clearCache()
+
+
+# ---- signature-format marker (round 10: the round-9 medium ADVICE) ---
+
+def test_sig_format_marker_refuses_stale_or_mismatched_index(spark, tmp_path):
+    """The documented silent-failure mode — a stale-formula signature
+    index makes the vs-corpus screen collapse to zero candidates,
+    admitting every near-dup as novel — now has a runtime guard: seeds
+    and sinks stamp a _SIG_FORMAT marker (formula version + every
+    value-shifting parameter) and assert it at index read, failing the
+    batch instead of silently screening nothing."""
+    import os
+
+    import pytest
+
+    from real_time_trip_processing_spark.fsio import (
+        fs_delete,
+        fs_read_text,
+        fs_write_text,
+    )
+    from real_time_trip_processing_spark.streaming.dedup import (
+        SIG_MARKER_NAME,
+        seed_minhash_index,
+        stream_dedup_near_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    )
+    idx_dir = str(tmp_path / "fmt_idx")
+    seed_minhash_index(corpus, idx_dir, n=3, num_perm=32)
+    # tamper through the same FS API the writers use (Hadoop's local
+    # FS keeps .crc sidecars — a plain open() rewrite would checksum-fail)
+    marker = os.path.join(idx_dir, SIG_MARKER_NAME)
+    token = fs_read_text(spark, marker).strip()
+    assert token.startswith("minhash/v") and "num_perm=32" in token
+
+    b = spark.createDataFrame([(10, NOVEL)], "doc_id long, text string")
+
+    # a sink whose parameters would compute DIFFERENT signatures than
+    # the index holds fails its first batch loudly
+    mismatched = stream_dedup_near_sink(
+        idx_dir, str(tmp_path / "a1"), n=3, num_perm=16, bands=8,
+        threshold=0.5,
+    )
+    with pytest.raises(ValueError, match="signature-format mismatch"):
+        mismatched(b, 0)
+
+    # a pre-marker (or foreign) index — data present, marker absent —
+    # is unverifiable: refused, with the rebuild path named
+    fs_delete(spark, marker)
+    sink = stream_dedup_near_sink(
+        idx_dir, str(tmp_path / "a2"), **KW
+    )
+    with pytest.raises(ValueError, match="no _SIG_FORMAT"):
+        sink(b, 0)
+
+    # a stale-version marker (the exact round-9 class-domain scenario)
+    fs_write_text(
+        spark, marker, "minhash/v1;n=3;num_perm=32;det=false;id=bigint\n"
+    )
+    with pytest.raises(ValueError, match="signature-format mismatch"):
+        sink(b, 0)
+
+    # re-seeding over a format-mismatched index refuses too (dynamic
+    # overwrite would leave stale streamed partitions mixed in)
+    with pytest.raises(ValueError, match="signature-format mismatch"):
+        seed_minhash_index(corpus, idx_dir, n=5, num_perm=32)
+
+    # restoring the true format heals everything: sink proceeds, and a
+    # matching re-seed is fine
+    fs_write_text(spark, marker, token + "\n")
+    sink(b, 0)
+    assert _audit(spark, str(tmp_path / "a2"))[10][2] is True
+    seed_minhash_index(corpus, idx_dir, n=3, num_perm=32)
+    spark.catalog.clearCache()
+
+
+def test_sig_format_marker_stamped_by_first_sink_batch(spark, tmp_path):
+    """An unseeded sink stamps the marker at its first batch (before
+    the first index write — a crash between them leaves a marked,
+    readable dir for the replay), and every later batch re-asserts it.
+    The SRP/embedding sink carries the same contract."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        SIG_MARKER_NAME,
+        stream_dedup_near_sink,
+        stream_embed_near_sink,
+    )
+
+    idx_dir = str(tmp_path / "stamp_idx")
+    sink = stream_dedup_near_sink(idx_dir, str(tmp_path / "sa"), **KW)
+    sink(
+        spark.createDataFrame([(0, BASE)], "doc_id long, text string"), 0
+    )
+    with open(os.path.join(idx_dir, SIG_MARKER_NAME)) as f:
+        assert f.read().startswith("minhash/v")
+
+    rng = np.random.Generator(np.random.PCG64(20260816))
+    eidx_dir = str(tmp_path / "stamp_eidx")
+    esink = stream_embed_near_sink(eidx_dir, str(tmp_path / "ea"), **EKW)
+    esink(
+        spark.createDataFrame(
+            _vecs([(0, _unit(rng))]), "vec_id long, embedding array<double>"
+        ),
+        0,
+    )
+    with open(os.path.join(eidx_dir, SIG_MARKER_NAME)) as f:
+        etoken = f.read().strip()
+    assert etoken.startswith("srp/v") and "num_bits=96" in etoken
+
+    # a differently-parameterized embed sink against the same index
+    # refuses (stale SRP bits screen nothing)
+    bad = stream_embed_near_sink(
+        eidx_dir, str(tmp_path / "eb"), num_bits=64, bands=16,
+        threshold=0.9, dim=16,
+    )
+    with pytest.raises(ValueError, match="signature-format mismatch"):
+        bad(
+            spark.createDataFrame(
+                _vecs([(1, _unit(rng))]),
+                "vec_id long, embedding array<double>",
+            ),
+            1,
+        )
+    spark.catalog.clearCache()
+
+
+def test_sink_id_type_checked_at_first_batch(spark, tmp_path):
+    """Round-9 ADVICE: an id_type/stream-schema mismatch used to
+    surface only at the SECOND batch (the explicit-schema index read),
+    far from the misconfiguration. Both sinks now validate the batch's
+    id column against id_type at the first apply and raise at the
+    site."""
+    import numpy as np
+    import pytest
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        stream_dedup_near_sink,
+        stream_embed_near_sink,
+    )
+
+    b = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    sink = stream_dedup_near_sink(
+        str(tmp_path / "t_idx"), str(tmp_path / "t_aud"),
+        id_type="int", **KW,
+    )
+    with pytest.raises(ValueError, match="id_type"):
+        sink(b, 0)
+
+    rng = np.random.Generator(np.random.PCG64(20260817))
+    eb = spark.createDataFrame(
+        _vecs([(0, _unit(rng))]), "vec_id long, embedding array<double>"
+    )
+    esink = stream_embed_near_sink(
+        str(tmp_path / "e_idx"), str(tmp_path / "e_aud"),
+        id_type="string", **EKW,
+    )
+    with pytest.raises(ValueError, match="id_type"):
+        esink(eb, 0)
+
+    # 'long' vs 'bigint' are the same type under canonicalization —
+    # no false refusal on DDL synonyms
+    ok = stream_dedup_near_sink(
+        str(tmp_path / "ok_idx"), str(tmp_path / "ok_aud"),
+        id_type="bigint", **KW,
+    )
+    ok(b, 0)
+    assert _audit(spark, str(tmp_path / "ok_aud"))[0][2] is True
+    spark.catalog.clearCache()
+
+
+def test_rebuild_span_index_after_purge(spark, tmp_path):
+    """The executable span-index erasure recovery (round-9 verdict #5):
+    purge docs from the lake, rebuild the span index in one call —
+    spans unique to purged docs are gone (including ones that arrived
+    via STREAMED partitions, which a bare re-seed would leave behind),
+    spans shared with surviving docs remain, and the sink resumes
+    against the rebuilt index."""
+    import hashlib
+
+    from real_time_trip_processing_spark.operators.maintenance import (
+        delete_keys_from_lake,
+    )
+    from real_time_trip_processing_spark.streaming.dedup import (
+        rebuild_span_index_after_purge,
+        seed_span_index,
+        stream_dedup_spans_sink,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(16))
+    u0 = " ".join(f"u{i}" for i in range(16))
+    u1 = " ".join(f"w{i}" for i in range(16))
+    u5 = " ".join(f"v{i}" for i in range(16))
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(0, shared + " " + u0, 1), (1, shared + " " + u1, 2), (5, u5, 3)],
+        "doc_id long, text string, day int",
+    ).write.partitionBy("day").parquet(lake)
+
+    idx_dir = str(tmp_path / "span_idx")
+    seed_span_index(
+        spark.createDataFrame(
+            [(0, shared + " " + u0), (1, shared + " " + u1)],
+            "doc_id long, text string",
+        ),
+        idx_dir,
+        span_words=16,
+    )
+    sink = stream_dedup_spans_sink(
+        idx_dir, str(tmp_path / "span_aud"), span_words=16
+    )
+    # doc 5 arrives via the STREAM → its span lives in partition 0,
+    # which a plain re-seed (dynamic overwrite of -1 only) would keep
+    sink(spark.createDataFrame([(5, u5)], "doc_id long, text string"), 0)
+
+    h = lambda t: hashlib.sha256(t.encode()).hexdigest()  # noqa: E731
+    before = {r["span_hash"] for r in spark.read.parquet(idx_dir).collect()}
+    assert {h(shared), h(u0), h(u1), h(u5)} <= before
+
+    delete_keys_from_lake(spark, lake, "doc_id", [0, 5], ["day"])
+    rebuild_span_index_after_purge(spark, lake, idx_dir, span_words=16)
+
+    after = {r["span_hash"] for r in spark.read.parquet(idx_dir).collect()}
+    assert h(u0) not in after and h(u5) not in after
+    assert h(shared) in after and h(u1) in after
+
+    # the stream resumes: a duplicate of a SURVIVING span is still
+    # excluded; a span of the purged doc is readmitted (really forgot)
+    sink(
+        spark.createDataFrame(
+            [(7, u1 + " " + u5)], "doc_id long, text string"
+        ),
+        1,
+    )
+    aud = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "span_aud")).collect()
+    }
+    assert aud[7]["n_spans_removed"] == 1  # u1 excluded, u5 readmitted
     spark.catalog.clearCache()
