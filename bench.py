@@ -789,28 +789,42 @@ def bench_vectors_fixed(spark) -> dict | None:
             ),
         }
         timings: dict[str, dict] = {}
+        # warmups between cold and steady (round-9 verdict #2): the
+        # IVF rows missed the <20% spread done-bar (sim_ivf_topk
+        # spread_pct 303% builder / 93% judge) because codegen + kmeans
+        # broadcast warm-up landed INSIDE the steady window — the first
+        # post-cold run of a new plan shape still compiles. Two
+        # uncounted warmups put the steady runs on a genuinely warm
+        # path; the cold column keeps first-run cost visible.
+        n_warm = 2
         for name, build in cases.items():
-            # 1 cold + 5 steady (the headline table's N_RUNS): with only
-            # 3 steady runs a single GC/host blip inflated spread_pct
-            # past 100% on the first recorded line — a 5-run median is
-            # robust to one outlier and the spread stays honest
+            # 1 cold + 2 warmups (uncounted) + 5 steady (the headline
+            # table's N_RUNS): with only 3 steady runs a single GC/host
+            # blip inflated spread_pct past 100% on the first recorded
+            # line — a 5-run median is robust to one outlier and the
+            # spread stays honest
             runs = []
-            for i in range(1 + N_RUNS):
+            for i in range(1 + n_warm + N_RUNS):
                 df = build()
                 if i > 0:
                     spark.sparkContext._jvm.System.gc()
                 t1 = time.perf_counter()
                 df.write.mode("overwrite").format("noop").save()
                 runs.append(round(time.perf_counter() - t1, 4))
-            steady = sorted(runs[1:])
+            steady = sorted(runs[1 + n_warm:])
             med = steady[len(steady) // 2]
+            spread_pct = round(100 * (steady[-1] - steady[0]) / med, 1)
             timings[name] = {
                 "sec": med,
                 "cold_sec": runs[0],
                 "spread": [steady[0], steady[-1]],
                 # the verdict's done-bar: run-to-run spread < 20% of the
                 # median, or the number is still overhead/noise-bound
-                "spread_pct": round(100 * (steady[-1] - steady[0]) / med, 1),
+                "spread_pct": spread_pct,
+                # explicit flag when a row misses the bar even after
+                # warm-up — the verdict's offered alternative to
+                # pretending the number is steady
+                "overhead_dominated": bool(spread_pct >= 20.0),
             }
             spark.catalog.clearCache()
             queries.cache().count()  # keep the probe frame warm across cases

@@ -427,6 +427,16 @@ def sim_ivf_persisted(spark, sf_dir):
 #: recall_ok and fails the hash compare. The oracle ALSO replays both
 #: sides exactly (IVF replay + exact top-k in SQL), so even a recall
 #: change WITHIN the band is caught as a value mismatch on n_hit.
+#:
+#: Round 10 considered the offered 0.73 → 0.78 raise (the band
+#: reproduced again this round) and DECLINED it, for the same reason
+#: the PQ floor was widened to 0.52: determinism is per corpus draw,
+#: the driver regenerates testdata between rounds, and a gate that can
+#: flap on a redraw with no code regression costs more than the extra
+#: 0.05 of floor buys — the floor's job is separating "geometry sound"
+#: from the 0.25 pruning-collapse mode, and 0.73 does that with 3×
+#: margin. The exact per-corpus numbers are adjudicated anyway by the
+#: oracle's n_hit value compare, which is tighter than any floor.
 _RECALL_BAND = 0.73
 
 _RECALL_ORACLE = f"""

@@ -41,6 +41,12 @@ def corpus_hash_index(
     as it stays cached, which is the intended refresh unit, not an
     accident. (Round-6 ADVICE: the old internal persist leaked one
     cached relation per stream (re)build with no handle to release it.)
+    This convention predates — and is the origin of — the shared
+    owned-cache contract in `functions/caching.py`: builders that
+    persist INTERNAL frames attach them to the result for
+    `release_owned_caches`; frames the caller hands in (like this
+    index) are never attached, exactly because their lifecycle is the
+    caller's, as described above.
 
     At 100 TB pass ``corpus_hash_col`` pointing at a pre-hashed index
     column so raw document bodies never ship through here at all.

@@ -745,3 +745,40 @@ def test_rebuild_span_index_after_purge(spark, tmp_path):
     }
     assert aud[7]["n_spans_removed"] == 1  # u1 excluded, u5 readmitted
     spark.catalog.clearCache()
+
+
+def test_sig_format_marker_on_remote_scheme(spark, tmp_path, mock_fs):
+    """The marker contract over a genuinely-remote Hadoop FS (the
+    mock:// scheme): seed writes the marker through the FS API, the
+    sink asserts it per batch, a parameter-mismatched sink refuses —
+    the same behavior the local paths pin, proven scheme-agnostic."""
+    import pytest
+
+    from real_time_trip_processing_spark.fsio import fs_read_text
+    from real_time_trip_processing_spark.streaming.dedup import (
+        SIG_MARKER_NAME,
+        seed_minhash_index,
+        stream_dedup_near_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    )
+    idx_dir = mock_fs(tmp_path / "remote_fmt_idx")
+    audit_dir = mock_fs(tmp_path / "remote_fmt_audit")
+    seed_minhash_index(corpus, idx_dir, n=3, num_perm=32)
+    token = fs_read_text(spark, idx_dir + "/" + SIG_MARKER_NAME)
+    assert token is not None and token.strip().startswith("minhash/v")
+
+    b = spark.createDataFrame([(10, NOVEL)], "doc_id long, text string")
+    sink = stream_dedup_near_sink(idx_dir, audit_dir, **KW)
+    sink(b, 0)
+    assert _audit(spark, audit_dir)[10][2] is True
+
+    mismatched = stream_dedup_near_sink(
+        idx_dir, mock_fs(tmp_path / "remote_a2"), n=5, num_perm=32,
+        bands=16, threshold=0.5,
+    )
+    with pytest.raises(ValueError, match="signature-format mismatch"):
+        mismatched(b, 1)
+    spark.catalog.clearCache()

@@ -300,8 +300,28 @@ def claim_serve_split(spark) -> dict:
         cold = serve()
         warms = sorted(serve() for _ in range(3))
         warm_med = warms[1]
+
+        # round 10 (round-9 verdict #6): the same memo-survival claim
+        # for the IVF (float) book path — `ann_join_persisted`'s
+        # centroids-only prologue. `_load_centroids` hands back a
+        # defensive shallow COPY of the memoized list, so identity is
+        # asserted on the shared row tuples, not the list object.
+        ividx = os.path.join(work, "ividx")
+        IX.ivf_index_build(emb, ividx, n_centroids=16)
+        IX._SERVE_STATE_CACHE.clear()
+        c1 = IX._load_centroids(spark, ividx, "ivf")
+        c2 = IX._load_centroids(spark, ividx, "ivf")
+        ivf_memo_survives = bool(c1 and c2 and c1[0] is c2[0])
+        IX.ann_join_persisted(
+            spark, ividx, queries, k=3, nprobe=4
+        ).write.mode("overwrite").format("noop").save()
+        c3 = IX._load_centroids(spark, ividx, "ivf")
+        ivf_memo_after_serve = bool(c3 and c2[0] is c3[0])
+
         ok = (
             memo_survives
+            and ivf_memo_survives
+            and ivf_memo_after_serve
             and prologue_warm < max(0.1, 0.5 * prologue_cold)
             # directional: the memo must never make repeat serves worse
             # (generous 1.25 band — walls this small carry GC noise)
@@ -310,12 +330,15 @@ def claim_serve_split(spark) -> dict:
         return {
             "ok": bool(ok),
             "memo_survives": bool(memo_survives),
+            "ivf_memo_survives": bool(ivf_memo_survives),
+            "ivf_memo_after_serve": bool(ivf_memo_after_serve),
             "prologue_cold_sec": prologue_cold,
             "prologue_warm_sec": prologue_warm,
             "serve_cold_sec": cold,
             "serve_warm_median_sec": warm_med,
-            "claim": "serve-state memo survives repeated serves; warm "
-                     "prologue is a small fraction of cold",
+            "claim": "serve-state memo survives repeated serves (PQ "
+                     "books AND IVF float centroids); warm prologue is "
+                     "a small fraction of cold",
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -1,9 +1,15 @@
 """Serve-wall decomposition for `ann_join_ivfpq_persisted` (round-8
-verdict #6): after the LUT-boxing fix and the file-signature serve-state
-memo, what remains of the serve wall — and how does it split between
-FIXED driver prologue (coarse codebook + PQ books collect + float64
-convert, memoized per content signature) and the LINEAR distributed
-part (probe explosion, cent_id shuffle, per-bucket ADC kernels)?
+verdict #6) and — round 10 (round-9 verdict #6) — its non-PQ twin
+`ann_join_persisted` (the serve path behind the declared `ann_join_ivf`
+shape, the most expensive previously-undecomposed vector query): after
+the LUT-boxing fix and the file-signature serve-state memo, what
+remains of the serve wall — and how does it split between FIXED driver
+prologue (coarse codebook [+ PQ books] collect + float64 convert,
+memoized per content signature) and the LINEAR distributed part (probe
+explosion, cent_id shuffle, per-bucket ADC / quantized-cosine
+kernels)? The IVF flavor's prologue is centroids-only (no books
+collect), so its fixed share should be SMALLER than the PQ path's —
+measured, not assumed.
 
 Per corpus size this harness measures:
 - prologue_cold_sec: the two state loads (`_load_centroids` +
@@ -113,6 +119,65 @@ def decompose(spark, corpus_dir: str, size: int, work: str) -> dict:
     return row
 
 
+def decompose_ivf(spark, corpus_dir: str, size: int, work: str) -> dict:
+    """The non-PQ flavor: `ivf_index_build` (float/int quantized cells)
+    + `ann_join_persisted`. Prologue = the ONE state load
+    (`_load_centroids`, layout='ivf') — no books collect, so the fixed
+    share should undercut the PQ path's. Memo survival is checked on
+    ROW identity: `_load_centroids` returns a defensive shallow copy
+    of the memoized list, so the list objects differ by design but a
+    memo hit shares the row tuples; a reload would rebuild them."""
+    from pyspark.sql import functions as F
+
+    from real_time_trip_processing_spark.functions import ivf_index as IX
+
+    full = spark.read.parquet(corpus_dir)
+    corpus = full.filter(F.col("vec_id") < size)
+    queries = corpus.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    n_q = queries.count()
+
+    idx = os.path.join(work, f"serve_ivf_idx_{size}")
+    t0 = time.monotonic()
+    IX.ivf_index_build(corpus, idx, n_centroids=N_CENTROIDS)
+    build_sec = round(time.monotonic() - t0, 2)
+
+    IX._SERVE_STATE_CACHE.clear()
+    t0 = time.monotonic()
+    c1 = IX._load_centroids(spark, idx, "ivf")
+    prologue_cold = round(time.monotonic() - t0, 4)
+    t0 = time.monotonic()
+    c2 = IX._load_centroids(spark, idx, "ivf")
+    prologue_warm = round(time.monotonic() - t0, 4)
+    memo_survives = bool(c1 and c2 and c1[0] is c2[0])
+
+    def serve() -> float:
+        t0 = time.monotonic()
+        IX.ann_join_persisted(
+            spark, idx, queries, k=K, nprobe=NPROBE
+        ).write.mode("overwrite").format("noop").save()
+        return round(time.monotonic() - t0, 3)
+
+    IX._SERVE_STATE_CACHE.clear()
+    serve_cold = serve()
+    warms = sorted(serve() for _ in range(3))
+    row = {
+        "flavor": "ivf_float",
+        "size": size,
+        "n_queries": int(n_q),
+        "build_sec": build_sec,
+        "prologue_cold_sec": prologue_cold,
+        "prologue_warm_sec": prologue_warm,
+        "memo_survives": memo_survives,
+        "serve_cold_sec": serve_cold,
+        "serve_warm_median_sec": warms[1],
+        "serve_warm_spread": [warms[0], warms[-1]],
+        "prologue_share_warm_pct": round(100 * prologue_warm / warms[1], 2),
+    }
+    print(json.dumps(row), flush=True)
+    shutil.rmtree(idx, ignore_errors=True)
+    return row
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
@@ -132,8 +197,9 @@ def main() -> None:
     os.makedirs(work, exist_ok=True)
     sizes = [s for s in (100_000, 1_000_000) if s <= args.rows]
     rows = [decompose(spark, OUT, s, work) for s in sizes]
+    ivf_rows = [decompose_ivf(spark, OUT, s, work) for s in sizes]
     print(json.dumps({"dim": DIM, "nprobe": NPROBE, "k": K, "m": M_SUB,
-                      "rows": rows}))
+                      "rows": rows, "ivf_rows": ivf_rows}))
 
 
 if __name__ == "__main__":
