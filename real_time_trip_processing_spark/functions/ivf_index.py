@@ -85,6 +85,22 @@ exact integer squared norm, so serve-time scores are bit-identical to
 `similarity.py`): `sim_ivf_persisted` declares the SAME oracle SQL as
 `sim_ivf_topk` and hash-matches it.
 
+Why this index carries NO formula-version marker while the dedup
+signature indexes do (round 10 — stated rather than assumed): the
+dedup indexes fail SILENTLY on a formula shift (band keys stop
+colliding; zero candidates is indistinguishable from zero duplicates),
+but this layout is self-consistent and scale-tolerant by construction:
+(a) cosine is per-side scale-invariant, so a pure SRP_QUANT change
+leaves stored-vs-query scores equal up to rounding; (b) probe geometry
+always comes from the index's OWN persisted codebook (queries are
+assigned against `centroids_<layout>/`, never against freshly-trained
+centroids), and PQ codes are only ever decoded against the index's own
+``books/`` — there is no cross-version key meeting; (c) the manifest's
+content fingerprint re-verifies the index against the live corpus, so
+a rebuild-on-drift covers re-embedding. A rounding-formula change
+would shift scores at the last decimal, which the DuckDB oracle's
+value hash catches the same day — loud, not silent.
+
 At 100 TB: the build is one scan + one partitioned write (each vector
 moves once, shuffled only by the partitioned-write's cent_id split);
 queries are `O(N · nprobe / n_centroids)` scan-bytes with pruning done

@@ -900,3 +900,99 @@ def delete_docs_from_dedup_index(
     return delete_keys_from_lake(
         spark, index_dir, id_col, ids, ["__batch_id"]
     )
+
+
+def compact_dedup_index(
+    spark,
+    index_dir: str,
+    through_batch: int,
+) -> int:
+    """Fold the streamed partitions of a dedup signature index into its
+    seed partition — the small-files lifecycle the ``__batch_id``
+    layout otherwise lacks (round 10): every micro-batch appends one
+    partition, so a long-running ingest stream turns the index into
+    thousands of tiny directories, and at 100 TB the per-batch index
+    scan pays file-listing + open overhead proportional to STREAM AGE
+    instead of index size. This folds every partition with
+    ``-1 <= __batch_id <= through_batch`` into a single rewritten
+    ``__batch_id = -1`` partition and drops the folded originals.
+    Applies to all three index shapes (MinHash ``doc``-keyed, SRP
+    ``vid``-keyed, span-hash) and to the audit dirs — the op is
+    schema-agnostic (it moves whole rows).
+
+    Read-equivalence: the sinks' own-batch-excluding read is
+    ``__batch_id < current_batch``, and every folded row moves to
+    ``-1``, which precedes every real batch id — so any FUTURE batch
+    sees exactly the same row set before and after compaction
+    (test-pinned: verdicts of a post-compaction batch equal a
+    never-compacted twin's).
+
+    ORDERING vs replay (the erasure contract's sibling, stated the
+    same way): only compact batches the stream's CHECKPOINT has
+    committed. A replay of batch ``b <= through_batch`` after
+    compaction sees its own first attempt's rows in the folded ``-1``
+    partition (``-1 < b``), screens the replayed docs against
+    THEMSELVES, and rewrites partition ``b`` with everything marked
+    duplicate — replay bit-identity breaks (test-pinned as the hazard
+    twin). Spark's checkpoint never replays below the committed
+    offset, so "committed through" is an available, safe watermark.
+
+    Crash shape (staged — the fold never reads and overwrites the same
+    files in one job): (1) the fold window is written to an
+    underscore-prefixed staging dir under the index root (invisible to
+    parquet listing, like ``_SIG_FORMAT``); (2) the staging is read
+    back and dynamic-overwrites the ``-1`` partition; (3) the folded
+    originals are deleted; (4) the staging is deleted. A crash after
+    (2) leaves rows duplicated across ``-1`` and their original
+    partitions — which the sinks tolerate (candidate counts inflate;
+    ``kept`` verdicts are >=1 threshold tests and anti-joins, so no
+    verdict flips) — and a RE-RUN converges: the fold reads through a
+    ``dropDuplicates()``, so re-folding de-duplicates, and the deletes
+    are idempotent. Single-writer locked for the whole window (the
+    erasure's `_lake_write_lock` on the index dir); the ``_SIG_FORMAT``
+    marker is a root file and is never touched. STOP the stream first,
+    same as `rebuild_span_index_after_purge`.
+
+    Returns the number of partitions folded away (0 = nothing to do).
+    """
+    from ..fsio import _fs_path
+    from ..operators.maintenance import _lake_write_lock
+
+    with _lake_write_lock(index_dir, spark):
+        fs, root, jvm = _fs_path(spark, index_dir)
+        if not fs.exists(root):
+            return 0
+        folded = []
+        for st in fs.listStatus(root):
+            name = str(st.getPath().getName())
+            if not (st.isDirectory() and name.startswith("__batch_id=")):
+                continue
+            bid = int(name.split("=", 1)[1])
+            if 0 <= bid <= int(through_batch):
+                folded.append((bid, st.getPath()))
+        if not folded:
+            return 0
+        staging = index_dir.rstrip("/") + "/_compact_staging"
+        # one partition-pruned read of the fold window into staging;
+        # dropDuplicates makes a crashed previous fold converge
+        # instead of doubling rows
+        (
+            spark.read.parquet(index_dir)
+            .filter(F.col("__batch_id") <= int(through_batch))
+            .drop("__batch_id")
+            .dropDuplicates()
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        (
+            spark.read.parquet(staging)
+            .withColumn("__batch_id", F.lit(-1))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id")
+            .parquet(index_dir)
+        )
+        for _bid, path in folded:
+            fs.delete(path, True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        return len(folded)

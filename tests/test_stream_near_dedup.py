@@ -782,3 +782,136 @@ def test_sig_format_marker_on_remote_scheme(spark, tmp_path, mock_fs):
     with pytest.raises(ValueError, match="signature-format mismatch"):
         mismatched(b, 1)
     spark.catalog.clearCache()
+
+
+def test_compact_dedup_index_folds_committed_batches(spark, tmp_path):
+    """Round-10 lifecycle: `compact_dedup_index` folds committed batch
+    partitions into the seed partition. Pinned: the folded index is
+    row-equal (modulo __batch_id provenance) to an untouched twin, a
+    FUTURE batch's verdicts are identical against either, the format
+    marker survives, re-run is a no-op, and a simulated
+    crash-before-delete (rows duplicated across -1 and an original
+    partition) converges on re-run instead of doubling."""
+    import os
+
+    from real_time_trip_processing_spark.fsio import fs_read_text
+    from real_time_trip_processing_spark.streaming.dedup import (
+        SIG_MARKER_NAME,
+        compact_dedup_index,
+        seed_minhash_index,
+        stream_dedup_near_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    )
+    batches = [
+        spark.createDataFrame([(10, NOVEL)], "doc_id long, text string"),
+        spark.createDataFrame(
+            [(20, "fresh content " + " ".join(f"tok{i}" for i in range(18)))],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(30, " ".join(f"w{i}" for i in range(20)))],
+            "doc_id long, text string",
+        ),
+    ]
+    probe = spark.createDataFrame(
+        # 40 near-dups retained doc 0; 41 novel
+        [(40, NEAR_BASE), (41, " ".join(f"z{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+
+    def build(tag):
+        idx = str(tmp_path / f"cidx_{tag}")
+        aud = str(tmp_path / f"caud_{tag}")
+        seed_minhash_index(corpus, idx, n=3, num_perm=32)
+        sink = stream_dedup_near_sink(idx, aud, **KW)
+        for i, b in enumerate(batches):
+            sink(b, i)
+        return idx, aud, sink
+
+    idx_a, aud_a, sink_a = build("a")      # will be compacted
+    idx_b, aud_b, sink_b = build("b")      # untouched twin
+
+    def content(idx):
+        # row set ignoring provenance (__batch_id)
+        df = spark.read.parquet(idx).drop("__batch_id").withColumn(
+            "hs", F.array_sort("hs")
+        )
+        return sorted(tuple(r) for r in df.collect())
+
+    def partitions(idx):
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(idx)
+            if d.startswith("__batch_id=")
+        )
+
+    marker_before = fs_read_text(
+        spark, idx_a + "/" + SIG_MARKER_NAME
+    )
+    assert partitions(idx_a) == [-1, 0, 1, 2]
+    saved_p1 = spark.read.parquet(idx_a).filter(
+        F.col("__batch_id") == 1
+    ).collect()
+
+    # fold batches 0..1 (committed); batch 2 stays
+    assert compact_dedup_index(spark, idx_a, through_batch=1) == 2
+    assert partitions(idx_a) == [-1, 2]
+    assert content(idx_a) == content(idx_b)
+    assert fs_read_text(spark, idx_a + "/" + SIG_MARKER_NAME) == marker_before
+    # no staging leftover, and re-run is a no-op
+    assert not os.path.exists(os.path.join(idx_a, "_compact_staging"))
+    assert compact_dedup_index(spark, idx_a, through_batch=1) == 0
+
+    # a FUTURE batch sees the identical row set: verdicts equal the twin
+    sink_a(probe, 3)
+    sink_b(probe, 3)
+    assert _audit(spark, aud_a)[40] == _audit(spark, aud_b)[40]
+    assert _audit(spark, aud_a)[41] == _audit(spark, aud_b)[41]
+    assert _audit(spark, aud_a)[40][2] is False  # near-dup still caught
+    assert _audit(spark, aud_a)[41][2] is True
+    assert content(idx_a) == content(idx_b)
+
+    # simulated crash-before-delete: partition 1's rows exist BOTH in
+    # the folded -1 and (restored) in their original partition — the
+    # re-run converges to the same row set, no doubling
+    spark.createDataFrame(saved_p1, spark.read.parquet(idx_a).schema) \
+        .write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy("__batch_id").parquet(idx_a)
+    want = content(idx_b)
+    assert compact_dedup_index(spark, idx_a, through_batch=1) == 1
+    assert content(idx_a) == want
+    assert partitions(idx_a) == [-1, 2, 3]
+    spark.catalog.clearCache()
+
+
+def test_compact_dedup_index_replay_hazard(spark, tmp_path):
+    """The ordering contract's hazard twin (same shape as
+    erasure-vs-replay): compacting a batch the checkpoint has NOT
+    committed, then replaying it, makes the replayed docs screen
+    against their own folded signatures — every one reads as a
+    duplicate of itself and the replay is no longer bit-identical.
+    Pinned so the only-compact-committed-batches contract stays
+    honest."""
+    from real_time_trip_processing_spark.streaming.dedup import (
+        compact_dedup_index,
+        stream_dedup_near_sink,
+    )
+
+    idx = str(tmp_path / "rh_idx")
+    aud = str(tmp_path / "rh_aud")
+    sink = stream_dedup_near_sink(idx, aud, **KW)
+    b0 = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    sink(b0, 0)
+    assert _audit(spark, aud)[0] == (0, 0, True)
+
+    # fold batch 0 BELOW the committed watermark, then replay it
+    assert compact_dedup_index(spark, idx, through_batch=0) == 1
+    sink(b0, 0)
+    # the replayed doc now matches its own folded signature: marked a
+    # corpus duplicate — the exact divergence the contract forbids
+    assert _audit(spark, aud)[0][0] >= 1 and _audit(spark, aud)[0][2] is False
+    spark.catalog.clearCache()
