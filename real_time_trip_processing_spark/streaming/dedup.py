@@ -244,6 +244,195 @@ def _check_batch_id_type(
         )
 
 
+#: Exact-dedup signature-formula version for persisted exact-hash
+#: indexes (`seed_exact_index` / `stream_dedup_exact_sink`): v1 =
+#: sha256 over lower(trim(coalesce(text, ''))) — the `_content_hash`
+#: null-as-empty rule shared with `stream_dedup_incremental` and the
+#: batch `operators/dedup.dedup_incremental`. Bump on any change that
+#: shifts persisted hash values.
+EXACT_SIG_VERSION = 1
+
+
+def _exact_sig_token(id_type: str) -> str:
+    return f"exact/v{EXACT_SIG_VERSION};id={_canonical_id_type(id_type)}"
+
+
+def seed_exact_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Bootstrap an exact-content hash index from an already-ingested
+    corpus so an exact-dedup stream starts screening against it:
+    per-doc ``(doc, text_hash)`` rows land in the reserved
+    ``__batch_id = -1`` partition (stream batch ids start at 0, so the
+    seed is always visible to `stream_dedup_exact_sink`'s
+    own-batch-excluding read). Rows are DOC-keyed — unlike the bare
+    hash set `corpus_hash_index` builds for the transformation-shaped
+    `stream_dedup_incremental` — precisely so the index participates
+    in the per-doc lifecycle the other families have:
+    `delete_docs_from_dedup_index` (GDPR erasure) and
+    `compact_dedup_index` apply unchanged."""
+    token = _exact_sig_token(corpus.schema[id_col].dataType.simpleString())
+    check_sig_format(
+        corpus.sparkSession, index_dir, token, "seed_exact_index",
+        claim_fresh=False,
+    )
+    (
+        corpus.select(
+            F.col(id_col).alias("doc"),
+            _content_hash(text_col).alias("text_hash"),
+        )
+        .withColumn("__batch_id", F.lit(-1))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(index_dir)
+    )
+    write_sig_format(corpus.sparkSession, index_dir, token)
+
+
+def stream_dedup_exact_sink(
+    index_dir: str,
+    audit_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    id_type: str = "long",
+):
+    """Streaming EXACT-content dedup with a SELF-MAINTAINING persisted
+    index — the fourth family member (round 10), completing the
+    symmetry: span, MinHash near-dup and SRP embedding near-dup each
+    have a foreachBatch sink that screens against, and appends to, a
+    ``__batch_id``-partitioned index; exact dedup previously had only
+    the transformation shape (`stream_dedup_incremental`), which
+    screens against a CALLER-managed static snapshot — correct for an
+    in-flight query, but the caller owns index refresh, nothing
+    records per-doc verdicts, and the retained corpus is implicit.
+    This sink is the production ingest screen: each micro-batch's docs
+    are screened against (a) earlier docs of the SAME batch (lowest
+    ``id_col`` per content hash wins — the batch op
+    `dedup_exact_text`'s deterministic rule) and (b) every doc
+    RETAINED by prior batches via the persisted ``(doc, text_hash)``
+    index. The per-doc audit
+    ``(doc, n_corpus_matches, n_prior_batch_matches, kept)`` lands
+    under ``audit_dir``; only KEPT docs join the index.
+
+    Because the index is doc-keyed, the whole per-doc lifecycle
+    applies unchanged: `delete_docs_from_dedup_index` erases a doc's
+    hash row (exact re-uploads of erased content are subsequently
+    ADMITTED — erasure really forgets, same contract and the same
+    purge-source-first replay ordering), and `compact_dedup_index`
+    folds committed batch partitions.
+
+    Exactly-once under replay WITHOUT a ledger — the
+    `stream_dedup_spans_sink` mechanism verbatim: both writes are
+    ``__batch_id``-partitioned with dynamic overwrite and the index
+    read EXCLUDES the running batch's own partition. Format marker:
+    `EXACT_SIG_VERSION` + the id type, asserted per batch.
+
+    Scale shape per batch: ONE hash pass map-side (32-byte keys — the
+    document body never shuffles), one count aggregate on the hash for
+    the within-batch rule, one hash-keyed join against the index; the
+    index ships (doc, 32-byte hash) only. At 100 TB bucket the index
+    parquet on ``text_hash`` for a co-located probe."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_batch_id_type(batch_df, id_col, id_type, "stream_dedup_exact_sink")
+        if batch_df.isEmpty():
+            # emptiness is deterministic from source offsets -> replay
+            # skips identically (streaming_index_append's rule)
+            return
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(index_dir)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        schema = f"doc {id_type}, text_hash string, __batch_id int"
+        token = _exact_sig_token(id_type)
+        if fs.exists(hpath):
+            # explicit existence gate + explicit schema + format marker
+            # (the read_index_cells rule): a genuine read failure or a
+            # stale-formula index must fail the micro-batch, not
+            # silently admit every duplicate as novel
+            check_sig_format(spark, index_dir, token, "seed_exact_index")
+            idx = (
+                spark.read.schema(schema)
+                .parquet(index_dir)
+                .filter(F.col("__batch_id") < int(batch_id))
+                .drop("__batch_id")
+            )
+        else:  # first batch, nothing seeded — stamp the format marker
+            # BEFORE the first index write (crash-then-replay reads a
+            # marked, empty dir)
+            write_sig_format(spark, index_dir, token)
+            idx = spark.createDataFrame([], schema).drop("__batch_id")
+
+        from pyspark.sql import Window as W
+
+        hashed = batch_df.select(
+            F.col(id_col).alias("doc"),
+            _content_hash(text_col).alias("text_hash"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            # within-batch: lower-id-wins — a doc's prior-batch match
+            # count is how many SAME-hash docs precede it in id order
+            rn = F.row_number().over(
+                W.partitionBy("text_hash").orderBy("doc")
+            )
+            within = hashed.withColumn(
+                "n_prior_batch_matches", (rn - F.lit(1)).cast("long")
+            )
+            corpus_hits = (
+                hashed.join(
+                    idx.select(F.col("text_hash").alias("th")),
+                    F.col("text_hash") == F.col("th"),
+                )
+                .groupBy("doc")
+                .agg(F.count(F.lit(1)).alias("n_corpus_matches"))
+            )
+            audit = (
+                within.join(corpus_hits, "doc", "left")
+                .select(
+                    "doc",
+                    "text_hash",
+                    F.coalesce("n_corpus_matches", F.lit(0))
+                    .cast("long")
+                    .alias("n_corpus_matches"),
+                    "n_prior_batch_matches",
+                )
+                .withColumn(
+                    "kept",
+                    (F.col("n_corpus_matches") == 0)
+                    & (F.col("n_prior_batch_matches") == 0),
+                )
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            try:
+                (
+                    audit.drop("text_hash")
+                    .withColumn("__batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(audit_dir)
+                )
+                (
+                    audit.filter("kept")
+                    .select("doc", "text_hash")
+                    .withColumn("__batch_id", F.lit(int(batch_id)))
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("__batch_id")
+                    .parquet(index_dir)
+                )
+            finally:
+                audit.unpersist()
+        finally:
+            hashed.unpersist()
+
+    return apply
+
+
 def seed_span_index(
     corpus: DataFrame,
     index_dir: str,

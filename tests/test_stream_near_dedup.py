@@ -915,3 +915,127 @@ def test_compact_dedup_index_replay_hazard(spark, tmp_path):
     # corpus duplicate — the exact divergence the contract forbids
     assert _audit(spark, aud)[0][0] >= 1 and _audit(spark, aud)[0][2] is False
     spark.catalog.clearCache()
+
+
+# ---- exact-dedup sink: the fourth family member (round 10) -----------
+
+def test_stream_exact_dedup_cross_batch_replay_and_twin(spark, tmp_path):
+    """`stream_dedup_exact_sink` carries the family contract: seeded
+    corpus screens batch 0 (verdicts equal the batch twin
+    dedup_incremental's survivors), lowest id per hash wins within a
+    batch, only kept docs join the index, a replayed batch leaves
+    audit + index row-equal, and the null-as-empty content rule holds
+    (NULL text == '' text — one survivor between them)."""
+    from real_time_trip_processing_spark.operators.dedup import (
+        dedup_incremental,
+    )
+    from real_time_trip_processing_spark.streaming.dedup import (
+        seed_exact_index,
+        stream_dedup_exact_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    )
+    idx_dir = str(tmp_path / "exact_idx")
+    audit_dir = str(tmp_path / "exact_audit")
+    seed_exact_index(corpus, idx_dir)
+    sink = stream_dedup_exact_sink(idx_dir, audit_dir)
+
+    # 10 = exact re-upload of corpus doc 0 (case/space-normalized);
+    # 11 novel; 12/13 exact dups of each other (12 wins);
+    # 14 NULL text and 15 empty text (null-as-empty: 14 wins)
+    b0 = spark.createDataFrame(
+        [(10, "  " + BASE.upper() + " "), (11, NOVEL),
+         (12, "same thing twice"), (13, "same thing twice"),
+         (14, None), (15, "")],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    audit = _audit(spark, audit_dir)
+    assert audit[10][0] >= 1 and audit[10][2] is False   # corpus dup
+    assert audit[11] == (0, 0, True)
+    assert audit[12] == (0, 0, True)
+    assert audit[13] == (0, 1, False)                    # 12 wins
+    assert audit[14] == (0, 0, True)
+    assert audit[15] == (0, 1, False)                    # null == empty
+
+    # verdicts equal the batch twin: dedup_incremental's survivors
+    twin_kept = {
+        r["doc_id"]
+        for r in dedup_incremental(b0, corpus).select("doc_id").collect()
+    }
+    assert twin_kept == {d for d, a in audit.items() if a[2]}
+
+    # only kept docs joined the index (plus the 2 seeded)
+    idx_docs = sorted(
+        r["doc"] for r in spark.read.parquet(idx_dir).collect()
+    )
+    assert idx_docs == [0, 1, 11, 12, 14]
+
+    # cross-batch: a re-upload of retained doc 11 is dropped
+    b1 = spark.createDataFrame([(20, NOVEL)], "doc_id long, text string")
+    sink(b1, 1)
+    assert _audit(spark, audit_dir)[20][2] is False
+
+    # replay batch 1: audit + index row-equal
+    want_audit = _audit(spark, audit_dir)
+    want_index = sorted(
+        tuple(r) for r in spark.read.parquet(idx_dir).collect()
+    )
+    sink(b1, 1)
+    assert _audit(spark, audit_dir) == want_audit
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(idx_dir).collect()
+    ) == want_index
+
+    # empty batch: deterministic skip
+    sink(b0.limit(0), 2)
+    assert _audit(spark, audit_dir) == want_audit
+    spark.catalog.clearCache()
+
+
+def test_stream_exact_dedup_lifecycle_ops_apply(spark, tmp_path):
+    """The doc-keyed index is what buys the lifecycle: GDPR erasure
+    (re-upload of erased content subsequently ADMITTED), committed-
+    batch compaction (future verdicts unchanged), and the format
+    marker (a mis-typed sink refuses at the first batch)."""
+    import pytest
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        compact_dedup_index,
+        delete_docs_from_dedup_index,
+        seed_exact_index,
+        stream_dedup_exact_sink,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    )
+    idx_dir = str(tmp_path / "exact_life_idx")
+    audit_dir = str(tmp_path / "exact_life_audit")
+    seed_exact_index(corpus, idx_dir)
+    sink = stream_dedup_exact_sink(idx_dir, audit_dir)
+
+    # re-upload of doc 0 is screened while 0 is indexed
+    sink(spark.createDataFrame([(10, BASE)], "doc_id long, text string"), 0)
+    assert _audit(spark, audit_dir)[10][2] is False
+
+    # erase doc 0 → a fresh exact re-upload is ADMITTED
+    assert delete_docs_from_dedup_index(spark, idx_dir, [0]) >= 1
+    sink(spark.createDataFrame([(20, BASE)], "doc_id long, text string"), 1)
+    assert _audit(spark, audit_dir)[20] == (0, 0, True)
+
+    # compact committed batches; a later duplicate is still caught
+    n = compact_dedup_index(spark, idx_dir, through_batch=1)
+    assert n >= 1
+    sink(spark.createDataFrame([(30, BASE)], "doc_id long, text string"), 2)
+    assert _audit(spark, audit_dir)[30][2] is False
+
+    # id-type misconfiguration raises at the first batch
+    bad = stream_dedup_exact_sink(
+        str(tmp_path / "x_idx"), str(tmp_path / "x_aud"), id_type="int"
+    )
+    with pytest.raises(ValueError, match="id_type"):
+        bad(spark.createDataFrame([(1, "t")], "doc_id long, text string"), 0)
+    spark.catalog.clearCache()
