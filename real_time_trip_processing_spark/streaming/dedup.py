@@ -85,6 +85,14 @@ def stream_dedup_incremental(
     ``corpus`` builds the hash set inline WITHOUT caching it: correct,
     and leak-free, but the corpus is re-scanned every micro-batch — a
     convenience for bounded availableNow backfills only.
+
+    This is the TRANSFORMATION shape (compose it into a streaming
+    query; the corpus snapshot is the caller's). For the production
+    ingest screen — a sink that also MAINTAINS the retained-corpus
+    index on disk, records per-doc audit verdicts, and participates in
+    GDPR erasure and batch compaction — use `stream_dedup_exact_sink`
+    (round 10), the exact family's member of the span/near/embed sink
+    quartet.
     """
     hashed = stream.withColumn("text_hash", _content_hash(text_col))
     if ts_col is not None:
