@@ -130,6 +130,62 @@ def dedup_incremental(
     return batch_best.join(corpus_hashes, hash_out, "left_anti")
 
 
+def exact_dedup_audit(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X1, audit flavor — the PER-DOC verdict frame `dedup_incremental`
+    throws away: every incoming doc with its
+    ``(doc, n_corpus_matches, n_prior_batch_matches, kept)`` row, the
+    exact semantics `streaming/dedup.stream_dedup_exact_sink` records
+    per micro-batch (this is its DuckDB-oracled batch twin — the drop
+    REPORT a production ingest screen owes its operators, where the
+    survivor frame alone can't answer "why was doc X dropped, and
+    against what?").
+
+    ``n_prior_batch_matches`` counts same-hash batch docs with a LOWER
+    id (the deterministic lowest-id-wins rule); ``n_corpus_matches``
+    counts corpus DOCS sharing the hash (the doc-keyed index ships one
+    row per retained doc, so row count == doc count); ``kept`` iff both
+    are zero — exactly `dedup_incremental`'s survivor set. Same
+    null-as-empty content rule, same scale shape: both sides hash
+    map-side, the window and the count-join shuffle 32-byte keys only.
+    """
+
+    def _h(col):
+        return F.sha2(F.lower(F.trim(F.coalesce(col, F.lit("")))), 256)
+
+    hashed = incoming.select(
+        F.col(id_col).alias("doc"), _h(F.col(text_col)).alias("__th")
+    )
+    rn = F.row_number().over(Window.partitionBy("__th").orderBy("doc"))
+    within = hashed.withColumn(
+        "n_prior_batch_matches", (rn - F.lit(1)).cast("long")
+    )
+    corpus_counts = (
+        corpus.select(_h(F.col(text_col)).alias("__th"))
+        .groupBy("__th")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return (
+        within.join(corpus_counts, "__th", "left")
+        .select(
+            "doc",
+            F.coalesce("__cnt", F.lit(0)).cast("long").alias(
+                "n_corpus_matches"
+            ),
+            "n_prior_batch_matches",
+        )
+        .withColumn(
+            "kept",
+            (F.col("n_corpus_matches") == 0)
+            & (F.col("n_prior_batch_matches") == 0),
+        )
+    )
+
+
 def dedup_spans(
     docs: DataFrame,
     span_words: int = 16,

@@ -405,6 +405,42 @@ def dedup_incremental_q(spark, sf_dir):
 
 
 @declare(
+    "dedup_exact_audit",
+    oracle="""
+    WITH h AS (SELECT doc_id,
+                      sha256(lower(trim(coalesce(text, '')))) AS th
+               FROM documents),
+    b AS (SELECT doc_id, th,
+                 CAST(row_number() OVER (PARTITION BY th ORDER BY doc_id)
+                      - 1 AS BIGINT) AS n_prior_batch_matches
+          FROM h WHERE doc_id % 7 = 0),
+    c AS (SELECT th, COUNT(*) AS cnt FROM h WHERE doc_id % 7 <> 0
+          GROUP BY th)
+    SELECT b.doc_id AS doc,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_corpus_matches,
+           b.n_prior_batch_matches,
+           (coalesce(c.cnt, 0) = 0 AND b.n_prior_batch_matches = 0) AS kept
+    FROM b LEFT JOIN c ON b.th = c.th
+    """,
+)
+def dedup_exact_audit_q(spark, sf_dir):
+    """The per-doc verdict frame of the incremental exact-dedup screen
+    (`operators/dedup.exact_dedup_audit`) — the DuckDB-oracled batch
+    twin of `streaming/dedup.stream_dedup_exact_sink`'s audit output,
+    so the sink's verdict semantics are driver-hash-checked every
+    round, not only test-pinned. Same batch/corpus split as
+    `dedup_incremental` (doc_id % 7); kept rows here == its
+    survivors."""
+    from ..operators.dedup import exact_dedup_audit
+
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup_audit(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+    )
+
+
+@declare(
     "repeated_substrings",
     oracle="""
     WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
