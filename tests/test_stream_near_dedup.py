@@ -1039,3 +1039,92 @@ def test_stream_exact_dedup_lifecycle_ops_apply(spark, tmp_path):
     with pytest.raises(ValueError, match="id_type"):
         bad(spark.createDataFrame([(1, "t")], "doc_id long, text string"), 0)
     spark.catalog.clearCache()
+
+
+def test_compact_dedup_index_property(spark, tmp_path):
+    """Property (hypothesis): for RANDOM docs (tiny content domain →
+    lots of collisions), any batch split and any committed watermark,
+    compaction leaves the index content-identical to an untouched twin
+    and a subsequent probe batch's verdicts identical — the
+    read-equivalence contract under randomized structure, not just the
+    hand-built cases."""
+    import itertools
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        compact_dedup_index,
+        stream_dedup_exact_sink,
+    )
+
+    counter = itertools.count()
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        contents=st.lists(
+            st.integers(min_value=0, max_value=4), min_size=1, max_size=14
+        ),
+        n_batches=st.integers(min_value=1, max_value=3),
+        through=st.integers(min_value=0, max_value=2),
+        probe_contents=st.lists(
+            st.integers(min_value=0, max_value=4), min_size=1, max_size=4
+        ),
+    )
+    def prop(contents, n_batches, through, probe_contents):
+        tag = next(counter)
+        docs = [
+            (i, f"content {c} " + "w " * 6) for i, c in enumerate(contents)
+        ]
+        batches = [
+            [d for j, d in enumerate(docs) if j % n_batches == b]
+            for b in range(n_batches)
+        ]
+        through_b = min(through, n_batches - 1)
+
+        def drive(side):
+            idx = str(tmp_path / f"p{tag}_{side}_idx")
+            aud = str(tmp_path / f"p{tag}_{side}_aud")
+            sink = stream_dedup_exact_sink(idx, aud)
+            for bid, rows in enumerate(batches):
+                if rows:
+                    sink(
+                        spark.createDataFrame(
+                            rows, "doc_id long, text string"
+                        ),
+                        bid,
+                    )
+            return idx, aud, sink
+
+        idx_a, aud_a, sink_a = drive("a")
+        idx_b, aud_b, sink_b = drive("b")
+        compact_dedup_index(spark, idx_a, through_batch=through_b)
+
+        def content(idx):
+            try:
+                return sorted(
+                    (r["doc"], r["text_hash"])
+                    for r in spark.read.parquet(idx).collect()
+                )
+            except Exception:  # all batches empty — no index dir
+                return []
+
+        assert content(idx_a) == content(idx_b)
+
+        probe = spark.createDataFrame(
+            [(1000 + i, f"content {c} " + "w " * 6)
+             for i, c in enumerate(probe_contents)],
+            "doc_id long, text string",
+        )
+        sink_a(probe, n_batches)
+        sink_b(probe, n_batches)
+        pa = {k: v for k, v in _audit(spark, aud_a).items() if k >= 1000}
+        pb = {k: v for k, v in _audit(spark, aud_b).items() if k >= 1000}
+        assert pa == pb
+        assert content(idx_a) == content(idx_b)
+
+    prop()
+    spark.catalog.clearCache()
