@@ -1193,3 +1193,53 @@ def compact_dedup_index(
             fs.delete(path, True)
         fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
         return len(folded)
+
+
+def dedup_index_stats(spark, index_dir: str) -> dict:
+    """FS-level health report for a ``__batch_id``-partitioned dedup
+    index — the inputs to the lifecycle decisions this module's ops
+    act on (round 10): WHEN to `compact_dedup_index` (partition and
+    file counts are the stream-age cost), what format the index is
+    (the ``_SIG_FORMAT`` token, or None for a pre-marker/foreign dir —
+    the state `check_sig_format` would refuse), and the batch-id
+    extent (``max_batch_id`` is the ceiling for a committed-watermark
+    compaction; ``-1`` in ``min_batch_id`` means a seed is present).
+
+    Deliberately FS-only — no data scan, no row counts: at 100 TB the
+    health check must cost a listing, not a job. Returns::
+
+        {exists, format, n_partitions, min_batch_id, max_batch_id,
+         n_files, bytes}
+
+    with None extents for an empty/partition-less dir."""
+    from ..fsio import _fs_path
+
+    fs, root, _jvm = _fs_path(spark, index_dir)
+    if not fs.exists(root):
+        return {"exists": False, "format": None, "n_partitions": 0,
+                "min_batch_id": None, "max_batch_id": None,
+                "n_files": 0, "bytes": 0}
+    bids: list[int] = []
+    n_files = 0
+    n_bytes = 0
+    stack = [root]
+    while stack:
+        for st in fs.listStatus(stack.pop()):
+            name = str(st.getPath().getName())
+            if st.isDirectory():
+                if name.startswith("__batch_id="):
+                    bids.append(int(name.split("=", 1)[1]))
+                stack.append(st.getPath())
+            else:
+                n_files += 1
+                n_bytes += int(st.getLen())
+    token = fs_read_text(spark, _sig_marker_path(index_dir))
+    return {
+        "exists": True,
+        "format": token.strip() if token is not None else None,
+        "n_partitions": len(bids),
+        "min_batch_id": min(bids) if bids else None,
+        "max_batch_id": max(bids) if bids else None,
+        "n_files": n_files,
+        "bytes": n_bytes,
+    }

@@ -1128,3 +1128,53 @@ def test_compact_dedup_index_property(spark, tmp_path):
 
     prop()
     spark.catalog.clearCache()
+
+
+def test_dedup_index_stats(spark, tmp_path):
+    """FS-only health report: format token, partition extent (the
+    committed-watermark ceiling for compaction), file/byte counts —
+    and the shapes the lifecycle transitions produce (absent dir,
+    seeded, streamed, compacted)."""
+    from real_time_trip_processing_spark.streaming.dedup import (
+        compact_dedup_index,
+        dedup_index_stats,
+        seed_minhash_index,
+        stream_dedup_near_sink,
+    )
+
+    idx = str(tmp_path / "stats_idx")
+    s0 = dedup_index_stats(spark, idx)
+    assert s0 == {"exists": False, "format": None, "n_partitions": 0,
+                  "min_batch_id": None, "max_batch_id": None,
+                  "n_files": 0, "bytes": 0}
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, OTHER)], "doc_id long, text string"
+    )
+    seed_minhash_index(corpus, idx, n=3, num_perm=32)
+    s1 = dedup_index_stats(spark, idx)
+    assert s1["exists"] and s1["format"].startswith("minhash/v")
+    assert (s1["min_batch_id"], s1["max_batch_id"]) == (-1, -1)
+    assert s1["n_files"] > 0 and s1["bytes"] > 0
+
+    sink = stream_dedup_near_sink(idx, str(tmp_path / "stats_aud"), **KW)
+    for b in range(3):
+        sink(
+            spark.createDataFrame(
+                [(10 + b, f"batch {b} " + " ".join(f"q{b}{i}" for i in range(18)))],
+                "doc_id long, text string",
+            ),
+            b,
+        )
+    s2 = dedup_index_stats(spark, idx)
+    assert s2["n_partitions"] == 4  # -1 plus batches 0..2
+    assert (s2["min_batch_id"], s2["max_batch_id"]) == (-1, 2)
+    assert s2["n_files"] > s1["n_files"]
+
+    compact_dedup_index(spark, idx, through_batch=s2["max_batch_id"])
+    s3 = dedup_index_stats(spark, idx)
+    assert s3["n_partitions"] == 1
+    assert (s3["min_batch_id"], s3["max_batch_id"]) == (-1, -1)
+    assert s3["n_files"] < s2["n_files"]
+    assert s3["format"] == s2["format"]  # marker untouched
+    spark.catalog.clearCache()
