@@ -8,6 +8,18 @@ stream (32-byte state keys, never document bodies); the corpus side is
 a static hash index (at 100 TB: the persisted, bucketed index of prior
 ingests, refreshed per ingest cycle); the stream-static anti-join
 probes it without shuffling the stream.
+
+Writer contract for the ``__batch_id``-partitioned index sinks (exact /
+span / near / embed): ONE checkpointed stream per index dir. The
+exactly-once mechanism is the checkpoint's batch-id sequence — two
+streams would collide on partition ids and each would screen against
+the other's half-written state. The maintenance ops
+(`delete_docs_from_dedup_index`, `compact_dedup_index`,
+`rebuild_span_index_after_purge`) serialize against EACH OTHER via the
+index dir's single-writer lock, but the sinks do not take it (a
+per-batch lock would put a lease round-trip in the hot path for a
+writer that is already unique by contract) — so stop the stream before
+running them, as each op's docstring states.
 """
 
 from __future__ import annotations
