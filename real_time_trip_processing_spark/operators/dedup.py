@@ -80,6 +80,24 @@ def dedup_priority(
     )
 
 
+def normalized_content_hash(col):
+    """THE normalized exact-content formula — the single definition the
+    whole exact family shares (round 10, from review: three independent
+    copies of this expression is exactly the formula-drift hazard the
+    ``EXACT_SIG_VERSION`` marker exists to catch; one definition makes
+    the version label true). sha256 over lower(trim(coalesce(col, ''))):
+    NULL hashes as empty content so window grouping and join matching
+    answer "same content?" identically (see dedup_incremental's
+    docstring for why a raw sha2(NULL)=NULL key diverges). Used by
+    `dedup_incremental`, `exact_dedup_audit`, and the streaming module's
+    `_content_hash` / `stream_dedup_exact_sink`. Bump EXACT_SIG_VERSION
+    (streaming/dedup.py) on ANY change here — persisted exact indexes
+    carry it. (`dedup_exact_text`/`dedup_priority` keep their own
+    coalesce-free hash: it is a declared OUTPUT column with oracle
+    parity pinned to the raw formula.)"""
+    return F.sha2(F.lower(F.trim(F.coalesce(col, F.lit("")))), 256)
+
+
 def dedup_incremental(
     incoming: DataFrame,
     corpus: DataFrame,
@@ -112,8 +130,7 @@ def dedup_incremental(
     streaming/dedup.stream_dedup_incremental).
     """
 
-    def _h(col):
-        return F.sha2(F.lower(F.trim(F.coalesce(col, F.lit("")))), 256)
+    _h = normalized_content_hash
 
     hashed = incoming.withColumn(hash_out, _h(F.col(text_col)))
     w = Window.partitionBy(hash_out)
@@ -154,8 +171,7 @@ def exact_dedup_audit(
     map-side, the window and the count-join shuffle 32-byte keys only.
     """
 
-    def _h(col):
-        return F.sha2(F.lower(F.trim(F.coalesce(col, F.lit("")))), 256)
+    _h = normalized_content_hash
 
     hashed = incoming.select(
         F.col(id_col).alias("doc"), _h(F.col(text_col)).alias("__th")

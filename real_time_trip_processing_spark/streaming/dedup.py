@@ -31,10 +31,14 @@ from ..fsio import fs_read_text, fs_write_text
 
 
 def _content_hash(text_col: str):
-    # coalesce NULL text to '' — same null-as-empty-content rule as the
-    # batch dedup_incremental, so within-stream dedup state and the
-    # corpus anti-join answer content equality consistently
-    return F.sha2(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), 256)
+    # THE shared exact-family formula (operators/dedup: one definition,
+    # round-10 review — independent copies are the formula-drift hazard
+    # EXACT_SIG_VERSION exists to catch). NULL coalesces to '' so
+    # within-stream dedup state and the corpus anti-join answer content
+    # equality consistently.
+    from ..operators.dedup import normalized_content_hash
+
+    return normalized_content_hash(F.col(text_col))
 
 
 def corpus_hash_index(
@@ -1125,9 +1129,17 @@ def compact_dedup_index(
     instead of index size. This folds every partition with
     ``-1 <= __batch_id <= through_batch`` into a single rewritten
     ``__batch_id = -1`` partition and drops the folded originals.
-    Applies to all three index shapes (MinHash ``doc``-keyed, SRP
-    ``vid``-keyed, span-hash) and to the audit dirs — the op is
-    schema-agnostic (it moves whole rows).
+    Applies to the INDEX shapes (exact ``(doc, text_hash)``, MinHash
+    ``doc``-keyed, SRP ``vid``-keyed, span-hash) — their rows are
+    unique by construction (only novel docs join; a re-delivered
+    duplicate matches the corpus and never re-inserts), so the
+    crash-heal ``dropDuplicates`` in the fold only ever removes
+    crash copies. Do NOT point it at the AUDIT dirs (round-10 review):
+    audit rows are per-batch EVENTS, and identical verdict rows from
+    different batches (the same doc re-streamed and re-screened) are
+    legitimate history that the fold's dedup would merge — for audit
+    small-files use `operators.maintenance.compact_parquet_dir`, the
+    row-preserving rewrite.
 
     Read-equivalence: the sinks' own-batch-excluding read is
     ``__batch_id < current_batch``, and every folded row moves to
@@ -1214,11 +1226,25 @@ def dedup_index_stats(spark, index_dir: str) -> dict:
     file counts are the stream-age cost), what format the index is
     (the ``_SIG_FORMAT`` token, or None for a pre-marker/foreign dir —
     the state `check_sig_format` would refuse), and the batch-id
-    extent (``max_batch_id`` is the ceiling for a committed-watermark
-    compaction; ``-1`` in ``min_batch_id`` means a seed is present).
+    extent (``-1`` in ``min_batch_id`` means a seed is present).
 
-    Deliberately FS-only — no data scan, no row counts: at 100 TB the
-    health check must cost a listing, not a job. Returns::
+    ``max_batch_id`` is an FS OBSERVATION, not checkpoint commitment
+    (round-10 review): a stream stopped between its foreachBatch write
+    and its checkpoint commit leaves a partition whose batch WILL
+    replay on restart — compacting through it triggers exactly the
+    self-screen divergence `test_compact_dedup_index_replay_hazard`
+    pins. The compaction watermark must come from the stream's own
+    CHECKPOINT (its committed offset log); use this value only as the
+    upper bound / diagnostic it is.
+
+    The report sees the index the way READERS do: ``_``/``.``-prefixed
+    names are skipped (the parquet hidden-file rule), so committer
+    debris (``_temporary``, ``.spark-staging-*``) and lock/marker files
+    never inflate partitions, files or bytes — a crashed write cannot
+    make the extent claim batches that never committed. Deliberately
+    FS-only — no data scan, no row counts: at 100 TB the health check
+    must cost a listing, not a job. Partition ids are read from ROOT
+    children only (the layout's one partition level). Returns::
 
         {exists, format, n_partitions, min_batch_id, max_batch_id,
          n_files, bytes}
@@ -1231,20 +1257,36 @@ def dedup_index_stats(spark, index_dir: str) -> dict:
         return {"exists": False, "format": None, "n_partitions": 0,
                 "min_batch_id": None, "max_batch_id": None,
                 "n_files": 0, "bytes": 0}
+    def hidden(name: str) -> bool:
+        # Spark's listing rule: names starting with _ or . are invisible
+        # to readers UNLESS they contain '=' (partition dirs like
+        # __batch_id=0 must survive the rule) — replicated here so the
+        # report counts exactly what a reader would scan
+        return name.startswith(("_", ".")) and "=" not in name
+
     bids: list[int] = []
     n_files = 0
     n_bytes = 0
-    stack = [root]
-    while stack:
-        for st in fs.listStatus(stack.pop()):
-            name = str(st.getPath().getName())
-            if st.isDirectory():
-                if name.startswith("__batch_id="):
-                    bids.append(int(name.split("=", 1)[1]))
-                stack.append(st.getPath())
-            else:
-                n_files += 1
-                n_bytes += int(st.getLen())
+    for st in fs.listStatus(root):
+        name = str(st.getPath().getName())
+        if hidden(name):
+            continue  # debris (_temporary, .spark-staging-*), locks, marker
+        if st.isDirectory():
+            if name.startswith("__batch_id="):
+                bids.append(int(name.split("=", 1)[1]))
+            stack = [st.getPath()]
+            while stack:
+                for sub in fs.listStatus(stack.pop()):
+                    if hidden(str(sub.getPath().getName())):
+                        continue
+                    if sub.isDirectory():
+                        stack.append(sub.getPath())
+                    else:
+                        n_files += 1
+                        n_bytes += int(sub.getLen())
+        else:
+            n_files += 1
+            n_bytes += int(st.getLen())
     token = fs_read_text(spark, _sig_marker_path(index_dir))
     return {
         "exists": True,

@@ -1171,6 +1171,20 @@ def test_dedup_index_stats(spark, tmp_path):
     assert (s2["min_batch_id"], s2["max_batch_id"]) == (-1, 2)
     assert s2["n_files"] > s1["n_files"]
 
+    # committer debris must NOT inflate the report (round-10 review:
+    # a crashed in-flight write leaves _temporary/.../__batch_id=K
+    # whose batch never committed — the report sees the index the way
+    # readers do, hidden-prefix names skipped unless they contain '=')
+    import os as _os
+
+    debris = _os.path.join(idx, "_temporary", "0", "__batch_id=99")
+    _os.makedirs(debris)
+    with open(_os.path.join(debris, "part-stale.parquet"), "wb") as f:
+        f.write(b"debris")
+    s2b = dedup_index_stats(spark, idx)
+    assert s2b["max_batch_id"] == 2 and s2b["n_partitions"] == 4
+    assert s2b["n_files"] == s2["n_files"]
+
     compact_dedup_index(spark, idx, through_batch=s2["max_batch_id"])
     s3 = dedup_index_stats(spark, idx)
     assert s3["n_partitions"] == 1

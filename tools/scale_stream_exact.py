@@ -106,10 +106,14 @@ def main() -> None:
     res["audit_rows"] = audit.count()
     res["kept"] = audit.filter("kept").count()
 
-    # planted-duplicate recall: exact hashing — 1.0, no tail
+    # planted-duplicate recall: exact hashing — 1.0, no tail. The audit
+    # holds ONLY streamed docs, so no >= half clause is needed (review:
+    # a strict > silently excluded the boundary pair when half itself
+    # is a planted dup — its partner half-1 is corpus-side, which the
+    # vs_corpus branch below handles)
     a = audit.select(F.col("doc").alias("doc_id"), "kept")
     planted = a.filter(
-        (F.col("doc_id") % 19 == 7) & (F.col("doc_id") > half)
+        F.col("doc_id") % 19 == 7
     ).select(F.col("doc_id"), F.col("kept").alias("kept_g"))
     # the pair partner g-1: streamed (join audit) or corpus (< half)
     partner_stream = a.select(
