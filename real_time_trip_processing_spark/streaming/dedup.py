@@ -828,7 +828,14 @@ def rebuild_span_index_after_purge(
     seed partition. STOP any running span-dedup stream first (the
     foreachBatch sink does not take this lock; its next batch then
     resumes against the rebuilt index, which the own-batch-excluding
-    read handles — ``-1`` precedes every batch id)."""
+    read handles — ``-1`` precedes every batch id). That convention is
+    fail-fast-backed (round-10 ADVICE): after the re-seed, the window
+    re-lists the partition level, and any ``__batch_id >= 0`` partition
+    — impossible unless a live sink wrote DURING the rebuild, since the
+    window starts by deleting everything — raises loudly. Best effort
+    (a batch can still land after the check), but the common misuse is
+    a running stream throughout, which this catches; recovery is
+    stated in the error: stop the stream, re-run the rebuild."""
     from ..fsio import _fs_path
     from ..operators.maintenance import _lake_write_lock
 
@@ -845,6 +852,23 @@ def rebuild_span_index_after_purge(
                     continue
                 fs.delete(st.getPath(), True)
         seed_span_index(corpus, index_dir, span_words, id_col, text_col)
+        streamed = sorted(
+            int(str(st.getPath().getName()).split("=", 1)[1])
+            for st in fs.listStatus(p)
+            if st.isDirectory()
+            and str(st.getPath().getName()).startswith("__batch_id=")
+            and int(str(st.getPath().getName()).split("=", 1)[1]) >= 0
+        )
+        if streamed:
+            raise RuntimeError(
+                f"{index_dir}: streamed partitions __batch_id="
+                f"{streamed} appeared DURING the rebuild window — a "
+                f"span-dedup stream is still running (its foreachBatch "
+                f"sink takes no lock), and its batches screened "
+                f"against a partially-rebuilt index. Stop the stream "
+                f"and re-run rebuild_span_index_after_purge; the "
+                f"rebuild is idempotent over the purged lake."
+            )
 
 
 def seed_srp_index(
@@ -1172,17 +1196,58 @@ def compact_dedup_index(
     are idempotent. Single-writer locked for the whole window (the
     erasure's `_lake_write_lock` on the index dir); the ``_SIG_FORMAT``
     marker is a root file and is never touched. STOP the stream first,
-    same as `rebuild_span_index_after_purge`.
+    same as `rebuild_span_index_after_purge` — and (round-10 ADVICE)
+    that convention is now backed by a fail-fast: the ``__batch_id``
+    partition set is snapshotted at entry and re-listed after the
+    staging write, and any change (a sink batch landing, a replay
+    rewriting) aborts BEFORE the reader-visible index is touched —
+    staging deleted, RuntimeError raised, index bit-untouched. Best
+    effort by nature (a batch can still land between the check and the
+    commit — the foreachBatch sinks take no lock), but it converts the
+    common stream-still-running misuse from silent divergence into a
+    loud abort. Also refused up front: an index holding parquet data
+    but no ``_SIG_FORMAT`` marker (pre-marker or foreign-written — the
+    same unverifiable state `check_sig_format` refuses; folding it
+    would launder unverifiable rows into the seed partition that later
+    reads still refuse anyway).
 
     Returns the number of partitions folded away (0 = nothing to do).
     """
-    from ..fsio import _fs_path
+    from ..fsio import _fs_path, fs_count_files
     from ..operators.maintenance import _lake_write_lock
 
     with _lake_write_lock(index_dir, spark):
         fs, root, jvm = _fs_path(spark, index_dir)
         if not fs.exists(root):
             return 0
+        if fs_read_text(spark, _sig_marker_path(index_dir)) is None and \
+                fs_count_files(spark, index_dir, suffix=".parquet") > 0:
+            raise ValueError(
+                f"{index_dir}: refusing to compact — the index holds "
+                f"parquet data but no {SIG_MARKER_NAME} marker, so its "
+                f"signature formula cannot be verified (pre-marker or "
+                f"foreign-written; the sinks' check_sig_format refuses "
+                f"the same state at read time). Delete and rebuild the "
+                f"index with its seed function instead of compacting it."
+            )
+        staging = index_dir.rstrip("/") + "/_compact_staging"
+        staging_p = jvm.org.apache.hadoop.fs.Path(staging)
+        # a crash after step (3) (originals deleted) but before (4)
+        # leaves stale staging that the not-folded early exit below
+        # would otherwise never reclaim (round-10 ADVICE) — clear it
+        # first; it is always re-derivable from the live partitions
+        if fs.exists(staging_p):
+            fs.delete(staging_p, True)
+
+        def bid_set() -> set:
+            return {
+                int(str(st.getPath().getName()).split("=", 1)[1])
+                for st in fs.listStatus(root)
+                if st.isDirectory()
+                and str(st.getPath().getName()).startswith("__batch_id=")
+            }
+
+        entry_bids = bid_set()
         folded = []
         for st in fs.listStatus(root):
             name = str(st.getPath().getName())
@@ -1193,7 +1258,6 @@ def compact_dedup_index(
                 folded.append((bid, st.getPath()))
         if not folded:
             return 0
-        staging = index_dir.rstrip("/") + "/_compact_staging"
         # one partition-pruned read of the fold window into staging;
         # dropDuplicates makes a crashed previous fold converge
         # instead of doubling rows
@@ -1205,6 +1269,20 @@ def compact_dedup_index(
             .write.mode("overwrite")
             .parquet(staging)
         )
+        # fail-fast on the stop-the-stream-first contract: the staging
+        # read is the window where a live stream's write (or a replay)
+        # can diverge from what the fold captured — abort pre-commit,
+        # index untouched
+        if bid_set() != entry_bids:
+            fs.delete(staging_p, True)
+            raise RuntimeError(
+                f"{index_dir}: __batch_id partition set changed while "
+                f"compacting ({sorted(entry_bids)} -> "
+                f"{sorted(bid_set())}) — a stream is still writing "
+                f"this index. compact_dedup_index requires the stream "
+                f"stopped (its foreachBatch sink takes no lock); the "
+                f"index is untouched — stop the stream and re-run."
+            )
         (
             spark.read.parquet(staging)
             .withColumn("__batch_id", F.lit(-1))
@@ -1215,7 +1293,7 @@ def compact_dedup_index(
         )
         for _bid, path in folded:
             fs.delete(path, True)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        fs.delete(staging_p, True)
         return len(folded)
 
 
@@ -1258,11 +1336,15 @@ def dedup_index_stats(spark, index_dir: str) -> dict:
                 "min_batch_id": None, "max_batch_id": None,
                 "n_files": 0, "bytes": 0}
     def hidden(name: str) -> bool:
-        # Spark's listing rule: names starting with _ or . are invisible
-        # to readers UNLESS they contain '=' (partition dirs like
-        # __batch_id=0 must survive the rule) — replicated here so the
-        # report counts exactly what a reader would scan
-        return name.startswith(("_", ".")) and "=" not in name
+        # Spark's listing rule (shouldFilterOutPathName), replicated so
+        # the report counts exactly what a reader would scan: '.'-
+        # prefixed names are hidden UNCONDITIONALLY; the '=' carve-out
+        # (partition dirs like __batch_id=0 must survive) applies only
+        # to the '_' prefix (round-10 ADVICE — a '.x=y' entry is
+        # reader-invisible and must not count here either)
+        return name.startswith(".") or (
+            name.startswith("_") and "=" not in name
+        )
 
     bids: list[int] = []
     n_files = 0

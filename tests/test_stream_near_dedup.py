@@ -1192,3 +1192,217 @@ def test_dedup_index_stats(spark, tmp_path):
     assert s3["n_files"] < s2["n_files"]
     assert s3["format"] == s2["format"]  # marker untouched
     spark.catalog.clearCache()
+
+
+def test_dedup_index_stats_dot_prefixed_eq_name_hidden(spark, tmp_path):
+    """Round-10 ADVICE: Spark's shouldFilterOutPathName hides '.'-
+    prefixed paths UNCONDITIONALLY — the '=' carve-out applies only to
+    '_'. A '.x=y' entry is therefore reader-invisible and must not
+    count toward files/bytes (and its '=' must not parse as a
+    partition)."""
+    import os as _os
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        dedup_index_stats,
+        seed_minhash_index,
+    )
+
+    idx = str(tmp_path / "dot_idx")
+    seed_minhash_index(
+        spark.createDataFrame([(0, BASE)], "doc_id long, text string"),
+        idx, n=3, num_perm=32,
+    )
+    s_before = dedup_index_stats(spark, idx)
+
+    dot = _os.path.join(idx, ".x=y")
+    _os.makedirs(dot)
+    with open(_os.path.join(dot, "part-junk.parquet"), "wb") as f:
+        f.write(b"reader-invisible")
+    s_after = dedup_index_stats(spark, idx)
+    assert s_after == s_before  # counts, extent, bytes all unchanged
+    spark.catalog.clearCache()
+
+
+def test_compact_dedup_index_refuses_concurrent_writer(spark, tmp_path):
+    """Round-10 ADVICE fail-fast on the stop-the-stream-first contract:
+    a __batch_id partition landing between the entry snapshot and the
+    commit (here: planted right after the staging write completes)
+    aborts the compaction BEFORE the reader-visible index is touched —
+    RuntimeError, staging deleted, every original partition intact."""
+    import os as _os
+
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        compact_dedup_index,
+        seed_minhash_index,
+        stream_dedup_near_sink,
+    )
+
+    idx = str(tmp_path / "cw_idx")
+    seed_minhash_index(
+        spark.createDataFrame(
+            [(0, BASE), (1, OTHER)], "doc_id long, text string"
+        ),
+        idx, n=3, num_perm=32,
+    )
+    sink = stream_dedup_near_sink(idx, str(tmp_path / "cw_aud"), **KW)
+    sink(spark.createDataFrame([(10, NOVEL)], "doc_id long, text string"), 0)
+    sink(
+        spark.createDataFrame(
+            [(20, " ".join(f"cw{i}" for i in range(20)))],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+
+    def partitions():
+        return sorted(
+            int(d.split("=")[1])
+            for d in _os.listdir(idx)
+            if d.startswith("__batch_id=")
+        )
+
+    rows_before = _index_rows(spark, idx)
+    real_parquet = DataFrameWriter.parquet
+
+    def parquet_then_concurrent_batch(self, path, *a, **kw):
+        out = real_parquet(self, path, *a, **kw)
+        if str(path).endswith("_compact_staging"):
+            # the "live stream": a new batch partition appears while
+            # the fold window is mid-flight
+            _os.makedirs(_os.path.join(idx, "__batch_id=2"), exist_ok=True)
+        return out
+
+    DataFrameWriter.parquet = parquet_then_concurrent_batch
+    try:
+        with pytest.raises(RuntimeError, match="stream is still writing"):
+            compact_dedup_index(spark, idx, through_batch=1)
+    finally:
+        DataFrameWriter.parquet = real_parquet
+
+    # aborted pre-commit: originals intact, no staging, rows untouched
+    assert partitions() == [-1, 0, 1, 2]
+    assert not _os.path.exists(_os.path.join(idx, "_compact_staging"))
+    _os.rmdir(_os.path.join(idx, "__batch_id=2"))
+    assert _index_rows(spark, idx) == rows_before
+    # with the "stream" stopped, the re-run proceeds normally
+    assert compact_dedup_index(spark, idx, through_batch=1) == 2
+    assert partitions() == [-1]
+    spark.catalog.clearCache()
+
+
+def test_compact_dedup_index_cleans_stale_staging(spark, tmp_path):
+    """Round-10 ADVICE: a crash after the originals are deleted but
+    before the staging delete leaves _compact_staging behind, and the
+    re-run's nothing-to-fold early exit would never reclaim it — the
+    entry sweep now does, on both the fold path and the early exit."""
+    import os as _os
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        compact_dedup_index,
+        dedup_index_stats,
+        seed_minhash_index,
+    )
+
+    idx = str(tmp_path / "ss_idx")
+    seed_minhash_index(
+        spark.createDataFrame([(0, BASE)], "doc_id long, text string"),
+        idx, n=3, num_perm=32,
+    )
+    # the crash residue: fold window already deleted, staging left
+    stale = _os.path.join(idx, "_compact_staging")
+    _os.makedirs(stale)
+    with open(_os.path.join(stale, "part-crash.parquet"), "wb") as f:
+        f.write(b"stale fold window")
+
+    # seed-only index -> nothing to fold -> early exit, but the stale
+    # staging is reclaimed instead of leaking forever
+    assert compact_dedup_index(spark, idx, through_batch=10) == 0
+    assert not _os.path.exists(stale)
+    assert dedup_index_stats(spark, idx)["n_partitions"] == 1
+    spark.catalog.clearCache()
+
+
+def test_compact_dedup_index_refuses_unmarked_index(spark, tmp_path):
+    """Round-10 ADVICE: compacting an index that holds parquet data but
+    no _SIG_FORMAT marker (pre-marker or foreign-written — the state
+    check_sig_format refuses at read time) refuses up front instead of
+    folding unverifiable rows and letting the failure surface later at
+    the sink's read."""
+    import os as _os
+
+    import pytest
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        SIG_MARKER_NAME,
+        compact_dedup_index,
+        seed_minhash_index,
+    )
+
+    idx = str(tmp_path / "um_idx")
+    seed_minhash_index(
+        spark.createDataFrame([(0, BASE)], "doc_id long, text string"),
+        idx, n=3, num_perm=32,
+    )
+    _os.remove(_os.path.join(idx, SIG_MARKER_NAME))  # the foreign index
+    with pytest.raises(ValueError, match="no _SIG_FORMAT marker"):
+        compact_dedup_index(spark, idx, through_batch=10)
+
+    # data-less dirs stay a quiet no-op (nothing unverifiable exists)
+    empty = str(tmp_path / "um_empty")
+    _os.makedirs(empty)
+    assert compact_dedup_index(spark, empty, through_batch=10) == 0
+    spark.catalog.clearCache()
+
+
+def test_rebuild_span_index_detects_concurrent_writer(spark, tmp_path):
+    """Round-10 ADVICE fail-fast for the rebuild window: a streamed
+    partition appearing DURING rebuild_span_index_after_purge (the
+    window starts by deleting everything, so any __batch_id >= 0 at
+    the end is by definition a concurrent sink write) raises loudly
+    instead of leaving the divergence for the next read to find."""
+    import pytest
+
+    import real_time_trip_processing_spark.streaming.dedup as sdd
+
+    lake = str(tmp_path / "cwr_lake")
+    spark.createDataFrame(
+        [(0, " ".join(f"s{i}" for i in range(16)), 1)],
+        "doc_id long, text string, day int",
+    ).write.partitionBy("day").parquet(lake)
+
+    idx = str(tmp_path / "cwr_idx")
+    sdd.seed_span_index(
+        spark.createDataFrame(
+            [(0, " ".join(f"s{i}" for i in range(16)))],
+            "doc_id long, text string",
+        ),
+        idx, span_words=16,
+    )
+
+    real_seed = sdd.seed_span_index
+
+    def seed_then_concurrent_batch(*a, **kw):
+        out = real_seed(*a, **kw)
+        # the "live stream": a sink batch lands inside the window
+        import os as _os
+
+        _os.makedirs(_os.path.join(idx, "__batch_id=0"), exist_ok=True)
+        return out
+
+    sdd.seed_span_index = seed_then_concurrent_batch
+    try:
+        with pytest.raises(RuntimeError, match="DURING the rebuild"):
+            sdd.rebuild_span_index_after_purge(spark, lake, idx, span_words=16)
+    finally:
+        sdd.seed_span_index = real_seed
+
+    # stream "stopped" (partition removed): idempotent re-run succeeds
+    import os as _os
+
+    _os.rmdir(_os.path.join(idx, "__batch_id=0"))
+    sdd.rebuild_span_index_after_purge(spark, lake, idx, span_words=16)
+    assert spark.read.parquet(idx).count() >= 1
+    spark.catalog.clearCache()
