@@ -1297,6 +1297,34 @@ def compact_dedup_index(
         return len(folded)
 
 
+def compact_dedup_index_committed(
+    spark,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> int:
+    """`compact_dedup_index` with the watermark taken from the place
+    the ordering contract demands: the stream's OWN checkpoint
+    (``sinks.stream_committed_watermark`` — max id in the checkpoint's
+    ``commits/`` log, which Spark never replays below). This closes
+    the gap `dedup_index_stats` documents: its ``max_batch_id`` is an
+    FS observation that may include a written-but-uncommitted batch
+    whose replay after folding triggers the self-screen divergence
+    `test_compact_dedup_index_replay_hazard` pins; the commit log
+    cannot. Pass the SAME ``checkpointLocation`` the sink's query
+    uses. No-op (0) when nothing has committed yet.
+
+    Still run it with the stream stopped: the committed watermark
+    makes the fold REPLAY-safe, but a concurrently running batch can
+    race the listing/rewrite itself — the partition-set fail-fast in
+    `compact_dedup_index` aborts loudly if that happens."""
+    from .sinks import stream_committed_watermark
+
+    committed = stream_committed_watermark(spark, checkpoint_dir)
+    if committed is None:
+        return 0
+    return compact_dedup_index(spark, index_dir, through_batch=committed)
+
+
 def dedup_index_stats(spark, index_dir: str) -> dict:
     """FS-level health report for a ``__batch_id``-partitioned dedup
     index — the inputs to the lifecycle decisions this module's ops
@@ -1312,8 +1340,9 @@ def dedup_index_stats(spark, index_dir: str) -> dict:
     replay on restart — compacting through it triggers exactly the
     self-screen divergence `test_compact_dedup_index_replay_hazard`
     pins. The compaction watermark must come from the stream's own
-    CHECKPOINT (its committed offset log); use this value only as the
-    upper bound / diagnostic it is.
+    CHECKPOINT — `sinks.stream_committed_watermark` reads it, and
+    `compact_dedup_index_committed` wires the two together; use this
+    value only as the upper bound / diagnostic it is.
 
     The report sees the index the way READERS do: ``_``/``.``-prefixed
     names are skipped (the parquet hidden-file rule), so committer

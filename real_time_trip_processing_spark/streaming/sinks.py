@@ -174,3 +174,44 @@ def write_kafka(
                 "classpath (not available in this environment)"
             ) from e
         raise
+
+
+def stream_committed_watermark(spark, checkpoint_dir: str) -> int | None:
+    """The batch id through which a structured-streaming query's
+    checkpoint has COMMITTED — the safe watermark the dedup-index
+    lifecycle ops require (``streaming.dedup.compact_dedup_index``'s
+    ordering contract says "only compact batches the stream's
+    CHECKPOINT has committed" and `dedup_index_stats` warns that its
+    ``max_batch_id`` is an FS observation, not commitment; this is the
+    executable form of that advice).
+
+    Reads the checkpoint's ``commits/`` log — Spark's public layout
+    since 2.1 (``org.apache.spark.sql.execution.streaming
+    .CommitLog``): ``offsets/<b>`` is the write-ahead intent written
+    BEFORE batch ``b`` runs, ``commits/<b>`` lands only AFTER the
+    batch — including its foreachBatch body — completed. On restart
+    Spark re-runs exactly the batches with an offset but no commit,
+    so ``max(commits/)`` can never replay and is the largest value
+    safe to pass as ``through_batch``. Names are bare integers; the
+    temp files the HDFSMetadataLog writes first (``.<b>.tmp...``) are
+    dot-prefixed and skipped by the integer parse.
+
+    Returns None when no batch has committed yet (fresh or absent
+    checkpoint) — callers must treat that as "nothing is safe to
+    fold", NOT as batch 0."""
+    from ..fsio import _fs_path
+
+    fs, _p, jvm = _fs_path(spark, checkpoint_dir)
+    commits = jvm.org.apache.hadoop.fs.Path(
+        checkpoint_dir.rstrip("/") + "/commits"
+    )
+    if not fs.exists(commits):
+        return None
+    best = None
+    for st in fs.listStatus(commits):
+        name = str(st.getPath().getName())
+        if name.isdigit():
+            bid = int(name)
+            if best is None or bid > best:
+                best = bid
+    return best

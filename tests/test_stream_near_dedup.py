@@ -1406,3 +1406,120 @@ def test_rebuild_span_index_detects_concurrent_writer(spark, tmp_path):
     sdd.rebuild_span_index_after_purge(spark, lake, idx, span_words=16)
     assert spark.read.parquet(idx).count() >= 1
     spark.catalog.clearCache()
+
+
+def test_compact_committed_watermark_end_to_end(spark, tmp_path):
+    """The executable form of the compaction ordering contract: the
+    watermark comes from the stream's OWN checkpoint commit log
+    (`stream_committed_watermark` = max of commits/, which Spark never
+    replays below), not from FS observation. End-to-end over a real
+    file-source stream: 3 committed batches -> watermark 2; deleting
+    commits/2 (the crashed-pre-commit shape — offsets present, commit
+    missing, so batch 2 WILL replay) drops the watermark to 1;
+    `compact_dedup_index_committed` folds exactly batches 0..1; and a
+    real restart of the query then replays batch 2 against the folded
+    index with identical verdicts — the replay-safety the commit-log
+    watermark exists to guarantee."""
+    import json as _json
+    import os as _os
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        compact_dedup_index_committed,
+        dedup_index_stats,
+    )
+    from real_time_trip_processing_spark.streaming.sinks import (
+        stream_committed_watermark,
+    )
+
+    src = tmp_path / "wm_src"
+    src.mkdir()
+    docs = {0: BASE, 1: OTHER, 2: NOVEL}  # mutually non-near-dup
+    for i, text in docs.items():
+        path = src / f"f{i}.json"
+        path.write_text(_json.dumps({"doc_id": i, "text": text}) + "\n")
+        _os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    idx = str(tmp_path / "wm_idx")
+    aud = str(tmp_path / "wm_aud")
+    ckpt = str(tmp_path / "wm_ckpt")
+    sink = stream_dedup_near_sink(idx, aud, **KW)
+
+    # fresh checkpoint: nothing committed, nothing safe to fold
+    assert stream_committed_watermark(spark, ckpt) is None
+    assert compact_dedup_index_committed(spark, idx, ckpt) == 0
+
+    def run_query():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_query()
+    s = dedup_index_stats(spark, idx)
+    assert s["n_partitions"] == 3 and s["max_batch_id"] == 2
+    assert stream_committed_watermark(spark, ckpt) == 2
+    def canon_rows():
+        # index content ignoring provenance: drop __batch_id, sort the
+        # unordered hs array, make array values hashable
+        df = spark.read.parquet(idx).drop("__batch_id").withColumn(
+            "hs", F.array_sort("hs")
+        )
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        )
+
+    verdicts_before = _audit(spark, aud)
+    rows_before = canon_rows()
+
+    # crashed-pre-commit shape: batch 2 wrote its partition but its
+    # commit never landed — it WILL replay, so it must not be foldable.
+    # (A real crash never writes commits/2 at all; simulating it by
+    # deletion must also drop the local ChecksumFs '.2.crc' sidecar,
+    # or the replay's commit rewrite hits a stale-CRC rename clash.)
+    _os.remove(_os.path.join(ckpt, "commits", "2"))
+    crc = _os.path.join(ckpt, "commits", ".2.crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    assert stream_committed_watermark(spark, ckpt) == 1
+
+    assert compact_dedup_index_committed(spark, idx, ckpt) == 2  # 0 and 1
+    s = dedup_index_stats(spark, idx)
+    assert (s["min_batch_id"], s["max_batch_id"]) == (-1, 2)
+
+    # the real restart: Spark replays batch 2 (offset without commit)
+    # against the folded index — same verdicts, same rows, and the
+    # commit log catches back up
+    run_query()
+    assert _audit(spark, aud) == verdicts_before
+    assert canon_rows() == rows_before
+    assert stream_committed_watermark(spark, ckpt) == 2
+    spark.catalog.clearCache()
+
+
+def test_stream_committed_watermark_ignores_temp_files(spark, tmp_path):
+    """commits/ entries are bare integers; HDFSMetadataLog's in-flight
+    temp files are dot-prefixed and must not parse as batch ids."""
+    import os as _os
+
+    from real_time_trip_processing_spark.streaming.sinks import (
+        stream_committed_watermark,
+    )
+
+    ckpt = tmp_path / "tf_ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    for name in ("0", "1", ".2.tmp.123", "_SPURIOUS"):
+        (ckpt / "commits" / name).write_text("v1\n{}")
+    assert stream_committed_watermark(spark, str(ckpt)) == 1
+    assert stream_committed_watermark(spark, str(tmp_path / "nope")) is None
+    _os.makedirs(tmp_path / "empty_ckpt" / "commits")
+    assert (
+        stream_committed_watermark(spark, str(tmp_path / "empty_ckpt"))
+        is None
+    )
