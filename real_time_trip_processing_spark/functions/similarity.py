@@ -1383,12 +1383,38 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs by shingle-set Jaccard.
 
-    Inverted-index join: explode distinct shingles, self-join on the
-    shingle, count shared shingles per (a,b) pair, then
-    ``|A∩B| / (|A|+|B|-|A∩B|)``. ``max_df`` drops shingles appearing in
-    more than that many docs (stop-shingles) — the standard cap that
-    keeps the join's bucket sizes bounded at corpus scale.
+    Inverted-index join (`_shingle_pair_intersections`): explode
+    distinct shingles, self-join on the shingle, count shared shingles
+    per (a,b) pair, then ``|A∩B| / (|A|+|B|-|A∩B|)``. ``max_df`` drops
+    shingles appearing in more than that many docs (stop-shingles) —
+    the standard cap that keeps the join's bucket sizes bounded at
+    corpus scale.
     """
+    return (
+        _shingle_pair_intersections(docs, n, id_col, text_col, max_df)
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "inter", "sz_a", "sz_b", F.round("jaccard", 8).alias("jaccard"))
+    )
+
+
+def _shingle_pair_intersections(
+    docs: DataFrame,
+    n: int,
+    id_col: str,
+    text_col: str,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index core of the exact pairwise screens
+    (`jaccard_pairs`, `containment_pairs`): one shingle explode, one
+    equi-self-join on the shingle (never a cross join), one pair-keyed
+    count, two size joins — ``(a, b, inter, sz_a, sz_b)`` with
+    ``a < b``. Everything downstream is a per-row formula, so the
+    similarity measures differ only in arithmetic, not in shuffle
+    shape."""
     sh = shingle_rows(docs, n, id_col, text_col).dropDuplicates(["doc", "sh"])
     if max_df is not None:
         rare = (
@@ -1409,15 +1435,43 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b"))
+    return inter.join(sa, "a").join(sb, "b")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup screen by shingle-set CONTAINMENT:
+    ``|A∩B| / min(|A|, |B|)`` — the measure that catches a short
+    document embedded inside a long one (quotes, boilerplate headers,
+    excerpt pages), which Jaccard structurally misses: a 20-shingle doc
+    fully contained in a 400-shingle doc has containment 1.0 but
+    Jaccard 0.05, below any sane pair threshold. Standard in LLM-corpus
+    curation alongside the symmetric screen (same role as the
+    containment variant of MinHash in the dedup literature).
+
+    Same inverted-index join shape as `jaccard_pairs` (shared core —
+    one shingle shuffle, no cross join, `max_df` stop-shingle cap for
+    bounded buckets at corpus scale); only the final per-row formula
+    differs. ``containment`` is the containment of the SMALLER side in
+    the larger — direction is recoverable from ``sz_a``/``sz_b``.
+    """
     return (
-        inter.join(sa, "a")
-        .join(sb, "b")
+        _shingle_pair_intersections(docs, n, id_col, text_col, max_df)
         .withColumn(
-            "jaccard",
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            "containment",
+            F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", "inter", "sz_a", "sz_b", F.round("jaccard", 8).alias("jaccard"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "a", "b", "inter", "sz_a", "sz_b",
+            F.round("containment", 8).alias("containment"),
+        )
     )
 
 

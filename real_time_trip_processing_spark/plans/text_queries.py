@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..functions.simhash import simhash_fingerprints, simhash_pairs
-from ..functions.similarity import jaccard_pairs
+from ..functions.similarity import containment_pairs, jaccard_pairs
 from ..operators.dedup import dedup_exact_text
 from ..sources import table
 from .registry import declare
@@ -144,6 +144,42 @@ def dedup_near_shingle(spark, sf_dir):
     variant (rows-only checked) is dedup_near_minhash."""
     return jaccard_pairs(
         table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+@declare(
+    "dedup_containment",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS sh_list
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t0) t1),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY a.doc, b.doc)
+    SELECT a, b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           ROUND(inter / least(sa.sz, sb.sz), 8) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc = a
+    JOIN sizes sb ON sb.doc = b
+    WHERE inter / least(sa.sz, sb.sz) >= 0.8
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """X2 asymmetric flavor: pairs by shingle-set CONTAINMENT
+    (``inter / min(|A|,|B|)``) — catches a short doc embedded in a long
+    one, which Jaccard structurally misses (a fully-contained
+    20-shingle doc in a 400-shingle doc scores 1.0 here, 0.05 there).
+    Same inverted-index join as dedup_near_shingle; only the final
+    formula differs."""
+    return containment_pairs(
+        table(spark, sf_dir, "documents"), n=3, threshold=0.8
     )
 
 

@@ -182,6 +182,63 @@ def test_jaccard_pairs_matches_brute_force(spark, texts, threshold):
 
 
 @settings(**SETTINGS)
+@given(texts=docs_strategy, threshold=st.sampled_from([0.0, 0.5, 0.9]))
+def test_containment_pairs_matches_brute_force(spark, texts, threshold):
+    from real_time_trip_processing_spark.functions.similarity import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["sz_a"], r["sz_b"], r["containment"])
+        for r in containment_pairs(df, n=3, threshold=threshold).collect()
+    }
+
+    sets = {i: _brute_shingles(t, 3) for i, t in enumerate(texts)}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                lo = min(len(sets[a]), len(sets[b]))
+                if inter and inter / lo >= threshold:
+                    expect[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert set(got) == set(expect)
+    for pair, (inter, sz_a, sz_b) in expect.items():
+        gi, ga, gb, gc = got[pair]
+        assert (gi, ga, gb) == (inter, sz_a, sz_b)
+        assert gc == pytest.approx(round(inter / min(sz_a, sz_b), 8))
+
+
+def test_containment_catches_short_doc_in_long(spark):
+    """The measure's reason to exist: a short doc fully embedded in a
+    long one scores containment 1.0 while its Jaccard is far below any
+    pair threshold — the symmetric screen structurally misses it."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        containment_pairs, jaccard_pairs,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(8))           # 6 3-shingles
+    long_doc = (
+        " ".join(f"pre{i}" for i in range(100))
+        + " " + quote + " "
+        + " ".join(f"post{i}" for i in range(100))
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text=quote), Row(doc_id=1, text=long_doc)],
+        schema="doc_id long, text string",
+    )
+    c = containment_pairs(df, n=3, threshold=0.8).collect()
+    assert len(c) == 1 and c[0]["containment"] == 1.0
+    assert (c[0]["a"], c[0]["b"]) == (0, 1)
+    # Jaccard at even a permissive 0.2 threshold sees nothing
+    assert jaccard_pairs(df, n=3, threshold=0.2).collect() == []
+
+
+@settings(**SETTINGS)
 @given(
     big=st.lists(
         st.tuples(st.integers(0, 3), st.integers(-50, 50)), min_size=0, max_size=30
