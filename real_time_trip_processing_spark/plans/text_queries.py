@@ -831,6 +831,90 @@ def keyword_search(spark, sf_dir):
 
 
 @declare(
+    "bm25_search",
+    oracle="""
+    WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                  FROM documents),
+    dl AS (SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS dl
+           FROM documents),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf
+           FROM toks WHERE w IN ('vector', 'merge', 'stream')
+           GROUP BY 1, 2),
+    dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+    hits AS (SELECT t.doc_id,
+                    COUNT(*) AS n_terms,
+                    ROUND(SUM(
+                      ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1)
+                      * t.tf * 2.2
+                      / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))
+                    ), 6) AS score
+             FROM tf t
+             JOIN dfreq d ON d.w = t.w
+             JOIN dl l ON l.doc_id = t.doc_id
+             CROSS JOIN stats s
+             GROUP BY t.doc_id)
+    SELECT doc_id, n_terms, score
+    FROM hits ORDER BY score DESC, doc_id LIMIT 20
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """BM25 retrieval (k1=1.2, b=0.75, Lucene-style smoothed idf) —
+    keyword_search's length-normalized, disjunctive sibling: ANY query
+    term matches, term saturation via tf/(tf+k1·norm), and short docs
+    outrank long ones at equal tf instead of tf·idf's length bias.
+    Same pruned postings shape (the term filter lands on the token
+    stream, so the build is |query| terms wide); dl is a map-side
+    per-doc count, and N/avgdl ride as a 1-row broadcast frame. The
+    final top-20 orders by the ROUNDED score (keyword_search's
+    boundary-stability rule) via TakeOrderedAndProject — never a
+    global sort."""
+    docs = table(spark, sf_dir, "documents")
+    terms = ["vector", "merge", "stream"]
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w").isin(terms))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    dl = docs.select(
+        "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    hits = (
+        tf.join(dfreq, "w")
+        .join(dl, "doc_id")
+        .join(stats)
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+                * F.col("tf") * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("part").alias("raw"),
+        )
+    )
+    return (
+        hits.withColumn("score", F.round("raw", 6))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_terms", "score")
+    )
+
+
+@declare(
     "corpus_drift_psi",
     oracle="""
     WITH b AS (

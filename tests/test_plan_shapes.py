@@ -422,6 +422,7 @@ def test_semantic_decontaminate_zero_exchange(spark):
 _SCALAR_FRAME_JOINS = {
     "ann_join_ivfpq_persisted",   # 1-row corpus-quality flag broadcast
     "bloom_semi_join",            # 1-row Bloom-bitmap frame broadcast
+    "bm25_search",                # 1-row N/avgdl stats frame broadcast
     "keyword_search",             # 1-row corpus-count frame broadcast
     "doc_lm_score",               # 1-row vocabulary-size frame broadcast
     "idle_rich_customers",        # Q22: scalar avg acctbal broadcast
@@ -459,11 +460,12 @@ def test_registry_wide_plan_hygiene(spark):
 
 
 def test_keyword_search_take_ordered(spark):
-    """keyword_search: the top-20 is TakeOrderedAndProject (per-partition
-    heaps), never a range-partitioned global sort."""
-    plan = plan_of(spark, "keyword_search")
-    assert "TakeOrderedAndProject" in plan
-    assert "rangepartitioning" not in plan.lower()
+    """keyword_search / bm25_search: the top-20 is TakeOrderedAndProject
+    (per-partition heaps), never a range-partitioned global sort."""
+    for name in ("keyword_search", "bm25_search"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "rangepartitioning" not in plan.lower(), name
 
 
 def test_ann_join_cogroup_no_pair_rows(spark):
