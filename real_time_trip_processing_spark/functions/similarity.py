@@ -1475,6 +1475,65 @@ def containment_pairs(
     )
 
 
+def containment_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Incremental flavor of `containment_pairs`: screen a NEW ingest
+    batch against the already-ingested corpus for short-in-long
+    embedding (recycled boilerplate, quote pages, excerpt mirrors) —
+    the ingest-time twin of the batch screen, same shape as
+    `minhash_incremental_pairs`: batch shingles × corpus shingles is
+    an equi-join on the shingle with the small batch on one side,
+    NEVER a corpus self-join. At 100 TB the corpus side is a persisted
+    ``(doc, sh)`` postings index reused across cycles (the
+    `corpus_hash_index` dial), so each cycle shuffles only the batch's
+    shingles plus matched postings. ``max_df`` drops shingles whose
+    CORPUS document frequency exceeds the cap (stop-shingles measured
+    where the mass is), bounding join bucket sizes.
+
+    Output ``(a, b, inter, sz_a, sz_b, containment)`` with ``a`` from
+    the batch, ``b`` from the corpus; ``containment`` is of the
+    smaller side in the larger, as in `containment_pairs`."""
+    bsh = shingle_rows(batch, n, id_col, text_col).dropDuplicates(["doc", "sh"])
+    csh = shingle_rows(corpus, n, id_col, text_col).dropDuplicates(["doc", "sh"])
+    if max_df is not None:
+        rare = (
+            csh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh")
+        )
+        csh = csh.join(rare, "sh")
+        bsh = bsh.join(rare, "sh")
+    sz_a = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_a"))
+    sz_b = csh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_b"))
+    inter = (
+        bsh.select(F.col("doc").alias("a"), "sh")
+        .join(csh.select(F.col("doc").alias("b"), "sh"), "sh")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sz_a.withColumnRenamed("doc", "a"), "a")
+        .join(sz_b.withColumnRenamed("doc", "b"), "b")
+        .withColumn(
+            "containment",
+            F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "a", "b", "inter", "sz_a", "sz_b",
+            F.round("containment", 8).alias("containment"),
+        )
+    )
+
+
 def random_projection(
     emb: DataFrame,
     dim_out: int = 8,

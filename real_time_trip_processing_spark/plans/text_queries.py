@@ -12,7 +12,11 @@ from pyspark.sql import functions as F
 
 from ..functions import text as X
 from ..functions.simhash import simhash_fingerprints, simhash_pairs
-from ..functions.similarity import containment_pairs, jaccard_pairs
+from ..functions.similarity import (
+    containment_incremental_pairs,
+    containment_pairs,
+    jaccard_pairs,
+)
 from ..operators.dedup import dedup_exact_text
 from ..sources import table
 from .registry import declare
@@ -180,6 +184,47 @@ def dedup_containment(spark, sf_dir):
     formula differs."""
     return containment_pairs(
         table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+@declare(
+    "dedup_containment_incremental",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS sh_list
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t0) t1),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT n.doc AS a, c.doc AS b, COUNT(*) AS inter
+      FROM sh n JOIN sh c ON n.sh = c.sh
+      WHERE n.doc % 7 = 0 AND c.doc % 7 <> 0
+      GROUP BY 1, 2)
+    SELECT a, b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           ROUND(inter / least(sa.sz, sb.sz), 8) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc = a
+    JOIN sizes sb ON sb.doc = b
+    WHERE inter / least(sa.sz, sb.sz) >= 0.8
+    """,
+)
+def dedup_containment_incremental(spark, sf_dir):
+    """Incremental twin of dedup_containment: the NEW ingest batch (the
+    doc_id % 7 == 0 slice, the family's split convention) screened for
+    short-in-long embedding against the already-ingested corpus (the
+    rest). Batch shingles × corpus shingles equi-join — small side vs
+    postings, never a corpus self-join; at 100 TB the corpus side is a
+    persisted (doc, sh) postings index reused across cycles."""
+    docs = table(spark, sf_dir, "documents")
+    return containment_incremental_pairs(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+        n=3,
+        threshold=0.8,
     )
 
 

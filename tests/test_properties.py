@@ -213,6 +213,44 @@ def test_containment_pairs_matches_brute_force(spark, texts, threshold):
         assert gc == pytest.approx(round(inter / min(sz_a, sz_b), 8))
 
 
+@settings(**SETTINGS)
+@given(texts=docs_strategy, threshold=st.sampled_from([0.0, 0.5, 0.9]))
+def test_containment_incremental_matches_brute_force(spark, texts, threshold):
+    """Incremental = batch × corpus only (even ids batch, odd corpus):
+    every cross-split pair at threshold, no within-split pair, same
+    arithmetic as the batch screen."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        containment_incremental_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["sz_a"], r["sz_b"], r["containment"])
+        for r in containment_incremental_pairs(
+            df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1"),
+            n=3, threshold=threshold,
+        ).collect()
+    }
+
+    sets = {i: _brute_shingles(t, 3) for i, t in enumerate(texts)}
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a % 2 == 0 and b % 2 == 1:
+                inter = len(sets[a] & sets[b])
+                lo = min(len(sets[a]), len(sets[b]))
+                if inter and inter / lo >= threshold:
+                    expect[(a, b)] = (inter, len(sets[a]), len(sets[b]))
+    assert set(got) == set(expect)
+    for pair, (inter, sz_a, sz_b) in expect.items():
+        gi, ga, gb, gc = got[pair]
+        assert (gi, ga, gb) == (inter, sz_a, sz_b)
+        assert gc == pytest.approx(round(inter / min(sz_a, sz_b), 8))
+
+
 def test_containment_catches_short_doc_in_long(spark):
     """The measure's reason to exist: a short doc fully embedded in a
     long one scores containment 1.0 while its Jaccard is far below any
