@@ -76,6 +76,10 @@ HEADLINE = [
     # round-8: the per-ingest-cycle shape — batch bands x corpus bands,
     # never the corpus self-join
     "dedup_near_incremental",
+    # round-11: the asymmetric (short-in-long) screen and its
+    # ingest-cycle shape — batch shingles x corpus postings
+    "dedup_containment",
+    "dedup_containment_incremental",
     "dedup_near_embedding",
     # round-8: the embedding-side incremental screen
     "dedup_near_embedding_incremental",
@@ -116,6 +120,9 @@ HEADLINE = [
     "bloom_semi_join",
     "quantile_sketch_rollup",
     "keyword_search",
+    # round-11: the length-normalized disjunctive ranker beside its
+    # tf-idf sibling
+    "bm25_search",
     "gap_fill_daily",
     "diversity_sample_srp",
 ]

@@ -1475,14 +1475,35 @@ def containment_pairs(
     )
 
 
+def corpus_postings_index(
+    corpus: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persistable corpus side of `containment_incremental_pairs`:
+    distinct ``(doc, sh)`` postings. Shingle once, write to parquet,
+    reuse across ingest cycles — the same dial as
+    `minhash.corpus_hash_index` / `srp_corpus_index`: per cycle the
+    corpus is a columnar read partitioned on the join key's hash, not
+    a re-shingling of every document body. Postings are a pure per-doc
+    function of content, so appending a cycle's kept docs' postings
+    keeps the index equal to a rebuild (the family's append==rebuild
+    contract)."""
+    return shingle_rows(corpus, n, id_col, text_col).dropDuplicates(
+        ["doc", "sh"]
+    )
+
+
 def containment_incremental_pairs(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     n: int = 3,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    corpus_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental flavor of `containment_pairs`: screen a NEW ingest
     batch against the already-ingested corpus for short-in-long
@@ -1499,9 +1520,21 @@ def containment_incremental_pairs(
 
     Output ``(a, b, inter, sz_a, sz_b, containment)`` with ``a`` from
     the batch, ``b`` from the corpus; ``containment`` is of the
-    smaller side in the larger, as in `containment_pairs`."""
+    smaller side in the larger, as in `containment_pairs`.
+
+    Pass ``corpus_postings`` (a persisted `corpus_postings_index`
+    frame) instead of ``corpus`` to skip re-shingling the corpus —
+    result-identical (postings are a pure function of content;
+    test-pinned), and per cycle the corpus side becomes a columnar
+    read instead of a full text pass."""
+    if (corpus is None) == (corpus_postings is None):
+        raise ValueError("pass exactly one of corpus or corpus_postings")
     bsh = shingle_rows(batch, n, id_col, text_col).dropDuplicates(["doc", "sh"])
-    csh = shingle_rows(corpus, n, id_col, text_col).dropDuplicates(["doc", "sh"])
+    csh = (
+        corpus_postings
+        if corpus_postings is not None
+        else corpus_postings_index(corpus, n, id_col, text_col)
+    )
     if max_df is not None:
         rare = (
             csh.groupBy("sh")

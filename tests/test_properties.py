@@ -251,6 +251,56 @@ def test_containment_incremental_matches_brute_force(spark, texts, threshold):
         assert gc == pytest.approx(round(inter / min(sz_a, sz_b), 8))
 
 
+def test_containment_postings_path_equals_corpus_path(spark, tmp_path):
+    """The persisted-postings dial: screening against a written-and-
+    reread `corpus_postings_index` is row-identical to screening the
+    raw corpus (postings are a pure function of content), and passing
+    both or neither corpus flavor refuses."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        containment_incremental_pairs, corpus_postings_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"c{i}w{j}" for j in range(12)))
+         for i in range(6)]
+        + [Row(doc_id=6, text=" ".join(f"q{j}" for j in range(20)))],
+        schema="doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        # 100: an excerpt of corpus doc 6 (containment 1.0); 101: novel
+        [Row(doc_id=100, text=" ".join(f"q{j}" for j in range(5, 13))),
+         Row(doc_id=101, text=" ".join(f"n{j}" for j in range(10)))],
+        schema="doc_id long, text string",
+    )
+    post_dir = str(tmp_path / "postings")
+    corpus_postings_index(corpus, n=3).write.parquet(post_dir)
+
+    def rows(**kw):
+        return sorted(
+            tuple(r)
+            for r in containment_incremental_pairs(
+                batch, n=3, threshold=0.5, **kw
+            ).collect()
+        )
+
+    via_corpus = rows(corpus=corpus)
+    via_postings = rows(
+        corpus=None, corpus_postings=spark.read.parquet(post_dir)
+    )
+    assert via_corpus == via_postings
+    assert any(a == 100 and b == 6 and c == 1.0
+               for (a, b, _i, _sa, _sb, c) in via_corpus)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        containment_incremental_pairs(batch, None)
+    with pytest.raises(ValueError, match="exactly one"):
+        containment_incremental_pairs(
+            batch, corpus, corpus_postings=spark.read.parquet(post_dir)
+        )
+
+
 def test_containment_catches_short_doc_in_long(spark):
     """The measure's reason to exist: a short doc fully embedded in a
     long one scores containment 1.0 while its Jaccard is far below any
