@@ -1504,6 +1504,7 @@ def containment_incremental_pairs(
     text_col: str = "text",
     max_df: int | None = None,
     corpus_postings: DataFrame | None = None,
+    corpus_df: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental flavor of `containment_pairs`: screen a NEW ingest
     batch against the already-ingested corpus for short-in-long
@@ -1511,12 +1512,21 @@ def containment_incremental_pairs(
     the ingest-time twin of the batch screen, same shape as
     `minhash_incremental_pairs`: batch shingles × corpus shingles is
     an equi-join on the shingle with the small batch on one side,
-    NEVER a corpus self-join. At 100 TB the corpus side is a persisted
-    ``(doc, sh)`` postings index reused across cycles (the
-    `corpus_hash_index` dial), so each cycle shuffles only the batch's
-    shingles plus matched postings. ``max_df`` drops shingles whose
-    CORPUS document frequency exceeds the cap (stop-shingles measured
-    where the mass is), bounding join bucket sizes.
+    NEVER a corpus self-join. ``max_df`` drops shingles whose CORPUS
+    document frequency exceeds the cap (stop-shingles measured where
+    the mass is), bounding join bucket sizes.
+
+    Per-cycle cost, stated honestly (round-11 review): the corpus
+    postings are SCANNED once for the bucket join, but never
+    corpus-wide AGGREGATED for sizes — ``sz_b`` is computed over the
+    postings of MATCHED docs only (a semi-join against the pair set,
+    which is persisted under the owned-cache contract so the branch
+    doesn't recompute the bucket join; release with
+    `caching.release_owned_caches` on the returned frame). The one
+    corpus-wide aggregate left is the ``max_df`` document-frequency
+    table — pass ``corpus_df`` (a persisted ``(sh, df)`` frame built
+    once at index time alongside `corpus_postings_index`) to remove
+    it; it is only consulted when ``max_df`` is set.
 
     Output ``(a, b, inter, sz_a, sz_b, containment)`` with ``a`` from
     the batch, ``b`` from the corpus; ``containment`` is of the
@@ -1527,6 +1537,8 @@ def containment_incremental_pairs(
     result-identical (postings are a pure function of content;
     test-pinned), and per cycle the corpus side becomes a columnar
     read instead of a full text pass."""
+    from .caching import attach_owned
+
     if (corpus is None) == (corpus_postings is None):
         raise ValueError("pass exactly one of corpus or corpus_postings")
     bsh = shingle_rows(batch, n, id_col, text_col).dropDuplicates(["doc", "sh"])
@@ -1536,23 +1548,30 @@ def containment_incremental_pairs(
         else corpus_postings_index(corpus, n, id_col, text_col)
     )
     if max_df is not None:
-        rare = (
-            csh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("sh")
+        df_tbl = (
+            corpus_df
+            if corpus_df is not None
+            else csh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
         )
+        rare = df_tbl.filter(F.col("df") <= max_df).select("sh")
         csh = csh.join(rare, "sh")
         bsh = bsh.join(rare, "sh")
     sz_a = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_a"))
-    sz_b = csh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_b"))
     inter = (
         bsh.select(F.col("doc").alias("a"), "sh")
         .join(csh.select(F.col("doc").alias("b"), "sh"), "sh")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
+        .persist()
     )
-    return (
+    # sizes for MATCHED corpus docs only: the semi-join keeps the size
+    # aggregate's shuffle proportional to the pair set, not the corpus
+    sz_b = (
+        csh.join(inter.select(F.col("b").alias("doc")).distinct(), "doc")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("sz_b"))
+    )
+    out = (
         inter.join(sz_a.withColumnRenamed("doc", "a"), "a")
         .join(sz_b.withColumnRenamed("doc", "b"), "b")
         .withColumn(
@@ -1565,6 +1584,7 @@ def containment_incremental_pairs(
             F.round("containment", 8).alias("containment"),
         )
     )
+    return attach_owned(out, [inter])
 
 
 def random_projection(

@@ -21,6 +21,38 @@ from ..operators.dedup import dedup_exact_text
 from ..sources import table
 from .registry import declare
 
+#: shared DuckDB replay of the 3-gram shingle convention — distinct
+#: shingles per doc plus per-doc set sizes, the prefix every exact
+#: pairwise-screen oracle composes (round-11 review: five inline
+#: copies of this block had accumulated; a shingle-convention change
+#: must edit exactly one place).
+_SHINGLE_SIZES_CTE = """
+    sh AS (
+      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
+      FROM (
+        SELECT doc_id,
+               [array_to_string(toks[i:i+2], ' ')
+                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS sh_list
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents) t0) t1),
+    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc)"""
+
+#: the symmetric (a < b) pair-intersection counts over the block above
+_SHINGLE_INTER_CTE = """
+    inter AS (
+      SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+      GROUP BY a.doc, b.doc)"""
+
+#: the containment screens' shared verdict tail (inter / min size)
+_CONTAINMENT_TAIL = """
+    SELECT a, b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           ROUND(inter / least(sa.sz, sb.sz), 8) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc = a
+    JOIN sizes sb ON sb.doc = b
+    WHERE inter / least(sa.sz, sb.sz) >= 0.8"""
+
 
 @declare(
     "dedup_exact_text",
@@ -120,20 +152,8 @@ def doc_fingerprint(spark, sf_dir):
 
 @declare(
     "dedup_near_shingle",
-    oracle="""
-    WITH sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
-      FROM (
-        SELECT doc_id,
-               [array_to_string(toks[i:i+2], ' ')
-                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS sh_list
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents) t0) t1),
-    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
-    inter AS (
-      SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
-      GROUP BY a.doc, b.doc)
+    oracle=f"""
+    WITH {_SHINGLE_SIZES_CTE},{_SHINGLE_INTER_CTE}
     SELECT a, b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
            ROUND(inter / (sa.sz + sb.sz - inter), 8) AS jaccard
     FROM inter
@@ -153,26 +173,9 @@ def dedup_near_shingle(spark, sf_dir):
 
 @declare(
     "dedup_containment",
-    oracle="""
-    WITH sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
-      FROM (
-        SELECT doc_id,
-               [array_to_string(toks[i:i+2], ' ')
-                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS sh_list
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents) t0) t1),
-    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
-    inter AS (
-      SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
-      GROUP BY a.doc, b.doc)
-    SELECT a, b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
-           ROUND(inter / least(sa.sz, sb.sz), 8) AS containment
-    FROM inter
-    JOIN sizes sa ON sa.doc = a
-    JOIN sizes sb ON sb.doc = b
-    WHERE inter / least(sa.sz, sb.sz) >= 0.8
+    oracle=f"""
+    WITH {_SHINGLE_SIZES_CTE},{_SHINGLE_INTER_CTE}
+    {_CONTAINMENT_TAIL}
     """,
 )
 def dedup_containment(spark, sf_dir):
@@ -189,27 +192,14 @@ def dedup_containment(spark, sf_dir):
 
 @declare(
     "dedup_containment_incremental",
-    oracle="""
-    WITH sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
-      FROM (
-        SELECT doc_id,
-               [array_to_string(toks[i:i+2], ' ')
-                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS sh_list
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents) t0) t1),
-    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
+    oracle=f"""
+    WITH {_SHINGLE_SIZES_CTE},
     inter AS (
       SELECT n.doc AS a, c.doc AS b, COUNT(*) AS inter
       FROM sh n JOIN sh c ON n.sh = c.sh
       WHERE n.doc % 7 = 0 AND c.doc % 7 <> 0
       GROUP BY 1, 2)
-    SELECT a, b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
-           ROUND(inter / least(sa.sz, sb.sz), 8) AS containment
-    FROM inter
-    JOIN sizes sa ON sa.doc = a
-    JOIN sizes sb ON sb.doc = b
-    WHERE inter / least(sa.sz, sb.sz) >= 0.8
+    {_CONTAINMENT_TAIL}
     """,
 )
 def dedup_containment_incremental(spark, sf_dir):
@@ -230,21 +220,8 @@ def dedup_containment_incremental(spark, sf_dir):
 
 @declare(
     "dedup_canonical_docs",
-    oracle="""
-    WITH RECURSIVE
-    sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
-      FROM (
-        SELECT doc_id,
-               [array_to_string(toks[i:i+2], ' ')
-                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS sh_list
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents) t0) t1),
-    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
-    inter AS (
-      SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
-      GROUP BY a.doc, b.doc),
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_SIZES_CTE},{_SHINGLE_INTER_CTE},
     pairs AS (
       SELECT a, b FROM inter
       JOIN sizes sa ON sa.doc = a
@@ -568,20 +545,7 @@ def dup_rate_by_source(spark, sf_dir):
     )
 
 
-_SHINGLE_PAIRS_CTE = """
-    sh AS (
-      SELECT doc_id AS doc, unnest(list_distinct(sh_list)) AS sh
-      FROM (
-        SELECT doc_id,
-               [array_to_string(toks[i:i+2], ' ')
-                FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)] AS sh_list
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents) t0) t1),
-    sizes AS (SELECT doc, COUNT(*) AS sz FROM sh GROUP BY doc),
-    inter AS (
-      SELECT a.doc AS a, b.doc AS b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
-      GROUP BY a.doc, b.doc),
+_SHINGLE_PAIRS_CTE = f"""{_SHINGLE_SIZES_CTE},{_SHINGLE_INTER_CTE},
     pairs AS (
       SELECT a, b, inter / (sa.sz + sb.sz - inter) AS jaccard
       FROM inter

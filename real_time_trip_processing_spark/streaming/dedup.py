@@ -181,6 +181,27 @@ def _span_sig_token(span_words: int) -> str:
     return f"spans/v{SPAN_SIG_VERSION};span_words={int(span_words)}"
 
 
+def _batch_partitions(fs, root) -> list:
+    """``(bid, Path)`` for every ``__batch_id=<int>`` child of ``root``
+    — THE parser of the layout's one partition level, shared by the
+    maintenance ops (`compact_dedup_index`,
+    `rebuild_span_index_after_purge`) and `dedup_index_stats` so the
+    naming scheme lives in one place (round-11 review: three hand-
+    rolled copies had started to drift). A non-integer suffix (e.g.
+    Hive's ``__HIVE_DEFAULT_PARTITION__`` null dir) is ignored rather
+    than crashed on: the sinks only ever write integer batch ids, so
+    anything else is foreign debris the readers partition-prune away."""
+    out = []
+    for st in fs.listStatus(root):
+        name = str(st.getPath().getName())
+        if not (st.isDirectory() and name.startswith("__batch_id=")):
+            continue
+        suffix = name.split("=", 1)[1]
+        if suffix.lstrip("-").isdigit():
+            out.append((int(suffix), st.getPath()))
+    return out
+
+
 def _sig_marker_path(index_dir: str) -> str:
     return index_dir.rstrip("/") + "/" + SIG_MARKER_NAME
 
@@ -853,11 +874,7 @@ def rebuild_span_index_after_purge(
                 fs.delete(st.getPath(), True)
         seed_span_index(corpus, index_dir, span_words, id_col, text_col)
         streamed = sorted(
-            int(str(st.getPath().getName()).split("=", 1)[1])
-            for st in fs.listStatus(p)
-            if st.isDirectory()
-            and str(st.getPath().getName()).startswith("__batch_id=")
-            and int(str(st.getPath().getName()).split("=", 1)[1]) >= 0
+            bid for bid, _path in _batch_partitions(fs, p) if bid >= 0
         )
         if streamed:
             raise RuntimeError(
@@ -1197,15 +1214,23 @@ def compact_dedup_index(
     erasure's `_lake_write_lock` on the index dir); the ``_SIG_FORMAT``
     marker is a root file and is never touched. STOP the stream first,
     same as `rebuild_span_index_after_purge` — and (round-10 ADVICE)
-    that convention is now backed by a fail-fast: the ``__batch_id``
-    partition set is snapshotted at entry and re-listed after the
-    staging write, and any change (a sink batch landing, a replay
-    rewriting) aborts BEFORE the reader-visible index is touched —
-    staging deleted, RuntimeError raised, index bit-untouched. Best
-    effort by nature (a batch can still land between the check and the
-    commit — the foreachBatch sinks take no lock), but it converts the
-    common stream-still-running misuse from silent divergence into a
-    loud abort. Also refused up front: an index holding parquet data
+    that convention is now backed by a fail-fast: snapshotted at entry
+    and re-checked after the staging write are BOTH the ``__batch_id``
+    partition-id set (a sink batch landing or vanishing, any id) AND a
+    per-file ``(name, size)`` fingerprint of the FOLD-WINDOW
+    partitions (a replay dynamic-REWRITING a partition being folded
+    writes new part files — round-11 review: the id set alone missed
+    exactly that case); any change aborts BEFORE the reader-visible
+    index is touched — staging deleted, RuntimeError raised, index
+    bit-untouched. A rewrite of a partition ABOVE the fold window is
+    deliberately not fingerprinted: the fold doesn't touch it, and a
+    replayed batch ``b > through_batch`` sees folded ``-1`` + the same
+    sub-``b`` row set as before compaction, so its verdicts are
+    unchanged. Best effort by nature (a batch can still land between
+    the check and the commit — the foreachBatch sinks take no lock),
+    but it converts the common stream-still-running misuse from
+    silent divergence into a loud abort. Also refused up front: an
+    index holding parquet data
     but no ``_SIG_FORMAT`` marker (pre-marker or foreign-written — the
     same unverifiable state `check_sig_format` refuses; folding it
     would launder unverifiable rows into the seed partition that later
@@ -1239,23 +1264,29 @@ def compact_dedup_index(
         if fs.exists(staging_p):
             fs.delete(staging_p, True)
 
-        def bid_set() -> set:
+        def fold_fingerprint(parts) -> dict:
+            # bid -> frozenset of (part-file name, length) for the
+            # partitions being folded: a dynamic-overwrite replay
+            # writes NEW part files, so a rewrite changes this even
+            # when the partition-id set does not
             return {
-                int(str(st.getPath().getName()).split("=", 1)[1])
-                for st in fs.listStatus(root)
-                if st.isDirectory()
-                and str(st.getPath().getName()).startswith("__batch_id=")
+                bid: frozenset(
+                    (str(f.getPath().getName()), int(f.getLen()))
+                    for f in fs.listStatus(path)
+                    if not str(f.getPath().getName()).startswith((".", "_"))
+                )
+                for bid, path in parts
+                if 0 <= bid <= int(through_batch)
             }
 
-        entry_bids = bid_set()
-        folded = []
-        for st in fs.listStatus(root):
-            name = str(st.getPath().getName())
-            if not (st.isDirectory() and name.startswith("__batch_id=")):
-                continue
-            bid = int(name.split("=", 1)[1])
-            if 0 <= bid <= int(through_batch):
-                folded.append((bid, st.getPath()))
+        entry_parts = _batch_partitions(fs, root)
+        entry_bids = {bid for bid, _p in entry_parts}
+        entry_fp = fold_fingerprint(entry_parts)
+        folded = [
+            (bid, path)
+            for bid, path in entry_parts
+            if 0 <= bid <= int(through_batch)
+        ]
         if not folded:
             return 0
         # one partition-pruned read of the fold window into staging;
@@ -1270,18 +1301,24 @@ def compact_dedup_index(
             .parquet(staging)
         )
         # fail-fast on the stop-the-stream-first contract: the staging
-        # read is the window where a live stream's write (or a replay)
-        # can diverge from what the fold captured — abort pre-commit,
-        # index untouched
-        if bid_set() != entry_bids:
+        # read is the window where a live stream's write (a new batch,
+        # or a replay rewriting a fold-window partition) can diverge
+        # from what the fold captured — abort pre-commit, index
+        # untouched
+        cur_parts = _batch_partitions(fs, root)
+        cur_bids = {bid for bid, _p in cur_parts}
+        cur_fp = fold_fingerprint(cur_parts)
+        if cur_bids != entry_bids or cur_fp != entry_fp:
             fs.delete(staging_p, True)
             raise RuntimeError(
-                f"{index_dir}: __batch_id partition set changed while "
-                f"compacting ({sorted(entry_bids)} -> "
-                f"{sorted(bid_set())}) — a stream is still writing "
-                f"this index. compact_dedup_index requires the stream "
-                f"stopped (its foreachBatch sink takes no lock); the "
-                f"index is untouched — stop the stream and re-run."
+                f"{index_dir}: __batch_id partitions changed while "
+                f"compacting (ids {sorted(entry_bids)} -> "
+                f"{sorted(cur_bids)}; fold-window files "
+                f"{'unchanged' if cur_fp == entry_fp else 'REWRITTEN'}) "
+                f"— a stream is still writing this index. "
+                f"compact_dedup_index requires the stream stopped (its "
+                f"foreachBatch sink takes no lock); the index is "
+                f"untouched — stop the stream and re-run."
             )
         (
             spark.read.parquet(staging)
@@ -1375,7 +1412,7 @@ def dedup_index_stats(spark, index_dir: str) -> dict:
             name.startswith("_") and "=" not in name
         )
 
-    bids: list[int] = []
+    bids = [bid for bid, _path in _batch_partitions(fs, root)]
     n_files = 0
     n_bytes = 0
     for st in fs.listStatus(root):
@@ -1383,8 +1420,6 @@ def dedup_index_stats(spark, index_dir: str) -> dict:
         if hidden(name):
             continue  # debris (_temporary, .spark-staging-*), locks, marker
         if st.isDirectory():
-            if name.startswith("__batch_id="):
-                bids.append(int(name.split("=", 1)[1]))
             stack = [st.getPath()]
             while stack:
                 for sub in fs.listStatus(stack.pop()):

@@ -1523,3 +1523,85 @@ def test_stream_committed_watermark_ignores_temp_files(spark, tmp_path):
         stream_committed_watermark(spark, str(tmp_path / "empty_ckpt"))
         is None
     )
+
+
+def test_compact_dedup_index_detects_fold_window_rewrite(spark, tmp_path):
+    """Round-11 review: the id-set guard alone missed a replay that
+    REWRITES an existing fold-window partition (dynamic overwrite = new
+    part files, same partition id). The per-file (name, size)
+    fingerprint catches it: rewrite between the staging write and the
+    commit -> abort, no staging left, no partition deleted."""
+    import glob as _glob
+    import os as _os
+
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        compact_dedup_index,
+        seed_minhash_index,
+        stream_dedup_near_sink,
+    )
+
+    idx = str(tmp_path / "rw_idx")
+    seed_minhash_index(
+        spark.createDataFrame([(0, BASE)], "doc_id long, text string"),
+        idx, n=3, num_perm=32,
+    )
+    sink = stream_dedup_near_sink(idx, str(tmp_path / "rw_aud"), **KW)
+    sink(spark.createDataFrame([(10, NOVEL)], "doc_id long, text string"), 0)
+    sink(spark.createDataFrame([(20, OTHER)], "doc_id long, text string"), 1)
+
+    part1 = _os.path.join(idx, "__batch_id=1")
+    real_parquet = DataFrameWriter.parquet
+
+    def parquet_then_rewrite(self, path, *a, **kw):
+        out = real_parquet(self, path, *a, **kw)
+        if str(path).endswith("_compact_staging"):
+            # the "replay": partition 1 is dynamic-overwritten — same
+            # partition id, new part-file name
+            for f in _glob.glob(_os.path.join(part1, "part-*")):
+                _os.rename(
+                    f, _os.path.join(part1, "part-replayed.parquet")
+                )
+        return out
+
+    DataFrameWriter.parquet = parquet_then_rewrite
+    try:
+        with pytest.raises(RuntimeError, match="REWRITTEN"):
+            compact_dedup_index(spark, idx, through_batch=1)
+    finally:
+        DataFrameWriter.parquet = real_parquet
+
+    # aborted pre-commit: both batch partitions intact, no staging
+    assert _os.path.isdir(part1)
+    assert _os.path.isdir(_os.path.join(idx, "__batch_id=0"))
+    assert not _os.path.exists(_os.path.join(idx, "_compact_staging"))
+    # with the stream quiet the re-run folds normally
+    assert compact_dedup_index(spark, idx, through_batch=1) == 2
+    spark.catalog.clearCache()
+
+
+def test_batch_partition_parser_ignores_non_integer(spark, tmp_path):
+    """The shared __batch_id parser ignores a non-integer suffix (e.g.
+    Hive's null-partition dir) instead of crashing — stats extent and
+    compaction are unaffected by such debris."""
+    import os as _os
+
+    from real_time_trip_processing_spark.streaming.dedup import (
+        compact_dedup_index,
+        dedup_index_stats,
+        seed_minhash_index,
+    )
+
+    idx = str(tmp_path / "hv_idx")
+    seed_minhash_index(
+        spark.createDataFrame([(0, BASE)], "doc_id long, text string"),
+        idx, n=3, num_perm=32,
+    )
+    _os.makedirs(_os.path.join(idx, "__batch_id=__HIVE_DEFAULT_PARTITION__"))
+    s = dedup_index_stats(spark, idx)
+    assert (s["min_batch_id"], s["max_batch_id"]) == (-1, -1)
+    assert s["n_partitions"] == 1
+    assert compact_dedup_index(spark, idx, through_batch=10) == 0
+    spark.catalog.clearCache()

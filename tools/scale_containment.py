@@ -207,10 +207,13 @@ def main() -> None:
         stats = check_cycle(spark, corpus, pairs, lo, hi, args.max_df)
         stats["screen_sec"] = wall
         out["cycles"].append(stats)
-    # the A/B: same screen with the corpus re-shingled in-cycle
+    # the A/B: same screen with the corpus re-shingled in-cycle. The
+    # postings-side figure is cycle 2 — the steady-state screen the
+    # docstring promises — not the warm-up-inflated first cycle
+    # (round-11 review); cycle 1's wall stays visible in cycles[0]
     batch = make_batch(spark, corpus, 0, args.batch)
     _, wall_raw = screen(spark, batch, args.max_df, corpus=corpus)
-    out["cycle_sec_postings"] = out["cycles"][0]["screen_sec"]
+    out["cycle_sec_postings"] = out["cycles"][1]["screen_sec"]
     out["cycle_sec_raw_corpus"] = wall_raw
     print(json.dumps(out))
 
