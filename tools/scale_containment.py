@@ -7,8 +7,11 @@ from every cycle, and planted containment cases are caught exactly
 planted recall must be 1.0 among surviving docs).
 
 Setup (reuses tools/scale_text.py's deterministic zipfian corpus):
-corpus = the first N docs; postings built once and persisted to
-parquet. Each cycle's batch is B docs derived from a disjoint corpus
+corpus = the first N docs; postings AND the (sh, df) stop-shingle
+table built once and persisted to parquet (the at-scale configuration
+`containment_incremental_pairs`' corpus_postings/corpus_df params
+document — per cycle nothing corpus-wide is recomputed). Each cycle's
+batch is B docs derived from a disjoint corpus
 slice: half are planted EXCERPTS (a contiguous 10-word slice of a
 corpus doc with >= 20 words -> all 8 of the excerpt's 3-shingles occur
 in the source doc, containment exactly 1.0 even under the stop-shingle
@@ -74,21 +77,32 @@ def make_batch(spark, corpus, lo: int, hi: int):
     return excerpts.unionAll(novel)
 
 
-def screen(spark, batch, max_df: int, corpus=None, postings=None):
+def screen(spark, batch, max_df: int, corpus=None, postings=None, df_tbl=None):
+    from real_time_trip_processing_spark.functions.caching import (
+        release_owned_caches,
+    )
     from real_time_trip_processing_spark.functions.similarity import (
         containment_incremental_pairs,
     )
 
     t0 = time.monotonic()
-    pairs = containment_incremental_pairs(
+    frame = containment_incremental_pairs(
         batch,
         corpus,
         n=3,
         threshold=THRESHOLD,
         max_df=max_df,
         corpus_postings=postings,
-    ).collect()
-    return pairs, round(time.monotonic() - t0, 2)
+        corpus_df=df_tbl,
+    )
+    pairs = frame.collect()
+    wall = round(time.monotonic() - t0, 2)
+    # per-cycle hygiene: without this every cycle pins another cached
+    # pair frame (the round-8/9 cache-accumulation class the owned-
+    # cache contract exists for — cycle walls then measure heap
+    # pressure, not the screen)
+    release_owned_caches(frame)
+    return pairs, wall
 
 
 def check_cycle(spark, corpus, pairs, lo: int, hi: int, max_df: int) -> dict:
@@ -186,6 +200,19 @@ def main() -> None:
     build_sec = round(time.monotonic() - t0, 2)
     postings = spark.read.parquet(POSTINGS)
     n_postings = postings.count()
+    # the (sh, df) table is built ONCE beside the postings — the
+    # at-scale configuration the corpus_df param documents; without it
+    # every cycle re-aggregates all postings just to find stop-shingles
+    from pyspark.sql import functions as SF
+
+    df_dir = POSTINGS + "_df"
+    if os.path.isdir(df_dir):
+        shutil.rmtree(df_dir)
+    t0 = time.monotonic()
+    postings.groupBy("sh").agg(SF.count(SF.lit(1)).alias("df")) \
+        .write.parquet(df_dir)
+    df_build_sec = round(time.monotonic() - t0, 2)
+    df_tbl = spark.read.parquet(df_dir)
 
     out = {
         "corpus_docs": args.corpus,
@@ -193,16 +220,18 @@ def main() -> None:
         "max_df": args.max_df,
         "postings_rows": n_postings,
         "postings_build_sec": build_sec,
+        "df_table_build_sec": df_build_sec,
         "cycles": [],
     }
     # two cycles over disjoint slices: both screen-only against the
-    # persisted postings (no corpus re-shingle anywhere in the cycle)
+    # persisted postings + df table (no corpus re-shingle, no
+    # corpus-wide aggregate anywhere in the cycle)
     for c in range(2):
         lo = c * args.batch
         hi = lo + args.batch
         batch = make_batch(spark, corpus, lo, hi)
         pairs, wall = screen(
-            spark, batch, args.max_df, postings=postings
+            spark, batch, args.max_df, postings=postings, df_tbl=df_tbl
         )
         stats = check_cycle(spark, corpus, pairs, lo, hi, args.max_df)
         stats["screen_sec"] = wall
