@@ -927,7 +927,45 @@ def main() -> None:
         "sf": sf,
     }
     record_history(payload)
-    print(json.dumps(payload))
+    # Full-fidelity payload goes to STDERR and the committed history
+    # file; STDOUT carries exactly ONE compact JSON line. The driver
+    # keeps only the last 2,000 characters of stdout and parses a JSON
+    # line out of them — the full payload outgrew that window in round 3
+    # and every BENCH_r03..r10.json has "parsed": null (per-query
+    # timings invisible to the driver for eight rounds). The compact
+    # line carries the contract fields (metric/value/unit/queries/sf);
+    # spreads, deltas, machine fingerprint, streaming/maintenance/
+    # vector sections live in BENCH_HISTORY.jsonl exactly as before.
+    print(json.dumps(payload), file=sys.stderr)
+    print(compact_line(payload))
+
+
+def compact_line(payload: dict, budget: int = 1900) -> str:
+    """The single stdout line, guaranteed to fit the driver's 2,000-char
+    tail window. Contract fields only; if a grown query table ever
+    overflows the budget, shave float precision before dropping any
+    optional key — query names are never dropped or renamed."""
+    for ndigits in (4, 3, 2):
+        compact = {
+            "metric": payload["metric"],
+            "value": round(payload["value"], ndigits),
+            "unit": payload["unit"],
+            "queries": {
+                k: round(v, ndigits) for k, v in payload["queries"].items()
+            },
+            "n_runs": payload["n_runs"],
+            "cold_total": round(payload["cold_total"], ndigits),
+            "sf": payload["sf"],
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= budget:
+            return line
+        if ndigits == 2:
+            # last resort: drop the optional fields, keep the contract
+            for k in ("n_runs", "cold_total"):
+                compact.pop(k, None)
+            return json.dumps(compact, separators=(",", ":"))
+    raise AssertionError("unreachable")
 
 
 if __name__ == "__main__":

@@ -228,6 +228,46 @@ def test_parallel_canary_fixed_work_shape():
         assert min(a, b) < n * one_job * 0.5, (a, b, one_job, n)
 
 
+def test_compact_stdout_line_fits_driver_tail_window():
+    """Round-11 measurement fix: the driver keeps only the LAST 2,000
+    characters of bench stdout and parses a JSON line out of them; the
+    full payload outgrew that window in round 3 and every
+    BENCH_r03..r10.json recorded "parsed": null — the per-query table
+    was invisible to the driver for eight rounds. The stdout line is
+    now a compact contract-fields-only JSON (full payload → stderr +
+    BENCH_HISTORY.jsonl); this pins that it fits the window with every
+    current headline query present, parses back, and never drops or
+    renames a query name even under pathological name growth."""
+    import json
+
+    queries = {name: 1.2345 for name in bench.HEADLINE}
+    queries["reference_pipeline_e2e"] = 0.5678
+    payload = {
+        "metric": "headline_queries_total",
+        "value": sum(queries.values()),
+        "unit": "sec",
+        "queries": queries,
+        "n_runs": bench.N_RUNS,
+        "cold_total": 70.1234,
+        "sf": "0.1",
+    }
+    line = bench.compact_line(payload)
+    assert len(line) <= 1900 and "\n" not in line
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["unit"] == "sec" and parsed["sf"] == "0.1"
+    assert set(parsed["queries"]) == set(queries)
+    # overflow path: absurdly many queries still yields a parseable
+    # line that keeps every name (precision and optional keys shaved
+    # first; names are sacred)
+    big = dict(payload)
+    big["queries"] = {f"q_{i:04d}_padded_name_for_width": 1.23456
+                      for i in range(60)}
+    line2 = bench.compact_line(big, budget=1900)
+    parsed2 = json.loads(line2)
+    assert set(parsed2["queries"]) == set(big["queries"])
+
+
 def test_delta_refused_on_testdata_content_change(tmp_path):
     """Round-9 ADVICE: a regeneration that preserves every file's byte
     size slips past the sizes-only fingerprint; the content token
