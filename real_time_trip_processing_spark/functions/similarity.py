@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import shingle_rows
+from .text import shingle_rows, shingle_set_rows
 
 #: (cent_id, vector) pairs, cent_id ascending — a driver-side codebook.
 CentroidRows = list[tuple[int, list[float]]]
@@ -1414,16 +1414,51 @@ def _shingle_pair_intersections(
     count, two size joins — ``(a, b, inter, sz_a, sz_b)`` with
     ``a < b``. Everything downstream is a per-row formula, so the
     similarity measures differ only in arithmetic, not in shuffle
-    shape."""
-    sh = shingle_rows(docs, n, id_col, text_col).dropDuplicates(["doc", "sh"])
-    if max_df is not None:
-        rare = (
-            sh.groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("sh")
+    shape.
+
+    Round-11 shape (guide §2 — remove shuffles outright): the original
+    built ``shingle_rows(...).dropDuplicates`` postings and referenced
+    them FOUR times (both self-join sides + two size-by-doc joins), so
+    the token-stream window exchange and the dedup aggregate executed
+    4× — 14 Exchanges / 4 scans in the dedup_containment plan. Now
+    `shingle_set_rows` builds the distinct set and its size MAP-SIDE
+    (zero exchanges) and the sizes ride the postings through the one
+    shingle equi-join; grouping by ``(a, b, sz_a, sz_b)`` — sizes are
+    functionally dependent on the ids — makes both size joins vanish.
+    3 Exchanges / 2 scans, no Window. Result-identical: same distinct
+    shingle sets, same |A∩B| counts, and the sizes were always the
+    per-doc distinct-shingle counts.
+
+    The ``max_df`` stop-shingle flavor keeps the aggregate shape
+    because its documented sizes are POST-filter (rare-shingle counts),
+    which a map-side per-doc size cannot know."""
+    if max_df is None:
+        # pin the shingle exchange to default parallelism: the pair
+        # join is compute-dense per posting (string sort-merge), and
+        # AQE's bytes advisory coalesces the ~10M-posting exchange to
+        # one task at bench scale (the round-6 dedup_spans lesson:
+        # bytes advisories are for byte-bound stages)
+        n_part = max(1, docs.sparkSession.sparkContext.defaultParallelism)
+        sh = shingle_set_rows(docs, n, id_col, text_col).repartition(
+            n_part, "sh"
         )
-        sh = sh.join(rare, "sh")
+        a = sh.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a"), "sh")
+        b = sh.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b"), "sh")
+        return (
+            a.join(b, "sh")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b", "sz_a", "sz_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .select("a", "b", "inter", "sz_a", "sz_b")
+        )
+    sh = shingle_rows(docs, n, id_col, text_col).dropDuplicates(["doc", "sh"])
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("sh")
+    )
+    sh = sh.join(rare, "sh")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc").alias("a"), "sh")
     b = sh.select(F.col("doc").alias("b"), "sh")
@@ -1541,21 +1576,83 @@ def containment_incremental_pairs(
 
     if (corpus is None) == (corpus_postings is None):
         raise ValueError("pass exactly one of corpus or corpus_postings")
+    if max_df is None:
+        # Round-11 shape (guide §2): sizes ride the postings map-side
+        # (`shingle_set_rows`), so the batch is shingled ONCE instead of
+        # twice (the sz_a aggregate branch is gone) and, on the raw-
+        # corpus path, the corpus once instead of twice — the matched-
+        # docs semi-join, the persist that existed only to feed it, and
+        # both size joins all disappear; the one pair aggregate groups
+        # by (a, b, sz_a, sz_b), functionally dependent on the ids.
+        # Result-identical: same distinct sets, same counts, and the
+        # pre-filter size IS the documented size when no stop-shingle
+        # cap is set. The persisted-postings path keeps the matched-docs
+        # size aggregate (the index stores no sizes — adding them would
+        # change the persisted format).
+        # no pinned shingle exchange here (unlike the self-join core):
+        # the batch side is small by construction, so the planner
+        # broadcasts it and pinned repartitions would be pure overhead
+        # — measured +0.25 s/run at sf0.1 for zero plan benefit
+        bsh = shingle_set_rows(batch, n, id_col, text_col).select(
+            F.col("doc").alias("a"), F.col("sz").alias("sz_a"), "sh"
+        )
+        if corpus is not None:
+            csh = shingle_set_rows(corpus, n, id_col, text_col).select(
+                F.col("doc").alias("b"), F.col("sz").alias("sz_b"), "sh"
+            )
+            return (
+                bsh.join(csh, "sh")
+                .groupBy("a", "b", "sz_a", "sz_b")
+                .agg(F.count(F.lit(1)).alias("inter"))
+                .withColumn(
+                    "containment",
+                    F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")),
+                )
+                .filter(F.col("containment") >= threshold)
+                .select(
+                    "a", "b", "inter", "sz_a", "sz_b",
+                    F.round("containment", 8).alias("containment"),
+                )
+            )
+        csh = corpus_postings
+        inter = (
+            bsh.join(csh.select(F.col("doc").alias("b"), "sh"), "sh")
+            .groupBy("a", "b", "sz_a")
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .persist()
+        )
+        sz_b = (
+            csh.join(inter.select(F.col("b").alias("doc")).distinct(), "doc")
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("sz_b"))
+        )
+        out = (
+            inter.join(sz_b.withColumnRenamed("doc", "b"), "b")
+            .withColumn(
+                "containment",
+                F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b")),
+            )
+            .filter(F.col("containment") >= threshold)
+            .select(
+                "a", "b", "inter", "sz_a", "sz_b",
+                F.round("containment", 8).alias("containment"),
+            )
+        )
+        return attach_owned(out, [inter])
     bsh = shingle_rows(batch, n, id_col, text_col).dropDuplicates(["doc", "sh"])
     csh = (
         corpus_postings
         if corpus_postings is not None
         else corpus_postings_index(corpus, n, id_col, text_col)
     )
-    if max_df is not None:
-        df_tbl = (
-            corpus_df
-            if corpus_df is not None
-            else csh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        )
-        rare = df_tbl.filter(F.col("df") <= max_df).select("sh")
-        csh = csh.join(rare, "sh")
-        bsh = bsh.join(rare, "sh")
+    df_tbl = (
+        corpus_df
+        if corpus_df is not None
+        else csh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    )
+    rare = df_tbl.filter(F.col("df") <= max_df).select("sh")
+    csh = csh.join(rare, "sh")
+    bsh = bsh.join(rare, "sh")
     sz_a = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_a"))
     inter = (
         bsh.select(F.col("doc").alias("a"), "sh")

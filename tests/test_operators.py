@@ -936,6 +936,42 @@ def test_shingle_rows_arrow_matches_builtin(spark):
         assert a == b, (n, a, b)
 
 
+def test_shingle_set_rows_flavors_match_shingle_rows(spark):
+    """Round-11: the map-side distinct-postings builder
+    (`shingle_set_rows`, the inverted-index core's new shape) must
+    agree with `shingle_rows(...).dropDuplicates` in BOTH impls —
+    same (doc, sh) set, plus a correct per-doc distinct count and
+    null-text docs dropped (the window flavor's posexplode behavior,
+    which the arrow/builtin kernels must mirror explicitly)."""
+    from real_time_trip_processing_spark.functions.text import (
+        shingle_rows,
+        shingle_set_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c"), (2, "x y"), (3, ""), (4, "   "),
+         (5, "only"), (6, "w1 w2 w3 w1 w2 w3 w1 w2 w3"), (7, None)],
+        "doc_id long, text string",
+    )
+    for n in (1, 3, 8):
+        want = sorted(
+            map(
+                tuple,
+                shingle_rows(df, n)
+                .dropDuplicates(["doc", "sh"])
+                .collect(),
+            )
+        )
+        sizes = {}
+        for doc, _sh in want:
+            sizes[doc] = sizes.get(doc, 0) + 1
+        for impl in ("arrow", "builtin"):
+            rows = shingle_set_rows(df, n, impl=impl).collect()
+            got = sorted((r.doc, r.sh) for r in rows)
+            assert got == want, (impl, n, got, want)
+            assert all(r.sz == sizes[r.doc] for r in rows), (impl, n)
+
+
 def test_persisted_ivf_index_prunes_partitions(spark, tmp_path):
     """The persisted-index story the IVF docstrings promise, executed:
     the assigned corpus written partitioned by cent_id is THE index,
