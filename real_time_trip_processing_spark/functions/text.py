@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "tokens", "py_tokens", "distinct_tokens", "shingles", "shingle_rows",
@@ -340,17 +340,27 @@ def doc_lm_score(
     Scale shape: counts are vocabulary-sized (Zipf — tiny next to the
     corpus), the probe stream is the corpus bigram stream re-expanded
     row-locally. The prefix totals are attached to the COUNT table
-    first (a vocabulary-sized join), so the full probe stream shuffles
+    first (a vocabulary-sized pass), so the full probe stream shuffles
     into exactly ONE (w1,w2)-keyed join — joining the probe stream
     twice (once per statistic) would double the dominant exchange.
-    Shuffles: the (w1,w2) count aggregate, the (w1) rollup + re-attach
-    on the collapsed frame, the single probe join (AQE broadcasts the
-    count side when it fits), and the final doc-keyed mean. V rides as
-    a broadcast 1-row frame — no driver action at plan-build."""
+    Spark re-executes a shared subtree once per consumer (no DAG
+    sharing without materialization, and caching inside a declared
+    query would leak across runs), so every derived statistic must be
+    LINEAR on top of its input, not a sibling branch: w1_total is a
+    window sum over the count table (one vocabulary-sized exchange)
+    rather than a groupBy+join back, which re-ran the whole corpus
+    count aggregate a second time. The window's per-w1 groups are
+    bounded by the continuation vocabulary of that prefix, so no
+    hot-key task. V remains the one unavoidable extra pass (a distinct
+    over the probe stream; deriving it from the count table re-executes
+    that subtree instead — same pass count, more work per pass) and
+    rides as a broadcast 1-row frame — no driver action at plan-build.
+    Corpus passes: probe + counts + vocab = 3 (was 4)."""
     bg = bigram_rows(df, id_col, text_col)
     counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    w1_tot = counts.groupBy("w1").agg(F.sum("cnt").alias("w1_total"))
-    model = counts.join(w1_tot, "w1")
+    model = counts.withColumn(
+        "w1_total", F.sum("cnt").over(Window.partitionBy("w1"))
+    )
     vocab = counts.select("w2").distinct().agg(F.count(F.lit(1)).alias("v"))
     nll = -F.log(
         (F.col("cnt") + F.lit(1)) / (F.col("w1_total") + F.col("v"))

@@ -109,6 +109,17 @@ def test_q3_topk_and_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") >= 1
 
 
+def test_doc_lm_score_three_corpus_passes(spark):
+    """doc_lm_score: exactly THREE corpus passes — probe stream, the
+    (w1,w2) count aggregate, and the vocabulary distinct. The prefix
+    totals must come from a window over the count table (one
+    vocabulary-sized exchange), never from a groupBy+join back, which
+    re-ran the whole corpus count aggregate as a fourth pass."""
+    plan = plan_of(spark, "doc_lm_score")
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", plan)) == 3, plan
+    assert len(re.findall(r"\n\(\d+\) Window", plan)) == 1, plan
+
+
 def test_grouping_sets_single_expand(spark):
     """kpi_grouping_sets: three grouping sets = ONE Expand + one
     aggregate exchange, not three scans."""
