@@ -1119,8 +1119,18 @@ def srp_incremental_pairs(
     cand = bb.join(cb, ["band", "bh"]).select("a", "b").distinct()
     paired = cand.join(va, "a").join(vb, "b")
     if impl == "arrow":
+        # asNondeterministic: the kernel is pure, but without the mark the
+        # optimizer clones it around the threshold filter below — one
+        # ArrowEvalPython under the filter and a second re-scoring the
+        # survivors for the output projection (two Python crossings per
+        # candidate pair). The mark pins a single evaluation; values and
+        # rows are unchanged.
         scored = paired.select(
-            "a", "b", qcos_pair_kernel()(F.col("va"), F.col("vb")).alias("score")
+            "a",
+            "b",
+            qcos_pair_kernel()
+            .asNondeterministic()(F.col("va"), F.col("vb"))
+            .alias("score"),
         )
     else:
         scored = paired.select(

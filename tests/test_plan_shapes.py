@@ -394,6 +394,18 @@ def test_dedup_incremental_hash_only_shuffles(spark):
     assert "rangepartitioning" not in plan, plan
 
 
+def test_srp_incremental_single_score_kernel(spark):
+    """The quantized-cosine pair kernel must appear exactly ONCE in the
+    incremental screen's plan: without the asNondeterministic pin the
+    optimizer clones the ArrowEvalPython around the threshold filter,
+    scoring every candidate pair twice (r11; guide §4.4 shape)."""
+    plan = plan_of(spark, "dedup_near_embedding_incremental")
+    import re as _re
+
+    score_nodes = _re.findall(r"\[score\(", plan)
+    assert len(score_nodes) == 1, plan
+
+
 def test_random_projection_row_local(spark):
     """Dimensionality reduction is a pure projection over the scan —
     zero exchanges, zero joins; the plane matrix is one folded literal."""
