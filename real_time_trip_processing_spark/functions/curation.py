@@ -24,7 +24,7 @@ import re
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .text import LANG_MARKERS, token_count, tokens
-from .text import shingle_rows, shingles
+from .text import shingle_count_rows, shingle_rows, shingles
 
 __all__ = [
     "ngram_decontaminate", "pack_sequences", "quality_gate",
@@ -659,8 +659,16 @@ def repeated_ngrams(
     behind boilerplate/template removal and substring-level dedup
     (headers, footers, license blocks repeat verbatim across pages).
 
-    Scale shape: windows come from ``shingle_rows`` (posexplode + lead —
-    all codegen'd), then ONE partial-aggregated shuffle on the gram.
+    Scale shape: windows come from ``shingle_count_rows``'s Arrow
+    kernel — grams built ROW-LOCALLY with the within-doc collapse
+    already COMPLETE (zero network bytes for gram construction; the
+    window flavor's token-stream exchange + sort + 7-lead window
+    disappear — r11). Because each ``(doc, sh)`` arrives globally
+    unique, ``n_docs`` is a plain ``COUNT(*)`` and ``n_occ`` a
+    ``SUM(occ)`` — Spark plans ONE partial-aggregated exchange on the
+    gram instead of the two-exchange COUNT(DISTINCT doc) rewrite
+    (partial-by-(sh,doc) → Exchange(sh,doc) → partial-by-(sh) →
+    Exchange(sh)).
     With ``hash_grams=False`` the gram string itself is the shuffled
     payload (≈ n words per row). ``hash_grams=True`` xxhash64s each
     gram map-side BEFORE the exchange, so the shuffle key is a fixed
@@ -668,16 +676,17 @@ def repeated_ngrams(
     100 TB, where the gram bytes dominate shuffle volume. Counts
     (n_docs, n_occ, first/last doc) are identical modulo 64-bit hash
     collisions (~N²/2⁶⁵ expected — negligible below ~10¹⁸ distinct
-    grams); the literal gram text is traded for its hash in the report
-    (``gram`` column: string vs signed-long decimal string)."""
-    sh = shingle_rows(docs, n, id_col, text_col)
+    grams; a within-doc collision would also nudge n_docs, the same
+    caveat class); the literal gram text is traded for its hash in the
+    report (``gram`` column: string vs signed-long decimal string)."""
+    sh = shingle_count_rows(docs, n, id_col, text_col)
     if hash_grams:
-        sh = sh.select("doc", F.xxhash64("sh").alias("sh"))
+        sh = sh.select("doc", F.xxhash64("sh").alias("sh"), "occ")
     out = (
         sh.groupBy("sh")
         .agg(
-            F.countDistinct("doc").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occ"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").alias("n_occ"),
             F.min("doc").alias("first_doc"),
             F.max("doc").alias("last_doc"),
         )

@@ -459,8 +459,9 @@ def repeated_substrings(spark, sf_dir):
     """Intra-corpus repeated-substring mining: word 8-gram windows that
     recur across ≥ 2 distinct documents — the boilerplate/template
     signal substring-level dedup is built on (headers, footers, license
-    blocks repeat verbatim). One partial-aggregated shuffle on the gram;
-    windows are built with the codegen'd posexplode+lead path."""
+    blocks repeat verbatim). Grams are built row-locally by the Arrow
+    shingle kernel (r11 — the token-stream window exchange is gone);
+    ONE partial-aggregated shuffle on the gram."""
     return C.repeated_ngrams(table(spark, sf_dir, "documents"), n=8, min_docs=2)
 
 

@@ -936,6 +936,33 @@ def test_shingle_rows_arrow_matches_builtin(spark):
         assert a == b, (n, a, b)
 
 
+def test_shingle_count_rows_matches_shingle_rows_counts(spark):
+    """Round-11: the map-side within-doc-collapsed counter
+    (`shingle_count_rows`, the single-exchange core of
+    `repeated_ngrams`) must agree with `shingle_rows` grouped by
+    (doc, sh) — same gram universe (short docs' truncated gram,
+    empty/whitespace texts, null texts dropped) and exact per-(doc, sh)
+    occurrence counts, with every output row globally unique."""
+    from real_time_trip_processing_spark.functions.text import (
+        shingle_count_rows,
+        shingle_rows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e a b c"), (2, "x y"), (3, ""), (4, "   "),
+         (5, "only"), (6, "w1 w2 w3 w1 w2 w3 w1 w2 w3"), (7, None)],
+        "doc_id long, text string",
+    )
+    for n in (1, 3, 8):
+        want = {}
+        for doc, sh in map(tuple, shingle_rows(df, n).collect()):
+            want[(doc, sh)] = want.get((doc, sh), 0) + 1
+        rows = shingle_count_rows(df, n).collect()
+        got = {(r.doc, r.sh): r.occ for r in rows}
+        assert len(rows) == len(got), (n, "duplicate (doc, sh) rows")
+        assert got == want, (n, got, want)
+
+
 def test_shingle_set_rows_flavors_match_shingle_rows(spark):
     """Round-11: the map-side distinct-postings builder
     (`shingle_set_rows`, the inverted-index core's new shape) must
