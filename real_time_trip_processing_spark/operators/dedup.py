@@ -207,7 +207,6 @@ def dedup_spans(
     span_words: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
-    _pin_exchange: bool = True,
 ) -> DataFrame:
     """X1 at SUB-document granularity — C4-style span dedup: split each
     document into non-overlapping ``span_words``-word spans, keep only
@@ -224,48 +223,43 @@ def dedup_spans(
     and engine-comparable; callers wanting the text itself use the same
     ``rebuilt`` aggregation without the hash.
 
-    Scale shape: span construction is map-side array arithmetic; the
-    first-occurrence decision is ONE window over the 32-byte span hash
-    (spans shuffle once, keyed by content hash — skew-safe: exact
-    duplicates of one span all land in one group, bounded by its global
-    frequency); reassembly is one doc-keyed aggregate. NULL text =
-    empty content (zero spans), the X1-family rule.
+    Scale shape (r11 rework — guide §8's rule applied: every shuffle
+    but the last moves a lightweight proxy, the payload moves once):
+    the first-occurrence decision shuffles ONLY partial-aggregated
+    ``(32-byte binary hash, min (id, idx))`` rows — the span TEXT
+    never enters an exchange, and because the decision is a plain
+    ``groupBy(hash).min(struct)`` the map side pre-collapses repeats
+    (no sort, no window exec, no pinned repartition: the old
+    compute-dense window stage that needed the width pin is gone —
+    measured at sf0.1: window 0.92 s → groupBy 0.55 s, identical
+    rows). Skew-safe: exact duplicates of one span all collapse into
+    one group. Reassembly re-slices each doc's own token array AFTER
+    a doc-keyed join of the bare ``(id, idx)`` decisions, so the
+    document payload crosses the network once (or zero times when the
+    decision frame broadcasts). The audit's ``n_spans`` is pure
+    map-side arithmetic on the token-array length — the old second
+    span-construction subtree + groupBy exchange are gone. NULL text
+    = empty content (zero spans), the X1-family rule.
     """
     sw = int(span_words)
-    ex0 = _span_rows(docs, sw, id_col, text_col)
-    # count BEFORE dropping empty spans: every doc emits ≥1 exploded
-    # row (the sequence is never empty), so empty/NULL-text docs stay
-    # in the audit with n_spans = 0 instead of vanishing
-    per_doc = ex0.groupBy(id_col).agg(
-        F.sum(F.when(F.col("span") != "", 1).otherwise(0))
-        .cast("long")
-        .alias("n_spans")
+    meta = (
+        _span_rows(docs, sw, id_col, text_col)
+        .filter(F.col("span") != "")
+        # binary, not hex: halves the decision shuffle's key bytes
+        # (32 vs 64); purely plan-internal, never persisted (the
+        # incremental flavor keeps hex — its hashes round-trip
+        # through the persisted span index)
+        .select(id_col, "idx", F.unhex(F.sha2(F.col("span"), 256)).alias("__h"))
     )
-    ex = ex0.filter(F.col("span") != "").withColumn(
-        "__h", F.sha2(F.col("span"), 256)
-    )
-    # pin the hash exchange to default parallelism: the window's sort
-    # and the downstream reassembly are compute-dense per span, and
-    # AQE's bytes advisory would coalesce a ~100 MB span exchange to a
-    # handful of tasks (the dedup_near_embedding round-6 lesson: bytes
-    # advisories are for byte-bound stages). ``_pin_exchange=False`` is
-    # the A/B seam for the scale harness only — it hands the width back
-    # to AQE so the pin's value stays a measured fact, not an
-    # inherited assumption (measurements in SCALE.md).
-    if _pin_exchange:
-        n_part = max(1, docs.sparkSession.sparkContext.defaultParallelism)
-        ex = ex.repartition(n_part, "__h")
-    w = Window.partitionBy("__h")
-    first = F.min(F.struct(F.col(id_col), F.col("idx"))).over(w)
     kept = (
-        ex.withColumn("__first", first)
-        .filter(
-            (F.col(f"__first.{id_col}") == F.col(id_col))
-            & (F.col("__first.idx") == F.col("idx"))
+        meta.groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("idx"))).alias("__f"))
+        .select(
+            F.col(f"__f.{id_col}").alias(id_col),
+            F.col("__f.idx").alias("idx"),
         )
-        .drop("__first", "__h")
     )
-    return _span_audit(per_doc, kept, id_col)
+    return _span_audit(_base_words(docs, id_col, text_col), kept, id_col, sw)
 
 
 #: Span-HASH formula version for persisted span indexes
@@ -294,12 +288,7 @@ def _span_rows(
     projects it away first. Every doc emits ≥1 row (the sequence is
     never empty); empty/NULL text yields one empty-string span so the
     doc stays visible to audits."""
-    base = docs.select(
-        F.col(id_col),
-        F.split(
-            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
-        ).alias("__w"),
-    )
+    base = _base_words(docs, id_col, text_col)
     return base.select(
         id_col,
         "__w",
@@ -317,34 +306,66 @@ def _span_rows(
     )
 
 
-def _span_audit(per_doc: DataFrame, kept: DataFrame, id_col: str) -> DataFrame:
-    """Reassemble kept spans per doc into the audit frame
-    ``(id, n_spans, n_spans_removed, rebuilt_sha)`` — one doc-keyed
-    aggregate; collect_list is bounded by spans-per-doc (document
-    length), the bound the whole text suite carries."""
-    rebuilt = kept.groupBy(id_col).agg(
+def _base_words(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, __w) rows — each doc's whitespace token array, the shared
+    map-side base of span construction AND the audit's re-slice
+    reassembly (both must tokenize identically or a rebuilt doc would
+    hash differently from the spans that were kept from it)."""
+    return docs.select(
+        F.col(id_col),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("__w"),
+    )
+
+
+def _span_audit(
+    base: DataFrame, kept: DataFrame, id_col: str, sw: int
+) -> DataFrame:
+    """Audit frame ``(id, n_spans, n_spans_removed, rebuilt_sha)`` from
+    the ``(id, __w)`` token base and bare ``(id, idx)`` keep decisions
+    (r11 rework): the kept-idx list aggregates doc-keyed (tiny — two
+    ints per surviving span; collect_list bounded by spans-per-doc,
+    the bound the whole text suite carries), joins back to the base,
+    and the surviving spans are re-sliced from the doc's OWN token
+    array map-side — span text never shuffles. ``n_spans`` is array
+    arithmetic on ``__w`` (ceil(len/sw); the single empty-token array
+    a NULL/empty/whitespace-only text produces counts 0), exactly the
+    count of non-empty spans `_span_rows` emits: the only empty token
+    a Java-regex split can produce is a leading one, which lands in
+    span 0 beside real tokens whenever the doc has any."""
+    kept_agg = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sha2(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("idx"), F.col("span")))
-                    ),
-                    lambda s: s["span"],
+        F.array_sort(F.collect_list("idx")).alias("__idxs"),
+    )
+    n_spans = (
+        F.when(
+            (F.size("__w") == 1) & (F.element_at("__w", 1) == F.lit("")),
+            F.lit(0),
+        )
+        .otherwise(F.expr(f"int(ceil(size(__w) / {sw}.0))"))
+        .cast("long")
+    )
+    rebuilt_sha = F.sha2(
+        F.array_join(
+            F.transform(
+                F.col("__idxs"),
+                lambda i: F.array_join(
+                    F.slice(F.col("__w"), i * sw + 1, sw), " "
                 ),
-                " ",
             ),
-            256,
-        ).alias("rebuilt_sha"),
+            " ",
+        ),
+        256,
     )
     empty_sha = F.sha2(F.lit(""), 256)
-    return per_doc.join(rebuilt, id_col, "left").select(
+    return base.join(kept_agg, id_col, "left").select(
         id_col,
-        "n_spans",
-        (F.col("n_spans") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        n_spans.alias("n_spans"),
+        (n_spans - F.coalesce(F.col("n_kept"), F.lit(0)))
         .cast("long")
         .alias("n_spans_removed"),
-        F.coalesce(F.col("rebuilt_sha"), empty_sha).alias("rebuilt_sha"),
+        F.coalesce(rebuilt_sha, empty_sha).alias("rebuilt_sha"),
     )
 
 
@@ -355,7 +376,6 @@ def dedup_spans_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     corpus_span_hash_col: str | None = None,
-    _pin_exchange: bool = True,
 ) -> DataFrame:
     """`dedup_spans`, incremental flavor — the per-ingest-cycle shape of
     C4-style span dedup: spans of a NEW batch survive iff they (a) are
@@ -368,19 +388,28 @@ def dedup_spans_incremental(
     restricted to the batch docs — the incremental path must never keep
     a span the global path would remove, or vice versa.
 
-    Scale shape: batch spans shuffle ONCE by 32-byte content hash
-    (window + anti-join share the key); the corpus side contributes
-    only hashes. At 100 TB pass the persisted span-hash index of prior
-    ingests via ``corpus_span_hash_col`` (bucketed on the hash →
+    Scale shape (r11 rework, same as `dedup_spans`): the batch side
+    shuffles ONLY ``(id, idx, hash)`` metadata — span text never
+    enters an exchange; window + anti-join share the hash key; the
+    corpus side contributes only hashes; reassembly re-slices the
+    incoming docs' own token arrays after a doc-keyed join of the
+    keep decisions. At 100 TB pass the persisted span-hash index of
+    prior ingests via ``corpus_span_hash_col`` (bucketed on the hash →
     co-located anti-join), making the cycle cost proportional to the
     BATCH; the default re-derives corpus spans each cycle — the
     small-corpus convenience path (same dial as `dedup_incremental`).
     """
-    per_doc, kept = _kept_spans_incremental(
+    sw = int(span_words)
+    kept = _kept_spans_incremental(
         incoming, corpus, span_words, id_col, text_col,
-        corpus_span_hash_col, _pin_exchange,
+        corpus_span_hash_col,
     )
-    return _span_audit(per_doc, kept.drop("__h"), id_col)
+    return _span_audit(
+        _base_words(incoming, id_col, text_col),
+        kept.select(id_col, "idx"),
+        id_col,
+        sw,
+    )
 
 
 def _kept_spans_incremental(
@@ -390,37 +419,33 @@ def _kept_spans_incremental(
     id_col: str,
     text_col: str,
     corpus_span_hash_col: str | None,
-    _pin_exchange: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """(per_doc span counts, surviving span rows WITH their ``__h``
-    hash) — the shared core of the batch audit and the streaming sink
-    (which appends the survivors' hashes to its persisted index: kept
-    spans are exactly the hashes the index does not yet contain, so
-    appending them keeps index == every-span-hash-ever-seen)."""
+) -> DataFrame:
+    """Surviving-span decisions ``(id, idx, __h)`` — the shared core of
+    the batch audit and the streaming sink (which appends the
+    survivors' hashes to its persisted index: kept spans are exactly
+    the hashes the index does not yet contain, so appending them keeps
+    index == every-span-hash-ever-seen). ``__h`` stays LOWERCASE HEX
+    here — unlike `dedup_spans`' plan-internal binary hash — because
+    these values round-trip through the persisted span index
+    (`_SIG_FORMAT` v1 stores hex sha256 strings); span text is still
+    projected away before the exchange, and the within-batch
+    first-occurrence decision is the same partial-aggregated
+    ``groupBy(hash).min(struct)`` as `dedup_spans` (r11) — the
+    anti-join then reuses the groupBy's hash partitioning."""
     sw = int(span_words)
-    ex0 = _span_rows(incoming, sw, id_col, text_col)
-    per_doc = ex0.groupBy(id_col).agg(
-        F.sum(F.when(F.col("span") != "", 1).otherwise(0))
-        .cast("long")
-        .alias("n_spans")
+    meta = (
+        _span_rows(incoming, sw, id_col, text_col)
+        .filter(F.col("span") != "")
+        .select(id_col, "idx", F.sha2(F.col("span"), 256).alias("__h"))
     )
-    ex = ex0.filter(F.col("span") != "").withColumn(
-        "__h", F.sha2(F.col("span"), 256)
-    )
-    if _pin_exchange:  # same rationale as dedup_spans
-        n_part = max(
-            1, incoming.sparkSession.sparkContext.defaultParallelism
-        )
-        ex = ex.repartition(n_part, "__h")
-    w = Window.partitionBy("__h")
-    first = F.min(F.struct(F.col(id_col), F.col("idx"))).over(w)
     batch_first = (
-        ex.withColumn("__first", first)
-        .filter(
-            (F.col(f"__first.{id_col}") == F.col(id_col))
-            & (F.col("__first.idx") == F.col("idx"))
+        meta.groupBy("__h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("idx"))).alias("__f"))
+        .select(
+            "__h",
+            F.col(f"__f.{id_col}").alias(id_col),
+            F.col("__f.idx").alias("idx"),
         )
-        .drop("__first")
     )
     if corpus_span_hash_col is not None:
         corpus_hashes = corpus.select(
@@ -432,5 +457,4 @@ def _kept_spans_incremental(
             .filter(F.col("span") != "")
             .select(F.sha2(F.col("span"), 256).alias("__h"))
         )
-    kept = batch_first.join(corpus_hashes, "__h", "left_anti")
-    return per_doc, kept
+    return batch_first.join(corpus_hashes, "__h", "left_anti")

@@ -747,7 +747,11 @@ def stream_dedup_spans_sink(
     index side ships hashes only (at 100 TB, bucket the index on
     span_hash for a co-located anti-join).
     """
-    from ..operators.dedup import _kept_spans_incremental, _span_audit
+    from ..operators.dedup import (
+        _base_words,
+        _kept_spans_incremental,
+        _span_audit,
+    )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -790,13 +794,18 @@ def stream_dedup_spans_sink(
             # marked, empty dir), screen vs an empty index
             write_sig_format(spark, index_dir, token)
             idx = spark.createDataFrame([], "span_hash string")
-        per_doc, kept = _kept_spans_incremental(
+        kept = _kept_spans_incremental(
             batch_df, idx, span_words, id_col, text_col,
             corpus_span_hash_col="span_hash",
         )
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            audit = _span_audit(per_doc, kept.drop("__h"), id_col)
+            audit = _span_audit(
+                _base_words(batch_df, id_col, text_col),
+                kept.select(id_col, "idx"),
+                id_col,
+                int(span_words),
+            )
             (
                 audit.withColumn("__batch_id", F.lit(int(batch_id)))
                 .write.mode("overwrite")
