@@ -1443,19 +1443,29 @@ def _shingle_pair_intersections(
     because its documented sizes are POST-filter (rare-shingle counts),
     which a map-side per-doc size cannot know."""
     if max_df is None:
-        # pin the shingle exchange to default parallelism: the pair
-        # join is compute-dense per posting (string sort-merge), and
-        # AQE's bytes advisory coalesces the ~10M-posting exchange to
-        # one task at bench scale (the round-6 dedup_spans lesson:
-        # bytes advisories are for byte-bound stages)
-        n_part = max(1, docs.sparkSession.sparkContext.defaultParallelism)
-        sh = shingle_set_rows(docs, n, id_col, text_col).repartition(
-            n_part, "sh"
-        )
+        # Round-11 join-strategy pass (guide §3.1 "pick the strategy
+        # deliberately"): SHUFFLED-HASH self-join on the shingle, both
+        # sides the SAME kernel subtree. Without the hint the planner
+        # broadcast the b side — a full second evaluation of the
+        # shingle kernel feeding a driver-collected hash relation of
+        # every posting; with it, both sides hash-partition on ``sh``
+        # with canonically identical exchanges, so AQE's stage reuse
+        # evaluates the kernel ONCE and the second side reads the
+        # shuffle output (final plan: one MapInPandas + ReusedExchange
+        # — plans/r11/dedup_containment_after.txt). No sort (the old
+        # pinned-repartition's compute-dense-SMJ rationale died with
+        # the sort), and the ENSURE_REQUIREMENTS exchange leaves AQE
+        # free to size the stage. Measured at sf0.1 (6 runs, median):
+        # broadcast+pin 1.15–1.29 s → SMJ shared 0.92 s → SHJ shared
+        # 0.82 s, identical rows. Per-partition build state is the
+        # postings of that partition's shingles — the same mass a
+        # bucket's pair loop already bounds; ``max_df`` stays the
+        # production cap for degenerate shingles.
+        sh = shingle_set_rows(docs, n, id_col, text_col)
         a = sh.select(F.col("doc").alias("a"), F.col("sz").alias("sz_a"), "sh")
         b = sh.select(F.col("doc").alias("b"), F.col("sz").alias("sz_b"), "sh")
         return (
-            a.join(b, "sh")
+            a.join(b.hint("shuffle_hash"), "sh")
             .filter(F.col("a") < F.col("b"))
             .groupBy("a", "b", "sz_a", "sz_b")
             .agg(F.count(F.lit(1)).alias("inter"))
@@ -1606,12 +1616,25 @@ def containment_incremental_pairs(
         bsh = shingle_set_rows(batch, n, id_col, text_col).select(
             F.col("doc").alias("a"), F.col("sz").alias("sz_a"), "sh"
         )
+        # Round-11 join-strategy pass (guide §3.1): BROADCAST the
+        # BATCH postings — left to estimates the planner built the
+        # hash relation from the CORPUS side (observed in the
+        # dedup_containment_incremental plan: BuildRight over the 6/7
+        # slice), collecting ~7× the rows to the driver and shipping
+        # them to every task. The batch is the definitionally-small
+        # side (one ingest cycle); with the hint the corpus postings
+        # stream map-side through the join and are never shuffled or
+        # collected — the §3.1 ideal. Measured at sf0.1: 1.19 s →
+        # 1.01 s median, identical rows. At 100 TB a cycle's postings
+        # are bounded by the micro-batch size dial; if a deployment's
+        # batches outgrow the broadcast cap, drop the hint and the
+        # planner falls back to a shuffle with the same semantics.
         if corpus is not None:
             csh = shingle_set_rows(corpus, n, id_col, text_col).select(
                 F.col("doc").alias("b"), F.col("sz").alias("sz_b"), "sh"
             )
             return (
-                bsh.join(csh, "sh")
+                F.broadcast(bsh).join(csh, "sh")
                 .groupBy("a", "b", "sz_a", "sz_b")
                 .agg(F.count(F.lit(1)).alias("inter"))
                 .withColumn(
@@ -1626,7 +1649,12 @@ def containment_incremental_pairs(
             )
         csh = corpus_postings
         inter = (
-            bsh.join(csh.select(F.col("doc").alias("b"), "sh"), "sh")
+            # same §3.1 build-side fix as the raw-corpus branch above:
+            # the persisted postings stream map-side past the
+            # broadcast batch instead of being shuffled or collected
+            F.broadcast(bsh).join(
+                csh.select(F.col("doc").alias("b"), "sh"), "sh"
+            )
             .groupBy("a", "b", "sz_a")
             .agg(F.count(F.lit(1)).alias("inter"))
             .persist()
