@@ -1072,6 +1072,28 @@ def srp_incremental_pairs(
         # this used to surface as AttributeError('NoneType') from
         # batch.filter, far from the misconfiguration)
         raise ValueError("pass batch or batch_index")
+    if corpus is None and corpus_index is None:
+        raise ValueError("pass corpus or corpus_index")
+    if impl == "arrow":
+        # Round-11 (guide §4.1/§8 and this docstring's own upgrade
+        # path, promoted to the default): the FUSED side-tagged cogroup
+        # kernel. The join flavor materialized every candidate pair as
+        # a Spark row (distinct exchange), attached BOTH float64
+        # vectors via two joins, and crossed the Python boundary once
+        # per pair with 2·dim doubles. The fused flavor unions
+        # side-tagged (vid, quantized-float32 vec, band, bh) rows,
+        # shuffles them ONCE, and scores each bucket's corpus×batch
+        # block with one einsum — candidate pairs never exist as rows;
+        # only survivors leave the kernel. Measured at sf0.1: 1.83 s →
+        # 1.15 s median, identical rows (pairs colliding in several
+        # bands score identically — integer-exact math — and the final
+        # distinct collapses them, as in `srp_near_dup`).
+        return _srp_incremental_fused(
+            batch, batch_index, corpus, corpus_index,
+            num_bits, bands, threshold, dim, bucket_cap, id_col, vec_col,
+        )
+    # impl="builtin": the Python-free candidate-join cross-check —
+    # bucket equi-join, distinct, two vector-attach joins, JVM qcos fold
     if batch_index is not None:
         bb = _srp_band_rows(
             batch_index.select("vid", "sig"), num_bits, bands
@@ -1095,7 +1117,7 @@ def srp_incremental_pairs(
         va = corpus_index.select(
             F.col("vid").alias("a"), F.col("vec").alias("va")
         )
-    elif corpus is not None:
+    else:
         corpus = corpus.filter(has_quant_direction(F.col(vec_col)))
         cb = srp_buckets(
             corpus, num_bits, bands, dim, id_col, vec_col, impl
@@ -1104,8 +1126,6 @@ def srp_incremental_pairs(
             F.col(id_col).alias("a"),
             F.col(vec_col).cast("array<double>").alias("va"),
         )
-    else:
-        raise ValueError("pass corpus or corpus_index")
     if bucket_cap is not None:
         from pyspark.sql import Window
 
@@ -1118,27 +1138,203 @@ def srp_incremental_pairs(
         )
     cand = bb.join(cb, ["band", "bh"]).select("a", "b").distinct()
     paired = cand.join(va, "a").join(vb, "b")
-    if impl == "arrow":
-        # asNondeterministic: the kernel is pure, but without the mark the
-        # optimizer clones it around the threshold filter below — one
-        # ArrowEvalPython under the filter and a second re-scoring the
-        # survivors for the output projection (two Python crossings per
-        # candidate pair). The mark pins a single evaluation; values and
-        # rows are unchanged.
-        scored = paired.select(
-            "a",
-            "b",
-            qcos_pair_kernel()
-            .asNondeterministic()(F.col("va"), F.col("vb"))
-            .alias("score"),
-        )
-    else:
-        scored = paired.select(
-            "a", "b", qcos(F.col("va"), F.col("vb")).alias("score")
-        )
+    scored = paired.select(
+        "a", "b", qcos(F.col("va"), F.col("vb")).alias("score")
+    )
     return (
         scored.filter(F.col("score") >= threshold)
         .select("a", "b", F.round("score", 8).alias("score"))
+    )
+
+
+def _srp_fused_side_rows(
+    frame: DataFrame | None,
+    index: DataFrame | None,
+    side: int,
+    num_bits: int,
+    bands: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(vid, qv, side, band, bh)`` rows for `_srp_incremental_fused`
+    — from a raw frame (row-local Arrow signature kernel) or a stored
+    ``(vid, sig, vec)`` index (band keys are substrings of the STORED
+    bit string; the quantized verify vector is a row-local transform of
+    the stored float64 vector, bit-identical to inline quantization).
+    ``bh`` is a codegen'd long (`conv` of the bit substring), the same
+    8-byte shuffle key `srp_near_dup`'s kernel uses."""
+    rows_per_band = num_bits // bands
+    assert num_bits % bands == 0
+    assert rows_per_band <= 62, "band hash must fit a signed long"
+    if index is not None:
+        s = index.select(
+            "vid",
+            F.transform(
+                F.col("vec"),
+                lambda x: F.round(x * SRP_QUANT).cast("float"),
+            ).alias("qv"),
+            "sig",
+        )
+    else:
+        frame = frame.filter(has_quant_direction(F.col(vec_col)))
+        s = frame.select(
+            F.col(id_col).alias("vid"),
+            F.transform(
+                F.col(vec_col).cast("array<double>"),
+                lambda x: F.round(x * SRP_QUANT).cast("float"),
+            ).alias("qv"),
+            _srp_sig_arrow(num_bits, dim)(
+                F.col(vec_col).cast("array<double>")
+            ).alias("sig"),
+        )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.conv(
+                F.substring("sig", b * rows_per_band + 1, rows_per_band), 2, 10
+            ).cast("long").alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        s.select(
+            "vid", "qv", F.lit(side).alias("side"),
+            F.explode(F.array(*band_cols)).alias("bk"),
+        )
+        .select(
+            "vid", "qv", "side",
+            F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"),
+        )
+    )
+
+
+def _srp_incremental_fused(
+    batch: DataFrame | None,
+    batch_index: DataFrame | None,
+    corpus: DataFrame | None,
+    corpus_index: DataFrame | None,
+    num_bits: int,
+    bands: int,
+    threshold: float,
+    dim: int,
+    bucket_cap: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The fused cross-side scoring path of `srp_incremental_pairs`
+    (arrow impl): union side-tagged bucket rows (corpus side 0, batch
+    side 1), ONE (band, bh) shuffle, and a ``mapInPandas`` kernel that
+    scores each bucket's corpus×batch block with a gathered einsum —
+    emitting only pairs clearing ``threshold``. The plan is the
+    incremental twin of `srp_near_dup`'s kernel: same carry-buffer
+    bucket stitching, same float64-exactness guard, same
+    quantized-cosine arithmetic (d / (√n_a·√n_b) over exact integer
+    dot products), so scores are bit-identical to the join flavor and
+    the oracle. ``bucket_cap`` drops buckets whose CORPUS-side width
+    exceeds the cap — computed in-kernel over exactly the rows the old
+    window counted. When the same frame is passed as both sides (the
+    streaming sink's self-screen), every vector appears once per side
+    and the kernel emits all ordered cross pairs incl. a == b, exactly
+    like the candidate equi-join did; the caller's ``a < b`` filter
+    keeps its semantics."""
+    src = batch_index if batch_index is not None else batch
+    id_type = (
+        dict(src.dtypes)["vid"] if batch_index is not None
+        else dict(src.dtypes)[id_col]
+    )
+    rows = _srp_fused_side_rows(
+        corpus, corpus_index, 0, num_bits, bands, dim, id_col, vec_col
+    ).unionAll(
+        _srp_fused_side_rows(
+            batch, batch_index, 1, num_bits, bands, dim, id_col, vec_col
+        )
+    )
+    # explicit width (not AQE's bytes advisory): compute-dense block
+    # kernel — the same pin, for the same measured reason, as
+    # `srp_near_dup`'s bucket exchange
+    n_part = max(1, rows.sparkSession.sparkContext.defaultParallelism)
+    part = rows.repartition(n_part, "band", "bh").sortWithinPartitions(
+        "band", "bh", "side", "vid"
+    )
+    thr = float(threshold)
+    cap = bucket_cap
+    schema = f"a {id_type}, b {id_type}, score double"
+
+    def _flush(pdf):
+        if pdf is None or len(pdf) == 0:
+            return None
+        band_arr = pdf["band"].to_numpy()
+        bh_arr = pdf["bh"].to_numpy()
+        side_arr = pdf["side"].to_numpy()
+        change = (band_arr[1:] != band_arr[:-1]) | (bh_arr[1:] != bh_arr[:-1])
+        bounds = np.flatnonzero(change) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(pdf)]))
+        # rows sorted (band, bh, side, vid): each bucket is corpus rows
+        # then batch rows; the side sum IS the batch width
+        n_batch = np.add.reduceat(side_arr, starts)
+        sizes = ends - starts
+        n_corp = sizes - n_batch
+        live = (n_batch >= 1) & (n_corp >= 1)
+        if cap is not None:
+            live &= n_corp <= cap
+        if not live.any():
+            return None
+        vids = pdf["vid"].to_numpy()
+        qvn = pdf["qv"].to_numpy()
+        a_l, b_l, s_l = [], [], []
+        for s0, e0, m_c in zip(starts[live], ends[live], n_corp[live]):
+            qc = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in qvn[s0:s0 + m_c]]
+            )
+            qb = np.stack(
+                [np.asarray(x, dtype=np.float64) for x in qvn[s0 + m_c:e0]]
+            )
+            mx = max(np.abs(qc).max(), np.abs(qb).max())
+            if mx >= float(2**24) or qc.shape[1] * mx * mx >= _EXACT_F64:
+                raise ValueError(
+                    "quantized coords exceed the float32/float64 exactness "
+                    "bound — lower SRP_QUANT for this corpus"
+                )
+            sc = (qc @ qb.T) / (
+                np.sqrt(np.einsum("ij,ij->i", qc, qc))[:, None]
+                * np.sqrt(np.einsum("ij,ij->i", qb, qb))[None, :]
+            )
+            ii, jj = np.nonzero(sc >= thr)
+            if len(ii):
+                a_l.append(vids[s0:s0 + m_c][ii])
+                b_l.append(vids[s0 + m_c:e0][jj])
+                s_l.append(sc[ii, jj])
+        if not a_l:
+            return None
+        return pd.DataFrame(
+            {
+                "a": np.concatenate(a_l),
+                "b": np.concatenate(b_l),
+                "score": np.concatenate(s_l),
+            }
+        )
+
+    def scan(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last_band = pdf["band"].iloc[-1]
+            last_bh = pdf["bh"].iloc[-1]
+            tail = (pdf["band"] == last_band) & (pdf["bh"] == last_bh)
+            carry = pdf[tail].reset_index(drop=True)
+            out = _flush(pdf[~tail].reset_index(drop=True))
+            if out is not None:
+                yield out
+        out = _flush(carry)
+        if out is not None:
+            yield out
+
+    pairs = part.mapInPandas(scan, schema)
+    return pairs.distinct().select(
+        "a", "b", F.round("score", 8).alias("score")
     )
 
 
