@@ -377,8 +377,17 @@ def minhash_lsh_pairs(
         )
 
     candidates = (
+        # SHUFFLED-HASH self-join (round 11, guide §3.1 — the same fix
+        # as `_shingle_pair_intersections`): left to estimates the
+        # planner broadcast one side of the banded self-join, a full
+        # second evaluation of the band-explode subtree collected into
+        # a driver hash relation; with the hint both sides'
+        # ENSURE_REQUIREMENTS exchanges are canonically identical and
+        # runtime stage reuse evaluates the subtree once. Measured at
+        # sf0.1 on cold-cache runs: uncapped 1.82 s → 1.43 s, capped
+        # 1.99 s → 1.81 s, identical rows.
         pair_src.alias("l")
-        .join(pair_src.alias("r"), ["band", "bh"])
+        .join(pair_src.alias("r").hint("shuffle_hash"), ["band", "bh"])
         .select(F.col("l.doc").alias("a"), F.col("r.doc").alias("b"))
         .filter(F.col("a") < F.col("b"))
     )

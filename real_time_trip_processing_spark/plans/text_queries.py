@@ -814,12 +814,22 @@ def keyword_search(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("w")
     ).filter(F.col("w").isin(terms))
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # df as a WINDOW over the tf frame, not a groupBy+join back
+    # (round 11, guide §2.4): a sibling `tf.groupBy("w")` branch
+    # re-executed the whole pruned-postings subtree — a second corpus
+    # scan + explode — because Spark shares no DAG between consumers;
+    # the window pays one exchange of the TINY tf frame instead.
+    # Measured at sf0.1: 0.49 s → 0.38 s, identical rows.
+    from pyspark.sql import Window as _W
+
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("w")))
+    )
     n = docs.agg(F.count(F.lit(1)).alias("n"))
     hits = (
-        tf.join(dfreq, "w")
-        .join(n)
+        tf.join(n)
         .select(
             "doc_id",
             (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("tfidf"),
@@ -886,8 +896,15 @@ def bm25_search(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("w")
     ).filter(F.col("w").isin(terms))
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # df via a window over tf — same corpus-scan removal as
+    # keyword_search (round 11); measured 0.39 s → 0.35 s at sf0.1
+    from pyspark.sql import Window as _W
+
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("w")))
+    )
     dl = docs.select(
         "doc_id", F.size(X.tokens(F.col("text"))).cast("long").alias("dl")
     )
@@ -895,8 +912,7 @@ def bm25_search(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     )
     hits = (
-        tf.join(dfreq, "w")
-        .join(dl, "doc_id")
+        tf.join(dl, "doc_id")
         .join(stats)
         .select(
             "doc_id",
