@@ -167,11 +167,15 @@ def test_q17_shape_no_aggregate_broadcast_back(spark):
     assert len(re.findall(r"hashpartitioning\(l_partkey", plan)) >= 1
 
 
-def test_q18_semi_join_before_rejoin(spark):
-    """large_volume_customers: the HAVING subquery reaches the fact as
-    a semi join, never materializing duplicate qualifying rows."""
+def test_q18_single_lineitem_pass(spark):
+    """large_volume_customers (r11 shape): the HAVING aggregate IS the
+    final per-order quantity, so lineitem is scanned and aggregated
+    exactly once — no semi join back to the fact, no re-aggregate of
+    raw line rows. One lineitem scan, one sum(l_quantity) aggregate."""
     plan = plan_of(spark, "large_volume_customers")
-    assert "LeftSemi" in plan
+    assert "LeftSemi" not in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert len(re.findall(r"partial_sum\(l_quantity", plan)) == 1, plan
 
 
 def test_q19_part_disjunction_prunes_build_side(spark):
@@ -394,16 +398,24 @@ def test_dedup_incremental_hash_only_shuffles(spark):
     assert "rangepartitioning" not in plan, plan
 
 
-def test_srp_incremental_single_score_kernel(spark):
-    """The quantized-cosine pair kernel must appear exactly ONCE in the
-    incremental screen's plan: without the asNondeterministic pin the
-    optimizer clones the ArrowEvalPython around the threshold filter,
-    scoring every candidate pair twice (r11; guide §4.4 shape)."""
+def test_srp_incremental_fused_shape(spark):
+    """The incremental embed screen (r11 fused shape): ONE bucket
+    exchange feeding ONE MapInPandas block kernel — candidate pairs
+    never exist as Spark rows, so there is no per-pair ArrowEvalPython,
+    no vector-attach join after the kernel, and no candidate-distinct
+    aggregate below it (the only distinct runs over the kernel's
+    survivors). Guards the regression this replaced: the join flavor's
+    cloned pair-score kernel and its two BroadcastHashJoins."""
     plan = plan_of(spark, "dedup_near_embedding_incremental")
+    assert "MapInPandas" in plan, plan
+    assert "ArrowEvalPython" in plan, plan  # the row-local sig kernel
     import re as _re
 
-    score_nodes = _re.findall(r"\[score\(", plan)
-    assert len(score_nodes) == 1, plan
+    # exactly one (band, bh) exchange below the kernel; the only other
+    # exchange is the survivors' distinct
+    bucket_ex = _re.findall(r"hashpartitioning\(band", plan)
+    assert len(bucket_ex) == 1, plan
+    assert "BroadcastHashJoin" not in plan, plan
 
 
 def test_random_projection_row_local(spark):
