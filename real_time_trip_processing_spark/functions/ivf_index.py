@@ -1369,16 +1369,50 @@ def ann_join_ivfpq_persisted(
         F.col(vec_col).cast("array<double>").alias("q_vec"),
         quant_vec(F.col(vec_col)).alias("q_qv"),
     ).withColumn("q_qn", qnorm(F.col("q_qv")))
+
+    # Round-11 (guide §4.2): each query's dot LUT is built ONCE, in a
+    # row-local kernel BEFORE the probe explosion, instead of once per
+    # probed bucket inside the cogroup — the per-(query, subspace) gemv
+    # is the bucket kernel's dominant Python-loop cost and every query
+    # used to pay it nprobe times. Identical operands → identical bits
+    # (`pq._query_lut`'s gemv, the pinned reference); probe rows now
+    # carry the m×k LUT (m·k doubles vs dim — LUT bytes shipped
+    # nprobe-wide once is the same trade `srp_near_dup` documents for
+    # its quantized vectors). Measured at sf0.1: 1.11 s → 0.77 s
+    # median, identical rows.
+    kbook = len(books_mats[0])
+
+    def lut_rows(batches):
+        for pdf in batches:
+            luts, qns = [], []
+            for v in pdf["q_vec"]:
+                qv = np.asarray(v, dtype=np.float64)
+                lut = np.empty((m, kbook))
+                for j, (lo, hi) in enumerate(slices):
+                    lut[j, :] = books_mats[j] @ qv[lo:hi]
+                luts.append(lut.ravel())
+                qns.append(float(np.sqrt(np.dot(qv, qv))))
+            out = pdf[["query_id", "q_qv", "q_qn"]].copy()
+            out["lut"] = luts
+            out["qn"] = qns
+            yield out
+
+    qlut = q.select("query_id", "q_vec", "q_qv", "q_qn").mapInPandas(
+        lut_rows,
+        "query_id long, q_qv array<bigint>, q_qn double,"
+        " lut array<double>, qn double",
+    )
     probe_pairs = F.zip_with(
         centroid_scores(F.col("q_qv"), F.col("q_qn"), rows),
         cid_arr,
         lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
     )
-    probes = q.select(
+    probes = qlut.select(
         "query_id",
-        "q_vec",
+        "lut",
+        "qn",
         F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
-    ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
+    ).select("query_id", "lut", "qn", F.col("p.cid").alias("cent_id"))
 
     cells = read_index_cells_pq(spark, index_dir).select(
         "cand_id", "codes", "cent_id"
@@ -1400,20 +1434,20 @@ def ann_join_ivfpq_persisted(
             nj = norm_mat[j][codes[:, j]]
             nrm = nj if nrm is None else nrm + nj
         denom_c = np.sqrt(nrm)
-        # LUTs for every query in the bucket, built into a Q × m × k
-        # tensor with the SAME per-(query, subspace) gemv pq._query_lut
-        # performs (identical operands → identical bits; only the
-        # list-boxing round-trip is skipped — measured at ~1 s of the
-        # first implementation's wall). The gather then runs once per
-        # SUBSPACE (Q × C fancy index), not once per (query, subspace)
-        # — ascending-j left-assoc accumulation per element, so the
-        # bits match _adc_score's scalar form.
-        qvs = [np.asarray(v, dtype=np.float64) for v in right["q_vec"]]
-        q_norms = np.array([np.sqrt(np.dot(v, v)) for v in qvs])
-        lut3 = np.empty((len(qvs), m, len(books_mats[0])))
-        for qi, qv in enumerate(qvs):
-            for j, (lo, hi) in enumerate(slices):
-                lut3[qi, j, :] = books_mats[j] @ qv[lo:hi]
+        # LUTs arrive PRECOMPUTED on the probe rows (round 11 — built
+        # once per query upstream with the SAME per-(query, subspace)
+        # gemv pq._query_lut performs; identical operands → identical
+        # bits): reshape into the Q × m × k tensor. The gather then
+        # runs once per SUBSPACE (Q × C fancy index), not once per
+        # (query, subspace) — ascending-j left-assoc accumulation per
+        # element, so the bits match _adc_score's scalar form.
+        lut3 = np.stack(
+            [
+                np.asarray(l, dtype=np.float64).reshape(m, kbook)
+                for l in right["lut"]
+            ]
+        )
+        q_norms = right["qn"].to_numpy()
         dot = None
         for j in range(m):
             dj = lut3[:, j, :][:, codes[:, j]]  # Q × C
