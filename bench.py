@@ -51,7 +51,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 from real_time_trip_processing_spark.plans import REGISTRY
-from real_time_trip_processing_spark.session import get_spark
+from real_time_trip_processing_spark.session import (
+    default_parallelism,
+    get_spark,
+)
 
 #: steady-state repetitions per query (after one cold run)
 N_RUNS = 5
@@ -323,6 +326,13 @@ def machine_state(jvm_fresh: bool) -> dict:
         # round 8's 1.7x parallel-throughput loss entirely (it got
         # FASTER while the 32-way suite slowed); see _host_canary_par_sec
         "canary_par_sec": _host_canary_par_sec(),
+        # the local[N] width this run actually used (round 11): the
+        # driver re-runs the bench at a LOWER core count to measure
+        # scaling, and "cpus" above records the HOST's cores either
+        # way — without this field a low-core line is indistinguishable
+        # from a full-width one and the next full-width run would delta
+        # against it
+        "spark_cores": default_parallelism(),
     }
 
 
@@ -368,6 +378,15 @@ def comparable_machines(prev: dict | None, cur: dict) -> tuple[bool, str]:
         )
     if bool(pm.get("jvm_fresh", True)) != cur["jvm_fresh"]:
         return False, "jvm freshness differs"
+    prev_cores = pm.get("spark_cores")
+    cur_cores = cur.get("spark_cores")
+    if prev_cores and cur_cores and prev_cores != cur_cores:
+        # the driver benches at two core counts; a delta across widths
+        # measures the master string, not the code (round 11: an 8-core
+        # line was otherwise indistinguishable from a 32-core one)
+        return False, (
+            f"spark core count differs (prev={prev_cores}, cur={cur_cores})"
+        )
     prev_data = pm.get("testdata")
     cur_data = cur.get("testdata")
     if prev_data and cur_data and prev_data != cur_data:

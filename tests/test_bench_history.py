@@ -19,11 +19,26 @@ def test_machine_state_shape():
     m = bench.machine_state(jvm_fresh=True)
     assert set(m) == {
         "loadavg", "cpus", "idle", "jvm_fresh", "canary_sec",
-        "canary_par_sec",
+        "canary_par_sec", "spark_cores",
     }
     assert len(m["loadavg"]) == 3 and m["cpus"] >= 1
     assert isinstance(m["idle"], bool) and m["jvm_fresh"] is True
     assert m["canary_sec"] > 0 and m["canary_par_sec"] > 0
+    # the local[N] width of this run — the field that makes a low-core
+    # driver bench line incomparable to a full-width one (round 11)
+    assert m["spark_cores"] >= 1
+
+
+def test_core_count_mismatch_refuses_delta():
+    """A history line measured at a different local[N] width must not
+    be delta'd against (the driver re-benches at a lower core count)."""
+    cur = bench.machine_state(jvm_fresh=True)
+    prev = {"machine": dict(cur, spark_cores=cur["spark_cores"] + 8)}
+    ok, why = bench.comparable_machines(prev, cur)
+    assert not ok and "core count differs" in why
+    same = {"machine": dict(cur)}
+    ok2, _ = bench.comparable_machines(same, cur)
+    assert ok2
 
 
 def test_idle_requires_settled_five_minute_load():
