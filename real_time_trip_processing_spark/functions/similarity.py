@@ -1667,7 +1667,20 @@ def _shingle_pair_intersections(
             .agg(F.count(F.lit(1)).alias("inter"))
             .select("a", "b", "inter", "sz_a", "sz_b")
         )
-    sh = shingle_rows(docs, n, id_col, text_col).dropDuplicates(["doc", "sh"])
+    # Round-11 second pass over the stop-shingle flavor (guide §2.4 +
+    # §3.1, the same two fixes the max_df=None branch got): postings
+    # come from `shingle_set_rows`' MAP-SIDE distinct kernel — zero
+    # exchanges where `shingle_rows(...).dropDuplicates` paid the
+    # token-stream window shuffle plus a dedup aggregate PER
+    # EVALUATION of this subtree — and the self-join is a
+    # SHUFFLED-HASH join so the a/b sides' canonically identical
+    # exchanges share one evaluation at runtime instead of the planner
+    # broadcasting a second full one. The aggregate SIZES branch stays:
+    # the documented sz_a/sz_b are POST-filter (rare-shingle) counts,
+    # which the kernel's pre-filter per-doc size cannot know; same
+    # distinct (doc, sh) universe either way (kernel equivalence is
+    # test-pinned), so df/sizes/pairs are all unchanged.
+    sh = shingle_set_rows(docs, n, id_col, text_col).select("doc", "sh")
     rare = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1679,7 +1692,7 @@ def _shingle_pair_intersections(
     a = sh.select(F.col("doc").alias("a"), "sh")
     b = sh.select(F.col("doc").alias("b"), "sh")
     inter = (
-        a.join(b, "sh")
+        a.join(b.hint("shuffle_hash"), "sh")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -1740,10 +1753,14 @@ def corpus_postings_index(
     a re-shingling of every document body. Postings are a pure per-doc
     function of content, so appending a cycle's kept docs' postings
     keeps the index equal to a rebuild (the family's append==rebuild
-    contract)."""
-    return shingle_rows(corpus, n, id_col, text_col).dropDuplicates(
-        ["doc", "sh"]
-    )
+    contract).
+
+    Round-11 (guide §2.4): the distinct set is built MAP-SIDE by
+    `shingle_set_rows`' kernel — the index write no longer pays the
+    token-stream window exchange plus the dropDuplicates aggregate.
+    Same (doc, sh) content (kernel equivalence test-pinned), so the
+    persisted index and the append==rebuild contract are unchanged."""
+    return shingle_set_rows(corpus, n, id_col, text_col).select("doc", "sh")
 
 
 def containment_incremental_pairs(
@@ -1873,7 +1890,15 @@ def containment_incremental_pairs(
             )
         )
         return attach_owned(out, [inter])
-    bsh = shingle_rows(batch, n, id_col, text_col).dropDuplicates(["doc", "sh"])
+    # Round-11 second pass over the stop-shingle flavor: batch postings
+    # from the map-side distinct kernel (same (doc, sh) universe, no
+    # window exchange + dedup aggregate per evaluation), and the same
+    # §3.1 build-side fix as the max_df=None branches — the BATCH is
+    # the definitionally-small side, so it is broadcast and the corpus
+    # postings stream map-side through the join instead of being
+    # shuffled or collected. sz_a stays an aggregate: the documented
+    # size is POST-filter (rare-shingle count).
+    bsh = shingle_set_rows(batch, n, id_col, text_col).select("doc", "sh")
     csh = (
         corpus_postings
         if corpus_postings is not None
@@ -1889,7 +1914,7 @@ def containment_incremental_pairs(
     bsh = bsh.join(rare, "sh")
     sz_a = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_a"))
     inter = (
-        bsh.select(F.col("doc").alias("a"), "sh")
+        F.broadcast(bsh.select(F.col("doc").alias("a"), "sh"))
         .join(csh.select(F.col("doc").alias("b"), "sh"), "sh")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))

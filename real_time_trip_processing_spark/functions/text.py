@@ -528,7 +528,22 @@ def fuzzy_pairs(
     b = t.select(F.col("doc").alias("b"), F.col("blk"), F.col("head").alias("hb"),
                  F.length("nt").alias("len_b"))
     return (
-        a.join(b, "blk")
+        # Round-11 join-strategy pass (guide §3.1), the same fix as
+        # `_shingle_pair_intersections`: SHUFFLED-HASH self-join on the
+        # block key. Left to estimates the planner broadcast the b side
+        # — a full second evaluation of the blocking projection
+        # collected into a driver hash relation over EVERY blocked row
+        # (at corpus scale: the whole corpus's heads shipped through
+        # the driver). With the hint both sides' exchanges canonicalize
+        # identically, so AQE stage reuse evaluates the subtree once
+        # and the second side reads the shuffle output; no sort, no
+        # driver collect. Measured at sf0.1 (6 runs, median): 0.467 →
+        # 0.286 s, identical 124 rows (SMJ measured 0.292 — the hash
+        # build skips its sort). Per-partition build state is one
+        # block-hash slice of (id, 32-char head, len) rows — bounded
+        # the same way the block's own pair loop is; ``max_block``
+        # stays the degenerate-block cap.
+        a.join(b.hint("shuffle_hash"), "blk")
         .filter(F.col("a") < F.col("b"))
         .withColumn("dist", F.levenshtein("ha", "hb"))
         .filter(F.col("dist") <= max_dist)

@@ -251,6 +251,101 @@ def test_containment_incremental_matches_brute_force(spark, texts, threshold):
         assert gc == pytest.approx(round(inter / min(sz_a, sz_b), 8))
 
 
+@settings(**SETTINGS)
+@given(texts=docs_strategy, threshold=st.sampled_from([0.0, 0.3]))
+def test_jaccard_pairs_max_df_matches_brute_force(spark, texts, threshold):
+    """The stop-shingle flavor (r11 rework: map-side distinct postings +
+    shuffled-hash self-join): shingles in more than ``max_df`` docs are
+    dropped BEFORE sizes and intersections, so sz_a/sz_b are the
+    POST-filter (rare-shingle) counts — pinned against a brute-force
+    model with the same semantics."""
+    max_df = 2
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["sz_a"], r["sz_b"], r["jaccard"])
+        for r in jaccard_pairs(
+            df, n=3, threshold=threshold, max_df=max_df
+        ).collect()
+    }
+
+    sets = {i: _brute_shingles(t, 3) for i, t in enumerate(texts)}
+    dfreq: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            dfreq[sh] = dfreq.get(sh, 0) + 1
+    rare = {sh for sh, k in dfreq.items() if k <= max_df}
+    fsets = {i: s & rare for i, s in sets.items()}
+    expect = {}
+    for a in fsets:
+        for b in fsets:
+            if a < b:
+                inter = len(fsets[a] & fsets[b])
+                union = len(fsets[a] | fsets[b])
+                if inter and inter / union >= threshold:
+                    expect[(a, b)] = (inter, len(fsets[a]), len(fsets[b]))
+    assert set(got) == set(expect)
+    for pair, (inter, sz_a, sz_b) in expect.items():
+        gi, ga, gb, gj = got[pair]
+        assert (gi, ga, gb) == (inter, sz_a, sz_b)
+        assert gj == pytest.approx(round(inter / (sz_a + sz_b - inter), 8))
+
+
+@settings(**SETTINGS)
+@given(texts=docs_strategy, threshold=st.sampled_from([0.0, 0.5]))
+def test_containment_incremental_max_df_matches_brute_force(
+    spark, texts, threshold
+):
+    """Stop-shingle flavor of the incremental screen (r11 rework:
+    map-side batch postings + broadcast batch side): document frequency
+    is measured on the CORPUS postings; the rare-shingle join then
+    restricts BOTH sides to rare corpus shingles, so sz_a is
+    |A ∩ rare| (batch-only shingles drop out too) and sz_b is
+    |B ∩ rare| — the model pins exactly those semantics."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        containment_incremental_pairs,
+    )
+
+    max_df = 2
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        (r["a"], r["b"]): (r["inter"], r["sz_a"], r["sz_b"], r["containment"])
+        for r in containment_incremental_pairs(
+            df.filter("doc_id % 2 = 0"), df.filter("doc_id % 2 = 1"),
+            n=3, threshold=threshold, max_df=max_df,
+        ).collect()
+    }
+
+    sets = {i: _brute_shingles(t, 3) for i, t in enumerate(texts)}
+    dfreq: dict[str, int] = {}
+    for i, s in sets.items():
+        if i % 2 == 1:  # df is corpus-side document frequency
+            for sh in s:
+                dfreq[sh] = dfreq.get(sh, 0) + 1
+    rare = {sh for sh, k in dfreq.items() if k <= max_df}
+    fsets = {i: s & rare for i, s in sets.items()}
+    expect = {}
+    for a in fsets:
+        for b in fsets:
+            if a % 2 == 0 and b % 2 == 1:
+                inter = len(fsets[a] & fsets[b])
+                if not inter:
+                    continue
+                lo = min(len(fsets[a]), len(fsets[b]))
+                if inter / lo >= threshold:
+                    expect[(a, b)] = (inter, len(fsets[a]), len(fsets[b]))
+    assert set(got) == set(expect)
+    for pair, (inter, sz_a, sz_b) in expect.items():
+        gi, ga, gb, gc = got[pair]
+        assert (gi, ga, gb) == (inter, sz_a, sz_b)
+        assert gc == pytest.approx(round(inter / min(sz_a, sz_b), 8))
+
+
 def test_containment_postings_path_equals_corpus_path(spark, tmp_path):
     """The persisted-postings dial: screening against a written-and-
     reread `corpus_postings_index` is row-identical to screening the
