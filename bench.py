@@ -6,7 +6,10 @@ JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
 Adjudicable by construction:
 - every query runs 1 cold + N_RUNS steady-state repetitions; "queries"
   carries the steady-state MEDIAN and "spread" the [min, max], so a
-  regression can be convicted or acquitted from this file alone;
+  regression can be convicted or acquitted from this file alone; every
+  steady run starts from an EMPTY CacheManager (r11 measurement fix —
+  see run_one), so each run computes from the parquet inputs rather
+  than serving an internally-persisting query's run-1 blocks;
 - "delta_vs_prev" compares each median against the last recorded run at
   the same sf in the committed BENCH_HISTORY.jsonl (positive = slower
   than that run); every run appends its full per-query medians there,
@@ -140,9 +143,27 @@ def run_one(spark, name: str, sf_dir: str, gc_first: bool = False) -> float:
     (measured: minhash median 2.25 s → 0.32 s with a pre-run GC).
     Steady-state runs force it so each query is measured against its
     OWN allocation profile, not its neighbors' leftovers — the same
-    isolation a per-query JVM would give, without the JVM restart."""
+    isolation a per-query JVM would give, without the JVM restart.
+
+    ``gc_first`` runs also CLEAR THE CACHE first (r11 measurement fix,
+    declared in OPTIMIZATION_r11.md): a query that persists internally
+    (the MinHash signature frame both band-join sides share) populates
+    the CacheManager on its first run, and Spark's plan-matching let
+    runs 2-5 of the SAME query silently serve those blocks — the
+    recorded steady median measured the band join over a warm
+    signature cache, not the declared computation from parquet
+    (measured: dedup_near_minhash 0.66 s warm vs 1.76 s isolated,
+    dedup_near_incremental 5.2× — every non-persisting query is
+    unchanged within noise; tools/probe_cache_isolation.py holds the
+    full table). With the clear, every steady run computes from the
+    parquet inputs alone; intra-run persists still work (that is the
+    query's own design), and cross-PROCESS serve state (the
+    claim-enveloped ANN prologue memo) is untouched. History lines
+    recorded before this fix carry no ``steady_cache_isolated`` flag
+    and are refused for deltas."""
     df = REGISTRY[name].builder(spark, sf_dir)
     if gc_first:
+        spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
@@ -333,6 +354,12 @@ def machine_state(jvm_fresh: bool) -> dict:
         # from a full-width one and the next full-width run would delta
         # against it
         "spark_cores": default_parallelism(),
+        # r11 measurement fix (see run_one): steady runs now clear the
+        # CacheManager first, so internally-persisting queries compute
+        # from parquet on every run instead of serving run 1's blocks.
+        # Lines without this flag measured the warm-cache path for the
+        # MinHash family (2.4-5.2× faster there) — not comparable.
+        "steady_cache_isolated": True,
     }
 
 
@@ -378,6 +405,14 @@ def comparable_machines(prev: dict | None, cur: dict) -> tuple[bool, str]:
         )
     if bool(pm.get("jvm_fresh", True)) != cur["jvm_fresh"]:
         return False, "jvm freshness differs"
+    if bool(pm.get("steady_cache_isolated", False)) != bool(
+        cur.get("steady_cache_isolated", False)
+    ):
+        # the r11 cache-isolation fix changed what a steady run
+        # measures for internally-persisting queries (warm-cache band
+        # join vs the full computation from parquet) — a delta across
+        # that boundary measures the methodology, not the code
+        return False, "steady-run cache isolation differs"
     prev_cores = pm.get("spark_cores")
     cur_cores = cur.get("spark_cores")
     if prev_cores and cur_cores and prev_cores != cur_cores:
@@ -472,7 +507,11 @@ def bench_reference_pipeline(spark) -> list[float] | None:
 
     runs = []
     for i in range(N_RUNS + 1):
-        if i > 0:  # steady-state runs get the same heap isolation
+        if i > 0:  # steady-state runs get the same heap + cache isolation
+            # same r11 fix as run_one: pipeline.match persists the
+            # completed-trips frame, and plan-matching let runs 2-5
+            # serve run 1's blocks instead of re-matching from the CSVs
+            spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         starts, ends = load_reference_trip_csvs(spark, ref_data)

@@ -19,8 +19,10 @@ def test_machine_state_shape():
     m = bench.machine_state(jvm_fresh=True)
     assert set(m) == {
         "loadavg", "cpus", "idle", "jvm_fresh", "canary_sec",
-        "canary_par_sec", "spark_cores",
+        "canary_par_sec", "spark_cores", "steady_cache_isolated",
     }
+    # the r11 measurement fix is on for every line this code records
+    assert m["steady_cache_isolated"] is True
     assert len(m["loadavg"]) == 3 and m["cpus"] >= 1
     assert isinstance(m["idle"], bool) and m["jvm_fresh"] is True
     assert m["canary_sec"] > 0 and m["canary_par_sec"] > 0
@@ -38,6 +40,20 @@ def test_core_count_mismatch_refuses_delta():
     assert not ok and "core count differs" in why
     same = {"machine": dict(cur)}
     ok2, _ = bench.comparable_machines(same, cur)
+    assert ok2
+
+
+def test_cache_isolation_mismatch_refuses_delta():
+    """Pre-r11 history lines (no steady_cache_isolated flag) measured
+    internally-persisting queries over a warm cache (the MinHash family
+    ran 2.4-5.2× faster there); a delta across the methodology change
+    measures the fix, not the code."""
+    cur = bench.machine_state(jvm_fresh=True)
+    prev = dict(cur)
+    prev.pop("steady_cache_isolated")  # a pre-fix line
+    ok, why = bench.comparable_machines({"machine": prev}, cur)
+    assert not ok and "cache isolation differs" in why
+    ok2, _ = bench.comparable_machines({"machine": dict(cur)}, cur)
     assert ok2
 
 
