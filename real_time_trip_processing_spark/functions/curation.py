@@ -24,7 +24,7 @@ import re
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from .text import LANG_MARKERS, token_count, tokens
-from .text import shingle_count_rows, shingle_rows, shingles
+from .text import shingle_count_rows, shingle_set_rows, shingles
 
 __all__ = [
     "ngram_decontaminate", "pack_sequences", "quality_gate",
@@ -709,29 +709,49 @@ def novelty_scores(
     ``n``-grams that appear in NO other document — the data-valuation /
     memorization-risk signal that prioritizes what dedup should keep.
 
-    Gram document-frequency is one partial-aggregated shuffle; the
-    (gram, df) join back is gram-keyed (same partitioning — no second
-    shuffle of the gram stream). ``hash_grams=True`` applies the same
-    xxhash64 map-side shrink as :func:`repeated_ngrams` — here BOTH the
-    df aggregation and the join back move 8-byte keys instead of
-    n-word strings, and the output (novelty per doc) is bit-identical
-    modulo hash collisions because only df counts feed the score."""
-    sh = shingle_rows(docs, n, id_col, text_col)
+    Round-11 shape (guide §2.3/§2.4): a gram is novel iff its document
+    frequency is 1, and a df-1 gram has exactly ONE owner — so per-doc
+    novel counts can be attributed INSIDE the df aggregate
+    (``min(doc)`` is the owner whenever ``df == 1``) instead of joining
+    df back onto the posting stream. The postings now cross ONE
+    partial-aggregated gram-keyed exchange (hot grams collapse
+    map-side, so a boilerplate gram shared by millions of docs cannot
+    skew a task); everything downstream — the df-1 owner counts, the
+    per-doc gram totals (the kernel's map-side ``sz``), the final join
+    — is doc-sized. The previous shape built the same distinct
+    postings with a window + dedup exchange and then shuffled the FULL
+    posting stream twice more (df join-back + doc-keyed re-aggregate).
+    ``n_shared = sz − novel`` and ``novelty = 1 − shared/sz`` are the
+    same integers and the same double division as before,
+    bit-identical. ``hash_grams=True`` applies the same xxhash64
+    map-side shrink as :func:`repeated_ngrams` (8-byte keys through
+    the one exchange that remains); under a 64-bit collision it
+    double-counts one df where the pre-r11 shape silently merged two
+    grams — both ~N²/2⁶⁵ and inside the documented
+    bit-identical-modulo-collisions tolerance."""
+    posts = shingle_set_rows(docs, n, id_col, text_col)
+    sh = posts.select("doc", "sh")
     if hash_grams:
-        # hash BEFORE the distinct so the (doc, gram) dedup shuffle —
-        # the first and largest exchange here — also moves 8-byte keys
         sh = sh.select("doc", F.xxhash64("sh").alias("sh"))
-    sh = sh.dropDuplicates(["doc", "sh"])
-    df_tbl = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    shared = F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
-    return (
-        sh.join(df_tbl, "sh")
-        .groupBy(F.col("doc").alias(id_col))
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            shared.cast("long").alias("n_shared"),
-            F.round(F.lit(1.0) - shared / F.count(F.lit(1)), 8).alias("novelty"),
-        )
+    # per-doc distinct-gram totals, map-side from the kernel; the
+    # dropDuplicates collapses to one row per doc before its exchange
+    # (each doc's rows are contiguous in one kernel partition)
+    base = posts.select("doc", "sz").dropDuplicates(["doc"])
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc").alias("d1"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("d1").alias("doc"))
+        .agg(F.count(F.lit(1)).alias("nov"))
+    )
+    nov = F.coalesce("nov", F.lit(0))
+    return base.join(novel, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.col("sz").alias("n_grams"),
+        (F.col("sz") - nov).cast("long").alias("n_shared"),
+        F.round(F.lit(1.0) - (F.col("sz") - nov) / F.col("sz"), 8).alias(
+            "novelty"
+        ),
     )
 
 

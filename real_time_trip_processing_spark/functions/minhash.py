@@ -144,6 +144,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     det: bool = False,
+    shingle_impl: str = "builtin",
 ) -> DataFrame:
     """Per-doc MinHash signature frame ``(doc, sig_0..sig_{p-1}, hs)``
     — the reusable state every LSH flavor (self-join pairs, incremental
@@ -159,24 +160,43 @@ def minhash_signatures(
     one computed in a later batch — which is what makes a PERSISTED
     signature frame a valid corpus index for `minhash_incremental_pairs`
     (the near-dup twin of `streaming/dedup.corpus_hash_index`)."""
+    # Round-11 (guide §2.4 — remove shuffles outright): the historical
+    # `dropDuplicates(["doc", "sh"])` between the shingle build and the
+    # signature aggregate was semantically REDUNDANT — min() is
+    # duplicate-invariant and collect_set dedups h — but not free: its
+    # (doc, sh)-keyed exchange also BROKE the partitioning chain, so
+    # groupBy(doc) paid a second exchange. Without it the signature
+    # aggregate reuses the window flavor's doc-keyed exchange directly:
+    # ONE exchange total, bit-identical signatures and hs sets
+    # (duplicate postings collapse inside min/collect_set instead of in
+    # a shuffle of their own). Measured at sf0.1, cache-isolated noop
+    # runs of the signature build alone (det flavor, 8 steady runs):
+    # 1.78 → 1.45 s median, non-overlapping spreads; the full declared
+    # queries move within their spread (band join + verify dominate
+    # their variance).
+    #
+    # ``shingle_impl`` is the scale dial (same values as
+    # `shingle_rows`): "builtin" (default) keeps the all-JVM window
+    # build — measured FASTER on local[32] for n=3 grams, where a
+    # shuffle is a memcpy and the window has only two lead() columns;
+    # "arrow" emits grams ROW-LOCALLY in the Arrow kernel, removing the
+    # token-stream exchange entirely — on a real cluster that exchange
+    # is the dominant network cost of the signature build (the partial
+    # signature aggregate then ships ~one row per doc per map
+    # partition), so 100 TB deployments should flip it. Both flavors
+    # produce the same gram multiset (equivalence test-pinned) →
+    # identical signatures; MINHASH_SIG_VERSION is unchanged.
+    posts = shingle_rows(docs, n, id_col, text_col, impl=shingle_impl)
     if det:
         # 15 hex chars = 60 bits → always fits BIGINT; h31 by modulus
         # keeps universal-hash arithmetic under 2^62 (ANSI-safe)
         h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
-        sh_rows = (
-            shingle_rows(docs, n, id_col, text_col)
-            .dropDuplicates(["doc", "sh"])
-            .select("doc", h.alias("h"))
-            .withColumn("h31", F.col("h") % F.lit(_H31_MOD))
+        sh_rows = posts.select("doc", h.alias("h")).withColumn(
+            "h31", F.col("h") % F.lit(_H31_MOD)
         )
     else:
-        sh_rows = (
-            shingle_rows(docs, n, id_col, text_col)
-            .dropDuplicates(["doc", "sh"])
-            .select("doc", F.xxhash64("sh").alias("h"))
-            .withColumn(
-                "h31", F.shiftrightunsigned("h", 33) % F.lit(_H31_MOD)
-            )
+        sh_rows = posts.select("doc", F.xxhash64("sh").alias("h")).withColumn(
+            "h31", F.shiftrightunsigned("h", 33) % F.lit(_H31_MOD)
         )
     return sh_rows.groupBy("doc").agg(
         *minhash_signature_agg(num_perm), F.collect_set("h").alias("hs")
@@ -554,9 +574,11 @@ def minhash_band_stats(
     assert num_perm % bands == 0
     rpb = num_perm // bands
     h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    # no dropDuplicates: min() is duplicate-invariant, and skipping the
+    # (doc, sh) dedup exchange lets the signature aggregate reuse the
+    # window's doc partitioning — as in minhash_signatures (r11)
     sh_rows = (
         shingle_rows(docs, n, id_col, text_col)
-        .dropDuplicates(["doc", "sh"])
         .select("doc", h.alias("h"))
         .withColumn("h31", F.col("h") % F.lit(_H31_MOD))
     )

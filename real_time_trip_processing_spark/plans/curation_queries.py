@@ -602,16 +602,18 @@ def doc_novelty(spark, sf_dir):
     """Per-document novelty score: the fraction of a doc's distinct word
     8-grams that appear in NO other document — the data-valuation /
     memorization-risk signal that prioritizes what dedup should keep.
-    Gram document-frequency is one partial-aggregated shuffle; the
-    (gram, df) join back is gram-keyed (same partitioning — no second
-    shuffle of the gram stream)."""
+    r11 shape: the posting stream crosses ONE partial-aggregated
+    gram-keyed exchange; df-1 grams are attributed to their single
+    owner inside that aggregate (min(doc)), so the df join-back and the
+    doc-keyed re-aggregate of the full posting stream are gone — the
+    oracle keeps the join formulation and hash-adjudicates the
+    attribution identity (see novelty_scores)."""
     from ..functions.curation import novelty_scores
 
     # hash_grams: novelty depends only on gram document-frequencies, so
-    # the xxhash64 shuffle shrink (8-byte keys instead of 8-word
-    # strings through BOTH gram exchanges) leaves the output
-    # bit-identical — the oracle replays the literal grams and still
-    # hash-matches (collision odds ~N²/2⁶⁵; pinned identical by
+    # the xxhash64 shrink (8-byte keys through the one gram exchange)
+    # leaves the output bit-identical — the oracle replays the literal
+    # grams and still hash-matches (collision odds ~N²/2⁶⁵; pinned by
     # tests/test_curation.py::test_novelty_scores_hash_grams_identical)
     return novelty_scores(table(spark, sf_dir, "documents"), 8, hash_grams=True)
 

@@ -65,6 +65,28 @@ def test_incremental_equals_cross_split_of_full(spark, mod):
     spark.catalog.clearCache()
 
 
+def test_signature_shingle_impl_dial_bit_identical(spark):
+    """The r11 ``shingle_impl`` scale dial: "arrow" (row-local gram
+    kernel — removes the token-stream exchange on a real cluster) must
+    produce bit-identical signatures and hs SETS to the default
+    all-JVM window build; and the signature aggregate's
+    duplicate-invariance (min / collect_set) makes the historical
+    (doc, sh) dedup exchange unnecessary — both pinned here."""
+    docs = table(spark, SF_DIR, "documents")
+    a = minhash_signatures(docs, n=3, num_perm=32, det=True)
+    b = minhash_signatures(
+        docs, n=3, num_perm=32, det=True, shingle_impl="arrow"
+    )
+
+    def rows(df):
+        return sorted(
+            tuple(r[f"sig_{i}"] for i in range(32)) + (frozenset(r["hs"]),)
+            for r in df.collect()
+        )
+
+    assert rows(a) == rows(b)
+
+
 def test_corpus_sigs_index_path_bit_identical(spark, tmp_path):
     """The persisted-signature-index path (the corpus_hash_index dial):
     minhash_signatures written to parquet and read back must screen the
