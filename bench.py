@@ -161,10 +161,15 @@ def run_one(spark, name: str, sf_dir: str, gc_first: bool = False) -> float:
     claim-enveloped ANN prologue memo) is untouched. History lines
     recorded before this fix carry no ``steady_cache_isolated`` flag
     and are refused for deltas."""
-    df = REGISTRY[name].builder(spark, sf_dir)
+    # isolation happens BEFORE the builder runs: builders register
+    # their intra-run persist()s at build time (lazy data, eager
+    # CacheManager registration), so clearing after the build would
+    # strip the query's own design persists instead of just the
+    # previous run's blocks
     if gc_first:
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
+    df = REGISTRY[name].builder(spark, sf_dir)
     t0 = time.perf_counter()
     df.write.mode("overwrite").format("noop").save()
     return time.perf_counter() - t0

@@ -32,12 +32,24 @@ from real_time_trip_processing_spark.plans import REGISTRY
 from real_time_trip_processing_spark.session import get_spark
 
 
+def one_run(spark, name: str, sf_dir: str, isolate: bool) -> float:
+    """Times one run WITHOUT bench.run_one (which, since the r11 fix
+    this probe motivated, always isolates): clear before the builder
+    (so the query's own design persists stay registered), or not at
+    all for the warm arm."""
+    if isolate:
+        spark.catalog.clearCache()
+    df = REGISTRY[name].builder(spark, sf_dir)
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
 def medians(spark, name: str, sf_dir: str, isolate: bool) -> float:
-    runs = []
-    for _ in range(bench.N_RUNS):
-        if isolate:
-            spark.catalog.clearCache()
-        runs.append(bench.run_one(spark, name, sf_dir, gc_first=True))
+    runs = [
+        one_run(spark, name, sf_dir, isolate) for _ in range(bench.N_RUNS)
+    ]
     return round(statistics.median(runs), 4)
 
 
