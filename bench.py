@@ -388,10 +388,14 @@ def prev_round_entry(sf: str) -> dict | None:
         try:
             with open(p) as f:
                 d = json.load(f)
-            q = (d.get("parsed") or {}).get("queries")
+            parsed = d.get("parsed") or {}
+            q = parsed.get("queries")
         except (OSError, json.JSONDecodeError):
             continue
-        if q:
+        # legacy tails are only comparable at the same scale factor —
+        # without this guard a first-ever run at a new sf diffed
+        # against an old sf0.1 tail (observed in the r11 sf0.001 smoke)
+        if q and str(parsed.get("sf", sf)) == str(sf):
             best, found = int(m.group(1)), {"queries": q}
     return found
 
