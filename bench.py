@@ -394,9 +394,21 @@ def prev_round_entry(sf: str) -> dict | None:
             continue
         # legacy tails are only comparable at the same scale factor —
         # without this guard a first-ever run at a new sf diffed
-        # against an old sf0.1 tail (observed in the r11 sf0.001 smoke)
-        if q and str(parsed.get("sf", sf)) == str(sf):
-            best, found = int(m.group(1)), {"queries": q}
+        # against an old sf0.1 tail (observed in the r11 sf0.001 smoke);
+        # a tail with NO recorded sf is skipped outright rather than
+        # assumed same-scale (r11 ADVICE)
+        if q and "sf" in parsed and str(parsed["sf"]) == str(sf):
+            # legacy tails carry no machine fingerprint and predate the
+            # r11 steady-run cache isolation; the explicit marker makes
+            # comparable_machines REFUSE the delta (r11 ADVICE: the
+            # bare {'queries': q} dict took the 'prev_machine_unknown'
+            # path, so a pre-isolation warm-cache median — 2.4-5.2x
+            # fast on the MinHash family — could still be delta'd
+            # against)
+            best, found = int(m.group(1)), {
+                "queries": q,
+                "machine": {"steady_cache_isolated": False},
+            }
     return found
 
 

@@ -137,6 +137,102 @@ def minhash_signature_agg(num_perm: int, h_col: str = "h31") -> list[Column]:
     ]
 
 
+def _fused_det_signatures(
+    docs: DataFrame,
+    n: int,
+    num_perm: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """The det-flavor signature frame computed ENTIRELY MAP-SIDE by one
+    Arrow kernel — ZERO exchanges (round 12, guide §2.4/§4.2).
+
+    A MinHash signature is a pure per-doc function of the text, so
+    nothing about it needs a shuffle: the kernel tokenizes (py_tokens —
+    the JVM-exact twin), builds the doc's DISTINCT gram set, hashes each
+    gram (md5 top-60-bits == ``conv(substring(md5(sh),1,15),16,10)``:
+    the first 8 digest bytes big-endian >> 4), and evaluates all
+    ``num_perm`` universal-hash minima in numpy. The exchange flavor
+    paid a token-stream window shuffle + a (doc)-keyed HashAggregate
+    exchange and evaluated md5/conv + 32 codegen'd min-aggregates per
+    GRAM OCCURRENCE row; here within-doc work never leaves the map task
+    and the Python boundary carries one row per doc out (sig + hs),
+    never the 2.3M-row gram stream (the r11 negative result on
+    ``shingle_impl="arrow"`` was about shipping gram STRINGS across the
+    boundary — this ships none). Bit-identity with the exchange flavor
+    is test-pinned per doc (MINHASH_SIG_VERSION unchanged; persisted
+    indexes stay valid).
+
+    Scale-adaptive spread as in ``shingle_set_rows``: a small corpus
+    arrives as a one-task scan that would serialize the kernel, so
+    below-defaultParallelism inputs repartition the raw doc texts; at
+    scale the check is a no-op and the whole signature build is
+    map-side inside the scan stage."""
+    import numpy as np
+    import pandas as pd
+
+    from .text import py_tokens
+
+    docs = docs.filter(F.col(text_col).isNotNull())
+    sc = docs.sparkSession.sparkContext
+    try:
+        n_in = docs.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive
+        n_in = sc.defaultParallelism
+    if n_in < sc.defaultParallelism:
+        docs = docs.repartition(sc.defaultParallelism)
+
+    id_type = dict(docs.dtypes)[id_col]
+    sig_cols = ", ".join(f"sig_{i} long" for i in range(num_perm))
+    schema = f"doc {id_type}, {sig_cols}, hs array<long>"
+    consts = _perm_constants(num_perm)
+    a_vec = np.array([a for a, _ in consts], dtype=np.int64)
+    b_vec = np.array([b for _, b in consts], dtype=np.int64)
+
+    def scan(batches):
+        from hashlib import md5
+
+        for pdf in batches:
+            doc_out: list = []
+            hs_out: list = []
+            counts: list = []
+            for did, txt in zip(pdf[id_col].to_list(), pdf[text_col].to_list()):
+                if txt is None:
+                    continue
+                toks = py_tokens(txt)
+                hi = max(len(toks) - n, 0)
+                # distinct h per doc: min() is duplicate-invariant and
+                # hs is a collect_set, so the set IS the full state
+                hset = {
+                    int.from_bytes(
+                        md5(" ".join(toks[i : i + n]).encode("utf-8")).digest()[:8],
+                        "big",
+                    )
+                    >> 4
+                    for i in range(hi + 1)
+                }
+                hv = np.fromiter(hset, dtype=np.int64, count=len(hset))
+                doc_out.append(did)
+                hs_out.append(hv)
+                counts.append(len(hv))
+            if not doc_out:
+                continue
+            x = np.concatenate(hs_out) % _H31_MOD + 1  # h31 + 1 ∈ [1, M−1]
+            offsets = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            out = {"doc": doc_out}
+            # one permutation at a time keeps peak memory at one int64
+            # row over the batch's gram stream (a·x ≤ (2^31−1)² < 2^62:
+            # the same ANSI-safe bound the codegen'd aggregate relies on)
+            for i in range(num_perm):
+                v = (a_vec[i] * x + b_vec[i]) % MERSENNE_31
+                out[f"sig_{i}"] = np.minimum.reduceat(v, offsets)
+            out["hs"] = hs_out
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, text_col).mapInPandas(scan, schema)
+
+
 def minhash_signatures(
     docs: DataFrame,
     n: int = 3,
@@ -145,6 +241,7 @@ def minhash_signatures(
     text_col: str = "text",
     det: bool = False,
     shingle_impl: str = "builtin",
+    impl: str = "auto",
 ) -> DataFrame:
     """Per-doc MinHash signature frame ``(doc, sig_0..sig_{p-1}, hs)``
     — the reusable state every LSH flavor (self-join pairs, incremental
@@ -159,7 +256,26 @@ def minhash_signatures(
     function of the text, so a signature computed at ingest time equals
     one computed in a later batch — which is what makes a PERSISTED
     signature frame a valid corpus index for `minhash_incremental_pairs`
-    (the near-dup twin of `streaming/dedup.corpus_hash_index`)."""
+    (the near-dup twin of `streaming/dedup.corpus_hash_index`).
+
+    ``impl`` (round 12): "fused" computes the whole signature frame in
+    ONE map-side Arrow kernel — zero exchanges, one output row per doc
+    across the Python boundary (see `_fused_det_signatures`); det-only,
+    because the production xxhash64 flavor's hash lives in the JVM.
+    "exchange" keeps the shingle-explode + HashAggregate build (the
+    Python-free cross-check, and the only shape for det=False).
+    "auto" (default) picks fused for det=True, exchange otherwise.
+    Both impls are bit-identical per doc (test-pinned), so persisted
+    signature indexes can mix them; MINHASH_SIG_VERSION is unchanged."""
+    if impl == "auto":
+        impl = "fused" if det else "exchange"
+    if impl == "fused":
+        if not det:
+            raise ValueError(
+                "impl='fused' replays the md5 det hash in the kernel; "
+                "the xxhash64 flavor (det=False) needs impl='exchange'"
+            )
+        return _fused_det_signatures(docs, n, num_perm, id_col, text_col)
     # Round-11 (guide §2.4 — remove shuffles outright): the historical
     # `dropDuplicates(["doc", "sh"])` between the shingle build and the
     # signature aggregate was semantically REDUNDANT — min() is
@@ -434,6 +550,7 @@ def minhash_incremental_pairs(
     det: bool = False,
     corpus_sigs: DataFrame | None = None,
     max_bucket: int | None = None,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection — the per-ingest-cycle shape of
     `minhash_lsh_pairs`, completing the near-dup family's batch →
@@ -469,7 +586,17 @@ def minhash_incremental_pairs(
     candidates in an over-wide bucket — overwhelmingly band-collision
     false positives — are dropped, the same bounded, documented recall
     trade as `minhash_lsh_pairs(max_bucket=...)`. Narrow buckets are
-    exactly unchanged; ``None`` disables the cap."""
+    exactly unchanged; ``None`` disables the cap.
+
+    ``batch_sigs`` — a precomputed signature frame for the BATCH side,
+    symmetric to ``corpus_sigs`` (round 12): when batch and corpus are
+    slices of ONE source (the declared %7-split queries; a sink that
+    already computed the cycle's signatures), pass both frames from a
+    single shared `minhash_signatures` pass instead of letting this
+    function build each side from text separately — one table scan and
+    one kernel instantiation instead of two. Caller-supplied frames'
+    cache lifecycle stays caller-owned, exactly as for
+    ``corpus_sigs``."""
     assert num_perm % bands == 0
     # inline-computed sigs are persisted (both frames feed two
     # consumers: band rows + verification) and ATTACHED to the result —
@@ -486,10 +613,11 @@ def minhash_incremental_pairs(
             corpus, n, num_perm, id_col, text_col, det
         ).persist()
         owned.append(corpus_sigs)
-    batch_sigs = minhash_signatures(
-        batch, n, num_perm, id_col, text_col, det
-    ).persist()
-    owned.append(batch_sigs)
+    if batch_sigs is None:
+        batch_sigs = minhash_signatures(
+            batch, n, num_perm, id_col, text_col, det
+        ).persist()
+        owned.append(batch_sigs)
     return _attach_owned(
         _incremental_pairs_from_sigs(
             batch_sigs, corpus_sigs, num_perm, bands, threshold, det, max_bucket
@@ -573,16 +701,10 @@ def minhash_band_stats(
     derivation."""
     assert num_perm % bands == 0
     rpb = num_perm // bands
-    h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
-    # no dropDuplicates: min() is duplicate-invariant, and skipping the
-    # (doc, sh) dedup exchange lets the signature aggregate reuse the
-    # window's doc partitioning — as in minhash_signatures (r11)
-    sh_rows = (
-        shingle_rows(docs, n, id_col, text_col)
-        .select("doc", h.alias("h"))
-        .withColumn("h31", F.col("h") % F.lit(_H31_MOD))
-    )
-    sig = sh_rows.groupBy("doc").agg(*minhash_signature_agg(num_perm))
+    # round 12: same zero-exchange map-side signature build as the
+    # dedup flavors (hs rides along unused — it is the same distinct
+    # set the kernel already holds)
+    sig = _fused_det_signatures(docs, n, num_perm, id_col, text_col).drop("hs")
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -1773,6 +1773,7 @@ def containment_incremental_pairs(
     max_df: int | None = None,
     corpus_postings: DataFrame | None = None,
     corpus_df: DataFrame | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Incremental flavor of `containment_pairs`: screen a NEW ingest
     batch against the already-ingested corpus for short-in-long
@@ -1804,8 +1805,19 @@ def containment_incremental_pairs(
     frame) instead of ``corpus`` to skip re-shingling the corpus —
     result-identical (postings are a pure function of content;
     test-pinned), and per cycle the corpus side becomes a columnar
-    read instead of a full text pass."""
+    read instead of a full text pass.
+
+    ``broadcast_batch`` (r11 ADVICE): the batch postings are the
+    definitionally-small build side per ingest cycle, so they are
+    broadcast by default and the corpus postings stream map-side
+    through the join (guide §3.1). A deployment whose ingest cycles
+    outgrow the broadcast/driver cap passes ``False`` to degrade to a
+    shuffle join with identical semantics instead of failing the job —
+    the documented escape is now a parameter, not a library edit."""
     from .caching import attach_owned
+
+    def _build(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_batch else df.hint("shuffle_hash")
 
     if (corpus is None) == (corpus_postings is None):
         raise ValueError("pass exactly one of corpus or corpus_postings")
@@ -1847,7 +1859,7 @@ def containment_incremental_pairs(
                 F.col("doc").alias("b"), F.col("sz").alias("sz_b"), "sh"
             )
             return (
-                F.broadcast(bsh).join(csh, "sh")
+                _build(bsh).join(csh, "sh")
                 .groupBy("a", "b", "sz_a", "sz_b")
                 .agg(F.count(F.lit(1)).alias("inter"))
                 .withColumn(
@@ -1865,7 +1877,7 @@ def containment_incremental_pairs(
             # same §3.1 build-side fix as the raw-corpus branch above:
             # the persisted postings stream map-side past the
             # broadcast batch instead of being shuffled or collected
-            F.broadcast(bsh).join(
+            _build(bsh).join(
                 csh.select(F.col("doc").alias("b"), "sh"), "sh"
             )
             .groupBy("a", "b", "sz_a")
@@ -1914,7 +1926,7 @@ def containment_incremental_pairs(
     bsh = bsh.join(rare, "sh")
     sz_a = bsh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz_a"))
     inter = (
-        F.broadcast(bsh.select(F.col("doc").alias("a"), "sh"))
+        _build(bsh.select(F.col("doc").alias("a"), "sh"))
         .join(csh.select(F.col("doc").alias("b"), "sh"), "sh")
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))

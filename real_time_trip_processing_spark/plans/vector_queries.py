@@ -13,10 +13,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions.caching import attach_owned
 from ..functions.minhash import (
     _perm_constants,
     minhash_incremental_pairs,
     minhash_lsh_pairs,
+    minhash_signatures,
 )
 from ..functions.similarity import (
     SRP_QUANT,
@@ -1205,16 +1207,29 @@ def dedup_near_incremental_q(spark, sf_dir):
     `minhash_signatures` index reused across ingest cycles, the
     `corpus_hash_index` dial). Declared det (md5) so DuckDB replays
     shingling, signatures, banding, the cross-split candidate join AND
-    exact-Jaccard verification — hash-adjudicated end to end."""
+    exact-Jaccard verification — hash-adjudicated end to end.
+
+    Round 12 (guide §1.2 — don't compute things twice): batch and
+    corpus are %7 slices of ONE table and a signature is a pure per-doc
+    function, so BOTH sides come from a single shared
+    `minhash_signatures` pass, filtered on the signature frame — one
+    documents scan and one kernel instantiation where the previous
+    shape re-scanned and re-shingled the same table per side. Identical
+    rows (slice-then-sign ≡ sign-then-slice, per-doc purity)."""
     docs = table(spark, sf_dir, "documents")
-    return minhash_incremental_pairs(
-        docs.filter(F.col("doc_id") % 7 == 0),
-        docs.filter(F.col("doc_id") % 7 != 0),
-        n=3,
-        num_perm=32,
-        bands=8,
-        threshold=0.2,
-        det=True,
+    sigs = minhash_signatures(docs, n=3, num_perm=32, det=True).persist()
+    return attach_owned(
+        minhash_incremental_pairs(
+            None,
+            n=3,
+            num_perm=32,
+            bands=8,
+            threshold=0.2,
+            det=True,
+            batch_sigs=sigs.filter(F.col("doc") % 7 == 0),
+            corpus_sigs=sigs.filter(F.col("doc") % 7 != 0),
+        ),
+        [sigs],
     )
 
 
@@ -1276,15 +1291,22 @@ def dedup_near_incremental_capped(spark, sf_dir):
     oracle replays widths, hubs, full-signature matching AND
     verification."""
     docs = table(spark, sf_dir, "documents")
-    return minhash_incremental_pairs(
-        docs.filter(F.col("doc_id") % 7 == 0),
-        docs.filter(F.col("doc_id") % 7 != 0),
-        n=3,
-        num_perm=32,
-        bands=8,
-        threshold=0.2,
-        det=True,
-        max_bucket=3,
+    # one shared signature pass, filtered per side — see
+    # dedup_near_incremental_q (round 12)
+    sigs = minhash_signatures(docs, n=3, num_perm=32, det=True).persist()
+    return attach_owned(
+        minhash_incremental_pairs(
+            None,
+            n=3,
+            num_perm=32,
+            bands=8,
+            threshold=0.2,
+            det=True,
+            max_bucket=3,
+            batch_sigs=sigs.filter(F.col("doc") % 7 == 0),
+            corpus_sigs=sigs.filter(F.col("doc") % 7 != 0),
+        ),
+        [sigs],
     )
 
 

@@ -65,26 +65,56 @@ def test_incremental_equals_cross_split_of_full(spark, mod):
     spark.catalog.clearCache()
 
 
-def test_signature_shingle_impl_dial_bit_identical(spark):
-    """The r11 ``shingle_impl`` scale dial: "arrow" (row-local gram
-    kernel — removes the token-stream exchange on a real cluster) must
-    produce bit-identical signatures and hs SETS to the default
-    all-JVM window build; and the signature aggregate's
-    duplicate-invariance (min / collect_set) makes the historical
-    (doc, sh) dedup exchange unnecessary — both pinned here."""
-    docs = table(spark, SF_DIR, "documents")
-    a = minhash_signatures(docs, n=3, num_perm=32, det=True)
-    b = minhash_signatures(
-        docs, n=3, num_perm=32, det=True, shingle_impl="arrow"
+def test_signature_impl_dials_bit_identical(spark):
+    """Every signature impl must agree PER DOC (r11 ADVICE: the old
+    comparison omitted the doc id, so impls that swapped signatures
+    between documents could pass as a multiset): the r12 "fused"
+    map-side kernel (zero exchanges — the auto default for det=True),
+    the all-JVM "exchange" window build, and the exchange build over
+    the r11 "arrow" shingle kernel. Also pins the signature aggregate's
+    duplicate-invariance (min / collect_set) that makes the historical
+    (doc, sh) dedup exchange unnecessary. Edge docs (empty text, single
+    token, within-doc duplicate grams, java-whitespace, unicode) ride
+    along so the kernel's tokenizer/hash twins stay char-exact."""
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (900001, ""),
+            (900002, "one"),
+            (900003, "a b c a b c a b c"),
+            (900004, "  x\t y\nz  w  "),
+            (900005, "héllo wörld 你好 tok"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
+    fused = minhash_signatures(docs, n=3, num_perm=32, det=True)
+    ex = minhash_signatures(docs, n=3, num_perm=32, det=True, impl="exchange")
+    ex_arrow = minhash_signatures(
+        docs, n=3, num_perm=32, det=True, impl="exchange",
+        shingle_impl="arrow",
     )
 
     def rows(df):
         return sorted(
-            tuple(r[f"sig_{i}"] for i in range(32)) + (frozenset(r["hs"]),)
+            (r["doc"],)
+            + tuple(r[f"sig_{i}"] for i in range(32))
+            + (frozenset(r["hs"]),)
             for r in df.collect()
         )
 
-    assert rows(a) == rows(b)
+    expected = rows(ex)
+    assert rows(fused) == expected
+    assert rows(ex_arrow) == expected
+
+
+def test_fused_requires_det(spark):
+    """The fused kernel replays the md5 det hash in Python; the
+    xxhash64 production flavor has no row-local twin — asking for it
+    must fail loudly, not silently diverge signatures."""
+    docs = table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="fused"):
+        minhash_signatures(docs, det=False, impl="fused")
 
 
 def test_corpus_sigs_index_path_bit_identical(spark, tmp_path):

@@ -251,6 +251,40 @@ def test_containment_incremental_matches_brute_force(spark, texts, threshold):
         assert gc == pytest.approx(round(inter / min(sz_a, sz_b), 8))
 
 
+def test_containment_incremental_broadcast_dial_identical(spark):
+    """``broadcast_batch=False`` (r11 ADVICE: the escape for ingest
+    cycles that outgrow the broadcast cap) must be a pure join-strategy
+    change — identical rows to the default broadcast shape, on both the
+    plain and the max_df stop-shingle paths."""
+    from real_time_trip_processing_spark.functions.similarity import (
+        containment_incremental_pairs,
+    )
+
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g h i j",
+        "x y z w v u",
+        "a b c x y z w v u t",
+        "p q r s t u v w",
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        schema="doc_id long, text string",
+    )
+    batch = df.filter("doc_id % 2 = 0")
+    corpus = df.filter("doc_id % 2 = 1")
+
+    def rows(**kw):
+        return sorted(
+            tuple(r) for r in containment_incremental_pairs(
+                batch, corpus, n=3, threshold=0.0, **kw
+            ).collect()
+        )
+
+    assert rows(broadcast_batch=False) == rows()
+    assert rows(broadcast_batch=False, max_df=3) == rows(max_df=3)
+
+
 @settings(**SETTINGS)
 @given(texts=docs_strategy, threshold=st.sampled_from([0.0, 0.3]))
 def test_jaccard_pairs_max_df_matches_brute_force(spark, texts, threshold):
