@@ -131,6 +131,10 @@ HEADLINE = [
     "bm25_search",
     "gap_fill_daily",
     "diversity_sample_srp",
+    # round-12 (verdict item): at 1.30 s isolated it was more expensive
+    # than 43 of the 46 headline queries but invisible to the driver's
+    # bench — additions-only harness change
+    "doc_novelty",
 ]
 
 
@@ -560,6 +564,7 @@ def bench_streaming(spark) -> dict | None:
         load_reference_trip_csvs,
     )
     from real_time_trip_processing_spark.streaming import (
+        finite_replay,
         split_start_end,
         stream_match_start_end,
         stream_trip_events,
@@ -601,36 +606,52 @@ def bench_streaming(spark) -> dict | None:
             same isolation rule as run_one(gc_first=True)."""
             spark.sparkContext._jvm.System.gc()
             completed_dir = os.path.join(work, f"completed_{i}")
+            # finite_replay (r12, declared in OPTIMIZATION_r12.md):
+            # both queries are availableNow replays of a bounded input
+            # whose sinks (append-mode inner join, update-mode window)
+            # emit every row in DATA batches — the trailing no-data
+            # micro-batch only re-commits every state partition to
+            # evict state the replay is about to discard. Output rows
+            # are pinned identical with/without (streaming suite); the
+            # pass-count assertion below still compares full replays.
             t0 = time.perf_counter()
-            ev = stream_trip_events(spark, replay)
-            s, e = split_start_end(ev)
-            completed = stream_match_start_end(s, e, watermark="24 hours")
-            q = (
-                completed.writeStream.outputMode("append")
-                .format("parquet")
-                .option("path", completed_dir)
-                .option("checkpointLocation", os.path.join(work, f"ckpt_match_{i}"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination(600)
+            with finite_replay(spark):
+                ev = stream_trip_events(spark, replay)
+                s, e = split_start_end(ev)
+                completed = stream_match_start_end(s, e, watermark="24 hours")
+                q = (
+                    completed.writeStream.outputMode("append")
+                    .format("parquet")
+                    .option("path", completed_dir)
+                    .option(
+                        "checkpointLocation",
+                        os.path.join(work, f"ckpt_match_{i}"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(600)
             match_sec = time.perf_counter() - t0
             n_completed = spark.read.parquet(completed_dir).count()
 
             t1 = time.perf_counter()
-            cs = spark.readStream.schema(
-                spark.read.parquet(completed_dir).schema
-            ).parquet(completed_dir)
-            kq = (
-                streaming_kpi_daily(cs)
-                .writeStream.outputMode("update")
-                .format("memory")
-                .queryName(f"bench_stream_kpi_{i}")
-                .option("checkpointLocation", os.path.join(work, f"ckpt_kpi_{i}"))
-                .trigger(availableNow=True)
-                .start()
-            )
-            kq.awaitTermination(600)
+            with finite_replay(spark):
+                cs = spark.readStream.schema(
+                    spark.read.parquet(completed_dir).schema
+                ).parquet(completed_dir)
+                kq = (
+                    streaming_kpi_daily(cs)
+                    .writeStream.outputMode("update")
+                    .format("memory")
+                    .queryName(f"bench_stream_kpi_{i}")
+                    .option(
+                        "checkpointLocation",
+                        os.path.join(work, f"ckpt_kpi_{i}"),
+                    )
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                kq.awaitTermination(600)
             kpi_sec = time.perf_counter() - t1
             n_kpi = spark.sql(
                 f"SELECT COUNT(*) FROM bench_stream_kpi_{i}"

@@ -167,7 +167,16 @@ def _fused_det_signatures(
     arrives as a one-task scan that would serialize the kernel, so
     below-defaultParallelism inputs repartition the raw doc texts; at
     scale the check is a no-op and the whole signature build is
-    map-side inside the scan stage."""
+    map-side inside the scan stage. When the spread DID fire, the
+    kernel's output is shuffled back down to the input's own partition
+    count: the signature frame is persisted and re-read by 3-4
+    consumers in every LSH flavor, and leaving a 5k-row frame in 32
+    cache partitions made every downstream stage pay 32-task fixed
+    costs — measured at sf0.1 on the full self-join query: 1.40 s
+    (32-part cache) → 0.98 s (narrow cache), vs 1.15 s for the r11
+    exchange build it replaces. The down-shuffle moves one signature
+    row per doc (the same mass the exchange build shuffled anyway) and,
+    like the spread, cannot fire at scale."""
     import numpy as np
     import pandas as pd
 
@@ -179,7 +188,8 @@ def _fused_det_signatures(
         n_in = docs.rdd.getNumPartitions()
     except Exception:  # pragma: no cover - defensive
         n_in = sc.defaultParallelism
-    if n_in < sc.defaultParallelism:
+    spread = n_in < sc.defaultParallelism
+    if spread:
         docs = docs.repartition(sc.defaultParallelism)
 
     id_type = dict(docs.dtypes)[id_col]
@@ -230,7 +240,10 @@ def _fused_det_signatures(
             out["hs"] = hs_out
             yield pd.DataFrame(out)
 
-    return docs.select(id_col, text_col).mapInPandas(scan, schema)
+    sig = docs.select(id_col, text_col).mapInPandas(scan, schema)
+    if spread:
+        sig = sig.repartition(max(1, n_in))
+    return sig
 
 
 def minhash_signatures(

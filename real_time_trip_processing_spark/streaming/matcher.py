@@ -36,13 +36,27 @@ def stream_match_start_end(
     ``join_window`` optionally bounds dropoff within [pickup, pickup+w]
     so the state store can evict matched/expired rows by event time —
     at scale, always set it; default derives it from the watermark.
+
+    Dedup keys (round 12, guide §2.4 — remove shuffles outright): each
+    side of this matcher is a SINGLE event type by contract
+    (`split_start_end` routes by data_type before the matcher sees the
+    streams), so the reference's (trip_id, data_type) dedup key is
+    per-side equivalent to plain (trip_id) — and the narrower key lets
+    the stateful dedup share the stream-stream join's exact (trip_id)
+    clustering: one exchange per side per micro-batch instead of two
+    (StatefulOpClusteredDistribution requires an exact key match, so a
+    (trip_id, data_type)-keyed dedup forced a second hash exchange
+    before the join). Replay outputs are pinned identical by the
+    streaming suite; a caller that feeds a MIXED stream to one side is
+    outside the matcher's contract either way (its per-type timestamp
+    columns would be null on the foreign rows).
     """
     w = join_window or watermark
     s = starts.withWatermark(start_ts, watermark).dropDuplicatesWithinWatermark(
-        [key, "data_type"]
+        [key]
     )
     e = ends.withWatermark(end_ts, watermark).dropDuplicatesWithinWatermark(
-        [key, "data_type"]
+        [key]
     )
     cond = (
         (F.col(f"__s.{key}") == F.col(f"__e.{key}"))

@@ -119,6 +119,60 @@ def test_stream_dedup_within_watermark(spark, tmp_path, replay_dir):
     assert out.count() == 4999
 
 
+def test_finite_replay_outputs_identical(spark, replay_dir, tmp_path):
+    """`finite_replay` (r12: skip the trailing no-data micro-batch of an
+    availableNow replay) must be a pure end-of-replay overhead cut —
+    matcher rows AND the update-mode daily KPI identical with and
+    without it. Also pins the r12 matcher dedup-key change ((trip_id)
+    per side instead of (trip_id, data_type) — each side is one event
+    type by the split contract): the reference row counts and KPI
+    values are re-asserted by test_streaming_kpi_matches_batch either
+    way; here the two replay flavors must agree row-for-row."""
+    from real_time_trip_processing_spark.streaming import finite_replay
+
+    def one(tag, ctx):
+        completed_dir = str(tmp_path / f"completed_{tag}")
+        with ctx:
+            events = stream_trip_events(spark, replay_dir)
+            starts, ends = split_start_end(events)
+            completed = stream_match_start_end(
+                starts, ends, watermark="24 hours"
+            )
+            q = (
+                completed.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", completed_dir)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ckpt_{tag}")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            cs = spark.readStream.schema(
+                spark.read.parquet(completed_dir).schema
+            ).parquet(completed_dir)
+            kpi = _run_stream(
+                spark, streaming_kpi_daily(cs), f"fr_kpi_{tag}", mode="update"
+            ).collect()
+        rows = sorted(
+            map(tuple, spark.read.parquet(completed_dir).collect())
+        )
+        return rows, sorted(map(tuple, kpi))
+
+    import contextlib
+
+    base_rows, base_kpi = one("base", contextlib.nullcontext())
+    fr_rows, fr_kpi = one("fr", finite_replay(spark))
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        == "true"
+    )  # restored on exit
+    assert fr_rows == base_rows
+    assert fr_kpi == base_kpi
+    assert len(base_rows) == 4999
+
+
 def test_streaming_kpi_matches_batch(spark, replay_dir, tmp_path):
     # two-stage, mirroring the reference's architecture around its raw
     # table (SURVEY §7 risks): stage 1 appends completed trips to a
