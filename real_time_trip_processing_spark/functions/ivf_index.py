@@ -1218,12 +1218,7 @@ def ann_join_persisted(
     test-pinned.
     """
     from ..operators.sorts import topk_per_group
-    from .similarity import (
-        _qcent_literals,
-        centroid_scores,
-        has_quant_direction,
-        qnorm,
-    )
+    from .similarity import has_quant_direction, probe_rows_kernel
 
     # zero-direction exclusion (round 7): a zero query crashed the
     # probe-selection expression under ANSI (divide by zero norm —
@@ -1232,23 +1227,11 @@ def ann_join_persisted(
     # ann_join_ivf with the stored codebook.
     queries = queries.filter(has_quant_direction(F.col(vec_col)))
     rows = _load_centroids(spark, index_dir)
-    _, cid_arr, _ = _qcent_literals(rows)
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("q_vec"),
-        quant_vec(F.col(vec_col)).alias("q_qv"),
-    ).withColumn("q_qn", qnorm(F.col("q_qv")))
-    probe_pairs = F.zip_with(
-        centroid_scores(F.col("q_qv"), F.col("q_qn"), rows),
-        cid_arr,
-        lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
-    )
-    probes = q.select(
-        "query_id",
-        "q_vec",
-        F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
-    ).select("query_id", "q_vec", F.col("p.cid").alias("cent_id"))
+    # round 12 (guide §4.2): probe selection in the Arrow kernel — see
+    # probe_rows_kernel (bit-identical probe sets; the JVM explosion it
+    # replaces is interpreted per row)
+    probes = probe_rows_kernel(queries, rows, nprobe, id_col, vec_col)
 
     cells = read_index_cells(spark, index_dir).filter(
         F.col("qn2") > 0
@@ -1341,10 +1324,9 @@ def ann_join_ivfpq_persisted(
     from ..operators.sorts import topk_per_group
     from .pq import _slices
     from .similarity import (
-        _qcent_literals,
-        centroid_scores,
+        _quant_codebook,
+        _quant_np,
         has_quant_direction,
-        qnorm,
     )
 
     queries = queries.filter(has_quant_direction(F.col(vec_col)))
@@ -1355,7 +1337,6 @@ def ann_join_ivfpq_persisted(
     # re-collecting + re-converting per call was the measured bulk of
     # this op's 0.66 s driver prologue (round 8)
     books, books_mats, norm_mat = _load_books_np(spark, index_dir)
-    _, cid_arr, _ = _qcent_literals(rows)
     m = len(books)
     # the stored per-subspace widths ARE _slices(dim, m) — each book
     # centroid was trained on its _slices window, so rebuilding the
@@ -1367,8 +1348,7 @@ def ann_join_ivfpq_persisted(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
-        quant_vec(F.col(vec_col)).alias("q_qv"),
-    ).withColumn("q_qn", qnorm(F.col("q_qv")))
+    )
 
     # Round-11 (guide §4.2): each query's dot LUT is built ONCE, in a
     # row-local kernel BEFORE the probe explosion, instead of once per
@@ -1378,12 +1358,38 @@ def ann_join_ivfpq_persisted(
     # (`pq._query_lut`'s gemv, the pinned reference); probe rows now
     # carry the m×k LUT (m·k doubles vs dim — LUT bytes shipped
     # nprobe-wide once is the same trade `srp_near_dup` documents for
-    # its quantized vectors). Measured at sf0.1: 1.11 s → 0.77 s
-    # median, identical rows.
+    # its quantized vectors). Measured at sf0.1: 1.11 → 0.77 s median,
+    # identical rows.
+    #
+    # Round 12 (guide §4.2 again): the COARSE probe selection is fused
+    # into the same kernel — the JVM quant_vec/qnorm columns and the
+    # interpreted centroid_scores + array_sort + slice chain are gone;
+    # the kernel scores the quantized query against the coarse codebook
+    # (exact-integer arithmetic, the probe_rows_kernel math) and emits
+    # ONE row per query carrying its probe-cid ARRAY — the nprobe
+    # fan-out stays a JVM explode, because emitting nprobe Python rows
+    # each carrying the m×k LUT measured +25% (Arrow-serializing the
+    # LUT nprobe times; the codegen'd explode duplicates it for free
+    # inside the exchange). Same probe sets, same LUT bits, one Python
+    # crossing for both jobs.
     kbook = len(books_mats[0])
+    qrows = _quant_codebook(rows)
+    coarse_cids = np.array([c for c, _, _ in qrows], dtype=np.int64)
+    coarse_ct = np.array([qv for _, qv, _ in qrows], dtype=np.float64).T
+    coarse_cn = np.array([n for _, _, n in qrows])
 
-    def lut_rows(batches):
+    def lut_probe_rows(batches):
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qq = _quant_np(pdf["q_vec"])
+            s = (qq @ coarse_ct) / (
+                np.sqrt(np.einsum("ij,ij->i", qq, qq))[:, None]
+                * coarse_cn[None, :]
+            )
+            order = np.lexsort(
+                (np.broadcast_to(coarse_cids, s.shape), -s), axis=-1
+            )[:, :nprobe]
             luts, qns = [], []
             for v in pdf["q_vec"]:
                 qv = np.asarray(v, dtype=np.float64)
@@ -1392,27 +1398,22 @@ def ann_join_ivfpq_persisted(
                     lut[j, :] = books_mats[j] @ qv[lo:hi]
                 luts.append(lut.ravel())
                 qns.append(float(np.sqrt(np.dot(qv, qv))))
-            out = pdf[["query_id", "q_qv", "q_qn"]].copy()
-            out["lut"] = luts
-            out["qn"] = qns
-            yield out
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "lut": luts,
+                    "qn": np.asarray(qns),
+                    "pcids": list(coarse_cids[order].astype("int32")),
+                }
+            )
 
-    qlut = q.select("query_id", "q_vec", "q_qv", "q_qn").mapInPandas(
-        lut_rows,
-        "query_id long, q_qv array<bigint>, q_qn double,"
-        " lut array<double>, qn double",
-    )
-    probe_pairs = F.zip_with(
-        centroid_scores(F.col("q_qv"), F.col("q_qn"), rows),
-        cid_arr,
-        lambda s, cid: F.struct((-s).alias("ns"), cid.alias("cid")),
+    qlut = q.mapInPandas(
+        lut_probe_rows,
+        "query_id long, lut array<double>, qn double, pcids array<int>",
     )
     probes = qlut.select(
-        "query_id",
-        "lut",
-        "qn",
-        F.explode(F.slice(F.array_sort(probe_pairs), 1, nprobe)).alias("p"),
-    ).select("query_id", "lut", "qn", F.col("p.cid").alias("cent_id"))
+        "query_id", "lut", "qn", F.explode("pcids").alias("cent_id")
+    )
 
     cells = read_index_cells_pq(spark, index_dir).select(
         "cand_id", "codes", "cent_id"
