@@ -169,7 +169,19 @@ def test_finite_replay_outputs_identical(spark, replay_dir, tmp_path):
         == "true"
     )  # restored on exit
     assert fr_rows == base_rows
-    assert fr_kpi == base_kpi
+    # KPI rows: dates/counts/extrema exact; SUM/AVG of doubles compared
+    # with tolerance — two independent replays accumulate fare doubles
+    # in different state-iteration orders, so the last ULPs differ
+    # between ANY two replays (same rule as
+    # test_streaming_kpi_matches_batch's rel_tol vs the batch pipeline;
+    # finite_replay is not the variable, run order is)
+    assert len(fr_kpi) == len(base_kpi) == 1
+    for a, b in zip(fr_kpi, base_kpi):
+        assert a[0] == b[0]  # pickup_date
+        assert a[2] == b[2]  # trip_count
+        assert a[4] == b[4] and a[5] == b[5]  # max/min fare
+        assert math.isclose(a[1], b[1], rel_tol=1e-9)  # total_fare
+        assert math.isclose(a[3], b[3], rel_tol=1e-9)  # average_fare
     assert len(base_rows) == 4999
 
 
